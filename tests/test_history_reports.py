@@ -1,0 +1,127 @@
+"""Report operators: hand-computed tiny-log values + reference goldens
+(README:25-62, vis/grap/map.d, vis/grap/reduce.d)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.operators import (
+    job_summary,
+    map_table,
+    reduce_bytes_table,
+    reduce_table,
+)
+from hadoop_jobanalyzer_spark.sources import load_history
+
+TINY = os.path.join(os.path.dirname(__file__), "data", "tiny_log.txt")
+GRAP = "/root/reference/vis/grap"
+
+
+def test_summary_tiny(spark):
+    s = job_summary(load_history(spark, TINY)).collect()[0]
+    assert s["total_time"] == 10000
+    assert s["num_maps"] == 2
+    assert s["avg_map_len"] == pytest.approx(4600.5)
+    assert s["all_maps_complete"] == 8000
+    assert s["num_reduces"] == 1
+    assert s["avg_shuffle_len"] == pytest.approx(3000.0)
+    assert s["avg_reduce_len"] == pytest.approx(5001.0)
+    assert s["job_status"] == "SUCCESS"
+
+
+def test_summary_golden_log1(spark, fixture_log1):
+    """README:26-28 golden averages for the kmerStats job (seconds scale)."""
+    s = job_summary(load_history(spark, fixture_log1)).collect()[0]
+    assert s["avg_map_len"] == pytest.approx(9450.6328125, abs=1e-9)
+    assert s["avg_shuffle_len"] == pytest.approx(13765.465625, abs=1e-9)
+    assert s["avg_reduce_len"] == pytest.approx(17074.065625, abs=1e-9)
+    assert s["total_time"] == 26021  # floor((FINISH-LAUNCH)/1000)
+    assert (s["num_maps"], s["num_reduces"]) == (512, 320)
+
+
+def test_summary_log2(spark, fixture_log2):
+    s = job_summary(load_history(spark, fixture_log2)).collect()[0]
+    assert (s["num_maps"], s["num_reduces"]) == (1024, 144)
+    assert s["job_status"] == "SUCCESS"
+    assert s["avg_map_len"] > 0 and s["avg_reduce_len"] > 0
+
+
+def test_map_table_tiny(spark):
+    rows = map_table(load_history(spark, TINY)).collect()
+    assert [tuple(r)[2:] for r in rows] == [
+        ("task_202001010000_0001_m_000000", 3000, 7201, 4201, 1),
+        ("task_202001010000_0001_m_000001", 3000, 8000, 5000, 2),
+    ]
+
+
+def test_reduce_table_tiny(spark):
+    rows = reduce_table(load_history(spark, TINY)).collect()
+    assert [tuple(r)[2:] for r in rows] == [
+        ("task_202001010000_0001_r_000000", 6000, 8000, 9000, 11001, 5001, 1)
+    ]
+
+
+def test_reduce_bytes_tiny(spark):
+    rows = reduce_bytes_table(load_history(spark, TINY)).collect()
+    assert [tuple(r)[2:] for r in rows] == [
+        ("task_202001010000_0001_r_000000", 4242, 8000, 10000)
+    ]
+
+
+def test_map_table_golden(spark, fixture_log1):
+    """Full-frame comparison against the frozen -m output vis/grap/map.d
+    (512 rows x 5 cols, space-delimited)."""
+    golden = pd.read_csv(
+        os.path.join(GRAP, "map.d"),
+        sep=" ",
+        names=["taskid", "start_time", "end_time", "elapsed", "num_attempts"],
+    )
+    ours = (
+        map_table(load_history(spark, fixture_log1))
+        .drop("source_file", "jobid")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        ours.reset_index(drop=True),
+        golden.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_reduce_table_golden(spark, fixture_log1):
+    """vis/grap/reduce.d is the older 6-col -r output (no maps-complete);
+    current code emits 7 (SURVEY.md §2.9) — compare the shared columns."""
+    golden = pd.read_csv(
+        os.path.join(GRAP, "reduce.d"),
+        sep=" ",
+        names=["taskid", "start_time", "shuffle_finish", "end_time", "elapsed", "num_attempts"],
+    )
+    ours = (
+        reduce_table(load_history(spark, fixture_log1))
+        .drop("source_file", "jobid", "maps_complete")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        ours.reset_index(drop=True),
+        golden.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_reduce_bytes_log1_sane(spark, fixture_log1):
+    df = reduce_bytes_table(load_history(spark, fixture_log1))
+    rows = df.collect()
+    assert len(rows) == 320
+    assert all(r["reduce_output_bytes"] > 0 for r in rows)
+    assert all(r["shuffle_finish_rel"] <= r["reduce_finish_rel"] for r in rows)
+
+
+def test_summary_multifile(spark, fixture_log1, fixture_log2):
+    """Directory ingest: one summary row per job (multi-job capability the
+    reference lacks — SURVEY.md §7 milestone 5)."""
+    v = load_history(spark, "/root/reference/test/*")
+    out = job_summary(v)
+    assert out.count() == 2
+    assert out.filter(F.col("num_maps") == 1024).count() == 1
