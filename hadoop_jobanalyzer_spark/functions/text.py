@@ -1,0 +1,124 @@
+"""Text-analysis column expressions for the training-data-pipeline layer.
+
+All pure Catalyst expressions over array columns — no explode in the hot
+path (per-document state stays in-row, so these scale linearly with corpus
+size and shuffle nothing until an aggregation asks for it), and no Python
+UDFs. Each has a matching ANSI-SQL restatement in
+``plans/pipeline_queries.py`` used for differential testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Pseudo language-marker sets over the synthetic corpus vocabulary. Real
+# deployments swap these for per-language stopword lists; the engine-side
+# mechanics (set intersection scoring + deterministic argmax) are identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a"],
+    "es": ["value", "table"],
+    "de": ["row", "column"],
+    "fr": ["data", "query"],
+    "zh": ["spark", "batch"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (corpus is single-space normalized)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(text, " ")
+
+
+def token_count(words: Column) -> Column:
+    return F.size(words)
+
+
+def distinct_token_count(words: Column) -> Column:
+    return F.size(F.array_distinct(words))
+
+
+def avg_token_len(words: Column) -> Column:
+    """Mean token length as double (sum of int lengths / count — exact
+    operands, so cross-engine deterministic before rounding)."""
+    total = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.size(words)
+
+
+def stopword_ratio(words: Column, stopwords: list[str]) -> Column:
+    hits = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+    return hits.cast("double") / F.size(words)
+
+
+def lang_scores(words: Column) -> dict[str, Column]:
+    """Marker-set intersection size per language (distinct matches)."""
+    return {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(words: Column) -> Column:
+    """Deterministic argmax over marker scores; ties resolve in LANG_MARKERS
+    order (a fixed CASE chain — mirrors the SQL oracle exactly)."""
+    scores = lang_scores(words)
+    langs = list(LANG_MARKERS)
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def bow_fingerprint(words: Column) -> Column:
+    """Bag-of-words document fingerprint: md5 over the sorted distinct token
+    set — an order-insensitive dedup key (word-soup analog of the
+    reference's exact-value keying)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words))))
+
+
+def shingles(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (distinct)."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + k) for k in range(n)]
+    )
+    return F.when(
+        F.size(words) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_hashes(words: Column) -> Column:
+    """32-bit integer hash per token (md5-prefix — identical in any engine
+    with md5, unlike engine-native hash functions)."""
+    return F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+
+
+def simhash32(words: Column) -> Column:
+    """32-bit SimHash over distinct tokens: per bit, majority vote of token
+    hash bits (+1/-1), bit set when the vote is non-negative."""
+    th = token_hashes(F.array_distinct(words))
+
+    # factory, not default-arg capture: pyspark infers lambda arity, so the
+    # merge lambda must take exactly (acc, v)
+    def bit_vote(k: int):
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, k).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for k in range(32):
+        vote = F.aggregate(th, F.lit(0).cast("long"), bit_vote(k))
+        out = out + F.when(vote >= 0, F.lit(2**k).cast("long")).otherwise(F.lit(0))
+    return out

