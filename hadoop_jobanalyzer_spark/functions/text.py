@@ -9,7 +9,7 @@ UDFs. Each has a matching ANSI-SQL restatement in
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Pseudo language-marker sets over the synthetic corpus vocabulary. Real
@@ -107,7 +107,13 @@ def token_hashes(words: Column) -> Column:
 
 def simhash32(words: Column) -> Column:
     """32-bit SimHash over distinct tokens: per bit, majority vote of token
-    hash bits (+1/-1), bit set when the vote is non-negative."""
+    hash bits (+1/-1), bit set when the vote is non-negative.
+
+    In-row form (one expression per doc). The 32 ``aggregate`` lambdas are
+    interpreted per element — fine for ad-hoc use on small frames; the
+    corpus-scale path is :func:`simhash_table` (explode + codegen bit math +
+    partial hash-agg), which produces identical values.
+    """
     th = token_hashes(F.array_distinct(words))
 
     # factory, not default-arg capture: pyspark infers lambda arity, so the
@@ -122,3 +128,36 @@ def simhash32(words: Column) -> Column:
         vote = F.aggregate(th, F.lit(0).cast("long"), bit_vote(k))
         out = out + F.when(vote >= 0, F.lit(2**k).cast("long")).otherwise(F.lit(0))
     return out
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) for every doc — the corpus-scale SimHash plan.
+
+    Distinct tokens explode once; each token gets ONE md5-derived 32-bit
+    hash; the 32 bit-votes are whole-stage-codegen integer expressions
+    aggregated map-side (sum of +/-1 per bit), so the only shuffle carries
+    (id, 32 x long partial sums). Value-identical to :func:`simhash32`.
+    """
+    from hadoop_jobanalyzer_spark.util import spread
+
+    hashed = spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("_w"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long").alias("_h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{k}")
+        for k in range(32)
+    ]
+    bits = [
+        F.when(F.col(f"_v{k}") >= 0, F.lit(2**k).cast("long")).otherwise(F.lit(0))
+        for k in range(32)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return hashed.groupBy(id_col).agg(*votes).select(F.col(id_col), total.alias("simhash"))

@@ -5,12 +5,18 @@ Four strategies, cheapest to richest, all shuffle-efficient at scale:
 * exact:      one md5 per doc, groupBy(hash) — a single shuffle on a short
               key; at 100 TB this is the same plan, AQE-coalesced.
 * bag-of-words fingerprint: order-insensitive exact dedup.
-* MinHash+LSH: per-doc signatures computed *in-row* (array expressions, no
-              explode), banded; only docs sharing a band bucket are joined —
-              the candidate join's fan-out is bounded by bucket sizes, not
-              corpus², which is the whole point at scale.
-* n-gram Jaccard: exact verification on candidate pairs (or, below a size
-              threshold, on all shingle-sharing pairs).
+* MinHash+LSH: signatures via explode -> one md5 per shingle -> an integer
+              universal-hash family -> partial-agg min per doc (everything
+              after the single md5 is whole-stage-codegen integer math);
+              banded buckets generate candidate pairs in-bucket — signatures
+              are computed once and no corpus-sized self-join exists.
+* n-gram Jaccard: exact verification on pairs sharing a shingle, via the
+              same bucket-grouped pair generation.
+
+Performance note: per-element work deliberately avoids higher-order
+functions (transform/aggregate lambdas are interpreted per element, outside
+whole-stage codegen); explode + hash-agg keeps the hot path in codegen and
+the aggregation map-side partial, which is the shape that survives 100 TB.
 
 Reference parity note: the reference's only dedup is distinct-attempt
 counting (SURVEY.md O3); this module is the §7 "milestone 5" extension
@@ -23,8 +29,38 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.functions.text import shingles, tokens
+from hadoop_jobanalyzer_spark.util import spread
 
-DEFAULT_SEEDS = list(range(8))
+# Universal-hash family over md5-derived 32-bit shingle hashes:
+# mh_i(s) = (A_i * (h(s) % P) + B_i) % P, P = 2^31 - 1 (Mersenne prime).
+# h < 2^32, A_i < 2^23  =>  A_i * (h % P) < 2^54: no 64-bit overflow, so the
+# arithmetic is exact and reproducible in any engine (DuckDB oracle included).
+MINHASH_P = 2_147_483_647
+
+
+def _minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    return [(999_983 * (i + 1), 756_839 * (i + 1) + 12_345) for i in range(n_hashes)]
+
+
+def _md5_hash32(col: Column) -> Column:
+    """First 8 md5 hex digits as a 64-bit-safe integer (engine-portable —
+    never Spark-native hash functions, which DuckDB cannot reproduce)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _pair_structs(ids: Column) -> Column:
+    """All (id_a < id_b) pairs from a sorted id array — in-bucket candidate
+    generation. O(|bucket|^2) by LSH design; ``max_bucket`` guards the
+    degenerate giant-bucket case at scale."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str, key: Column | None = None) -> DataFrame:
@@ -46,67 +82,65 @@ def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    seeds: list[int] | None = None,
+    n_hashes: int = 8,
     ngram: int = 3,
 ) -> DataFrame:
-    """Per doc, one MinHash per seed: min over shingles of md5('{seed}:'+s).
+    """Per doc, ``n_hashes`` MinHash values (columns mh0..mhN-1).
 
-    md5 (not engine-native hash) keeps signatures portable across engines;
-    min over an in-row array avoids any explode/shuffle.
+    Shingles are exploded once, each gets ONE md5 (the only non-integer op);
+    the hash family is integer math in codegen, and the per-doc mins are a
+    partial-aggregating groupBy — one shuffle of (doc, n_hashes x long).
+    Docs with no shingles (< ngram tokens) keep a row of null signatures.
     """
-    seeds = DEFAULT_SEEDS if seeds is None else seeds
-    sh = shingles(tokens(text_col), ngram)
-
-    # NB: the lambda must take exactly one arg — a second arg would be
-    # interpreted by pyspark as the array index, shadowing the closure.
-    def seeded_md5(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
-
-    cols = [
-        F.array_min(F.transform(sh, seeded_md5(i))).alias(f"mh{i}") for i in seeds
+    exploded = spread(df).select(
+        F.col(id_col), F.explode_outer(shingles(tokens(text_col), ngram)).alias("_sh")
+    ).select(F.col(id_col), (_md5_hash32(F.col("_sh")) % MINHASH_P).alias("_h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_minhash_params(n_hashes))
     ]
-    return df.select(F.col(id_col), *cols)
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    seeds: list[int] | None = None,
-    bands: int = 2,
+    n_hashes: int = 8,
+    bands: int = 4,
     ngram: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on at least one band.
 
-    Bands hash ``rows = len(seeds)/bands`` consecutive minhashes; the
-    band-value self-join is an equi-join on (band_idx, band_hash) — skew-safe
-    under AQE, and never materializes non-colliding pairs.
+    Bands group ``rows = n_hashes/bands`` consecutive minhashes into one
+    key; docs are bucketed by (band, key) and pairs are generated *within*
+    buckets — signatures are computed exactly once (no self-join recompute)
+    and non-colliding pairs are never materialized. ``max_bucket`` drops
+    degenerate giant buckets (near-identical clusters better handled by the
+    exact-dedup path) to bound the O(|bucket|^2) fan-out at corpus scale.
     Output: id_a < id_b, n_shared_bands.
     """
-    seeds = DEFAULT_SEEDS if seeds is None else seeds
-    rows = len(seeds) // bands
-    sigs = minhash_signatures(df, id_col, text_col, seeds, ngram)
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"mh{seeds[b * rows + r]}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram).na.drop()
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("bh"),
         )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+        for b in range(bands)
+    ]
+    buckets = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+        .groupBy("bb")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(_pair_structs(F.col("_ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_shared_bands"))
         .orderBy("id_a", "id_b")
     )
@@ -121,31 +155,35 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >= 1 shingle.
 
-    Shingle inverted index -> self-join on shingle -> per-pair intersection
-    count -> Jaccard from per-doc distinct-shingle counts. The shingle join
-    is the scale risk (common shingles fan out); production path runs this
-    only on LSH candidates — composed as
-    ``lsh_candidate_pairs(...).join(ngram_jaccard_pairs(...), ...)`` or by
-    passing a pre-filtered df.
+    Shingle inverted index (explode once) -> bucket per shingle -> in-bucket
+    pair generation -> per-pair intersection count; per-doc distinct-shingle
+    counts stay in-row (size of the shingle array — no second explode).
+    Ultra-common shingles are the scale risk (O(df^2) pair fan-out); the
+    production path runs this only on LSH candidates
+    (``lsh_candidate_pairs`` first, then verify) or drops stop-shingles by
+    bucket size.
     Output: id_a < id_b, n_common, n_a, n_b, jaccard (rounded 3).
     """
+    df = spread(df)
     sh = df.select(
         F.col(id_col), F.explode(shingles(tokens(text_col), ngram)).alias("sh")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sizes = df.select(
+        F.col(id_col), F.size(shingles(tokens(text_col), ngram)).alias("n_sh")
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+        .select(F.explode(_pair_structs(F.col("_ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sizes_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sizes_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
+        # sizes is corpus-sized (one row per doc) — no forced broadcast;
+        # AQE picks broadcast when the filtered side is actually small.
         common.join(sizes_a, "id_a")
         .join(sizes_b, "id_b")
         .withColumn(

@@ -38,8 +38,15 @@ PAYLOAD_META_SCHEMA = StructType(
 
 def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Build an (id, payload binary) frame. In production the payload column
-    comes straight from parquet; here the UTF-8 bytes of ``text`` stand in."""
-    return df.select(
+    comes straight from parquet; here the UTF-8 bytes of ``text`` stand in.
+
+    The frame is spread to session parallelism first: downstream decode /
+    feature-extract stages are CPU-bound per payload, so one narrow input
+    split must not serialize the whole Arrow-batched pipeline.
+    """
+    from hadoop_jobanalyzer_spark.util import spread
+
+    return spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "UTF-8").cast(BinaryType()).alias("payload"),
     )

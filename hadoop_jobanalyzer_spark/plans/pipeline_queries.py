@@ -22,7 +22,7 @@ from hadoop_jobanalyzer_spark.functions.text import (
     bow_fingerprint,
     distinct_token_count,
     lang_id,
-    simhash32,
+    simhash_table,
     stopword_ratio,
     token_count,
     tokens,
@@ -40,6 +40,7 @@ from hadoop_jobanalyzer_spark.operators.similarity import (
 )
 from hadoop_jobanalyzer_spark.functions.vectors import hyperplanes
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
+from hadoop_jobanalyzer_spark.util import spread
 
 _WORDS = "string_split(text, ' ')"
 _SHINGLES_CTE = f"""
@@ -104,30 +105,36 @@ WHERE ROUND(n_common / (sa.n + sb.n - n_common), 3) >= 0.2
 ORDER BY id_a, id_b
 """
 
-_SEEDS = list(range(8))
+_N_HASHES = 8
 _BANDS = 4  # 4 bands x 2 rows over 8 minhashes
 
 
 def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return lsh_candidate_pairs(
-        t["documents"], "doc_id", "text", seeds=_SEEDS, bands=_BANDS, ngram=3
+        t["documents"], "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS, ngram=3
     )
 
 
 def _q23_sql() -> str:
-    mins = ", ".join(f"MIN(md5('{i}:' || s)) AS mh{i}" for i in _SEEDS)
-    rows = len(_SEEDS) // _BANDS
+    from hadoop_jobanalyzer_spark.operators.dedup import MINHASH_P, _minhash_params
+
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_minhash_params(_N_HASHES))
+    )
+    rows = _N_HASHES // _BANDS
     bands = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM m".format(
+        "SELECT doc_id, {b} AS band, {concat} AS bh FROM m".format(
             b=b,
-            concat=" || '|' || ".join(f"mh{_SEEDS[b * rows + r]}" for r in range(rows)),
+            concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
         )
         for b in range(_BANDS)
     )
     return f"""
 WITH {_SHINGLES_CTE},
-m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P} AS h FROM sh),
+m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS ({bands})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
 FROM banded a
@@ -146,7 +153,7 @@ def q24_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     w = tokens("text")
     return (
-        t["documents"]
+        spread(t["documents"])
         .select(
             "doc_id",
             F.length("text").alias("n_chars"),
@@ -175,7 +182,7 @@ def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     w = tokens("text")
     return (
-        t["documents"]
+        spread(t["documents"])
         .select("lang", lang_id(w).alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
@@ -207,11 +214,7 @@ FROM scored GROUP BY 1, 2 ORDER BY lang, predicted
 
 def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return (
-        t["documents"]
-        .select("doc_id", simhash32(tokens("text")).alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return simhash_table(t["documents"], "doc_id", "text").orderBy("doc_id")
 
 
 def _q26_sql() -> str:
