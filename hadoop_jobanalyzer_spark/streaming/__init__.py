@@ -1,0 +1,15 @@
+"""Structured Streaming ingest + stateful operators over arriving job logs."""
+
+from hadoop_jobanalyzer_spark.streaming.history_stream import (
+    attempt_finish_counts,
+    job_status_stream,
+    latest_success_attempts,
+    read_history_stream,
+)
+
+__all__ = [
+    "attempt_finish_counts",
+    "job_status_stream",
+    "latest_success_attempts",
+    "read_history_stream",
+]

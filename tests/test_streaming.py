@@ -1,0 +1,97 @@
+"""Streaming ingest + stateful operators, differentially checked against the
+batch engine on the real fixture logs."""
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.sources import load_history
+from hadoop_jobanalyzer_spark.streaming import (
+    attempt_finish_counts,
+    job_status_stream,
+    latest_success_attempts,
+    read_history_stream,
+)
+
+
+@pytest.fixture()
+def log_dir(tmp_path, fixture_log1, fixture_log2):
+    d = tmp_path / "incoming"
+    d.mkdir()
+    shutil.copy(fixture_log1, d / "job1.txt")
+    shutil.copy(fixture_log2, d / "job2.txt")
+    return str(d)
+
+
+def _run_to_memory(df, name: str, output_mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_stream_records_match_batch(spark, log_dir):
+    name = f"rec_{uuid.uuid4().hex[:8]}"
+    parsed = read_history_stream(spark, log_dir)
+    _run_to_memory(parsed, name, "append")
+    streamed = spark.sql(f"SELECT event, COUNT(*) n FROM {name} GROUP BY event")
+    got = {r["event"]: r["n"] for r in streamed.collect()}
+    batch = load_history(spark, log_dir).records
+    want = {r["event"]: r["n"] for r in batch.groupBy("event").agg(F.count("*").alias("n")).collect()}
+    assert got == want and got["Job"] > 0
+
+
+def test_job_status_stream_matches_batch_jobs(spark, log_dir):
+    name = f"jobs_{uuid.uuid4().hex[:8]}"
+    parsed = read_history_stream(spark, log_dir)
+    _run_to_memory(job_status_stream(parsed), name, "complete")
+    got = {
+        r["jobid"]: (r["job_status"], r["finish_time"], r["finished_maps"])
+        for r in spark.table(name).collect()
+    }
+    batch = load_history(spark, log_dir).jobs
+    want = {
+        r["jobid"]: (r["job_status"], r["finish_time"], r["finished_maps"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 2
+
+
+def test_latest_success_attempts_match_batch_finals(spark, log_dir):
+    name = f"finals_{uuid.uuid4().hex[:8]}"
+    parsed = read_history_stream(spark, log_dir)
+    _run_to_memory(latest_success_attempts(parsed), name, "update")
+    # last state emitted per task wins (single availableNow batch here)
+    got = {r["taskid"]: r["attempt_id"] for r in spark.table(name).collect()}
+    finals = load_history(spark, log_dir).final_attempts()
+    want = {r["taskid"]: r["attempt_id"] for r in finals.collect()}
+    assert got == want
+    assert len(want) > 800  # 512+320 finished tasks in log1 alone
+
+
+def test_attempt_finish_counts_windows(spark, log_dir):
+    name = f"wins_{uuid.uuid4().hex[:8]}"
+    parsed = read_history_stream(spark, log_dir)
+    # complete mode: append would (correctly) withhold windows newer than
+    # the watermark at end-of-stream; complete emits every window, which is
+    # what the batch differential needs
+    _run_to_memory(
+        attempt_finish_counts(parsed, window_duration="5 minutes"), name, "complete"
+    )
+    rows = spark.table(name).collect()
+    assert rows, "expected windowed counts"
+    total = sum(r["n_finished"] for r in rows)
+    # every MAP/REDUCE (+SETUP/CLEANUP) attempt with a finish time lands in
+    # exactly one window; compare against the batch attempt count
+    batch = load_history(spark, log_dir).attempts
+    want = batch.filter(F.col("finish_time").isNotNull()).count()
+    assert total == want
+    for r in rows:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 300
