@@ -1,0 +1,163 @@
+"""Output sinks: delimited text (S6), pretty-print (S8), PNG chart (S7).
+
+Spark-first shapes of the reference's three output paths
+(SURVEY.md §2.1):
+
+* S6 delimited rows (``bin/job_history:172-175,428-434`` — configurable
+  ``-d`` delimiter, default ", "): ``concat_ws`` projection + distributed
+  ``text`` write — the delimiter may be multi-char (CSV writers can't),
+  and formatting happens executor-side, so a 10^9-row report never funnels
+  through the driver.
+* S8 ``printNice`` (``bin/job_history:354-378``): recursive indented
+  key=value dump including expanded counters — a driver-side formatter over
+  collected rows, with the reference's counter-flatten bug fixed
+  (SURVEY.md §2.9: inner regex ran over the whole COUNTERS value).
+* S7 stacked-bar timeline PNG (``job_history.cgi:344-390``, JFreeChart
+  1200x800, Map=blue Shuffle=green Sort=red Reduce=yellow Waste=black):
+  a dependency-free rasterizer (stdlib zlib) over the *bucketed* timeline —
+  the collect is O(duration/bucket), never O(rows).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_DELIMITER = ", "  # reference default (bin/job_history:172-175)
+
+
+def delimited_lines(df: DataFrame, delimiter: str = DEFAULT_DELIMITER) -> DataFrame:
+    """Format every row as one delimited string column (executor-side)."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    return df.select(F.concat_ws(delimiter, *cols).alias("value"))
+
+
+def write_delimited(
+    df: DataFrame, path: str, delimiter: str = DEFAULT_DELIMITER, header: bool = False
+) -> None:
+    """Distributed delimited-text write (multi-char delimiters allowed)."""
+    lines = delimited_lines(df, delimiter)
+    if header:
+        head = df.sparkSession.createDataFrame(
+            [(delimiter.join(df.columns),)], "value string"
+        )
+        lines = head.unionByName(lines)
+    lines.write.mode("overwrite").text(path)
+
+
+def format_nice(value: Any, indent: int = 0, key: str | None = None) -> str:
+    """Recursive indented key=value dump (the reference's ``printNice``),
+    expanding maps, struct Rows, and the parsed counters array."""
+    pad = "    " * indent
+    label = f"{key} = " if key is not None else ""
+    # pyspark Row -> dict
+    if hasattr(value, "asDict"):
+        value = value.asDict(recursive=False)
+    if isinstance(value, Mapping):
+        lines = [f"{pad}{label}{{"]
+        for k, v in value.items():
+            lines.append(format_nice(v, indent + 1, str(k)))
+        lines.append(f"{pad}}}")
+        return "\n".join(lines)
+    if isinstance(value, (list, tuple)):
+        lines = [f"{pad}{label}["]
+        for v in value:
+            lines.append(format_nice(v, indent + 1))
+        lines.append(f"{pad}]")
+        return "\n".join(lines)
+    return f"{pad}{label}{value}"
+
+
+def print_nice(row: Any) -> None:
+    print(format_nice(row))
+
+
+# --- S7: stacked-bar timeline PNG -------------------------------------------
+
+# The reference's fixed legend colors (job_history.cgi:358-380).
+TIMELINE_COLORS: dict[str, tuple[int, int, int]] = {
+    "maps": (0, 0, 255),
+    "shuffle": (0, 160, 0),
+    "merge": (220, 0, 0),
+    "reduce": (230, 200, 0),
+    "waste": (0, 0, 0),
+}
+_BG = (255, 255, 255)
+
+
+def _png_bytes(width: int, height: int, rows: list[bytes]) -> bytes:
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + r for r in rows)  # filter 0 per scanline
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def render_timeline_png(
+    timeline_df: DataFrame,
+    out_path: str,
+    width: int = 1200,
+    height: int = 800,
+    series: tuple[str, ...] = ("maps", "shuffle", "merge", "reduce", "waste"),
+) -> str:
+    """Rasterize a (t, maps, shuffle, merge, reduce, waste) timeline as a
+    stacked-bar PNG — the webapp's chart (job_history.cgi:344-390) without
+    the JFreeChart dependency.
+
+    Collects the *bucketed* timeline (O(duration/bucket) rows by
+    construction — the timeline operator guards spine size), averages
+    buckets into pixel columns, and stacks the series bottom-up in the
+    reference's colors.
+    """
+    rows = (
+        timeline_df.select("t", *series).orderBy("t").collect()
+    )
+    if not rows:
+        data = [bytes(_BG) * width for _ in range(height)]
+        png = _png_bytes(width, height, data)
+        with open(out_path, "wb") as f:
+            f.write(png)
+        return out_path
+
+    n = len(rows)
+    # average the series over the buckets that map to each pixel column
+    cols: list[list[float]] = []
+    for x in range(width):
+        lo = x * n // width
+        hi = max(lo + 1, (x + 1) * n // width)
+        bucket = rows[lo:hi]
+        cols.append(
+            [sum(r[s] or 0 for r in bucket) / len(bucket) for s in series]
+        )
+    peak = max((sum(c) for c in cols), default=1.0) or 1.0
+
+    # paint column-major into row-major scanlines, bottom-up stacking
+    pixels = [[_BG] * width for _ in range(height)]
+    palette = [TIMELINE_COLORS.get(s, (128, 128, 128)) for s in series]
+    for x, col in enumerate(cols):
+        y = height  # bottom
+        for val, color in zip(col, palette):
+            h = round(val / peak * height)
+            for yy in range(max(0, y - h), y):
+                pixels[yy][x] = color
+            y -= h
+    scanlines = [b"".join(bytes(p) for p in line) for line in pixels]
+    png = _png_bytes(width, height, scanlines)
+    with open(out_path, "wb") as f:
+        f.write(png)
+    return out_path

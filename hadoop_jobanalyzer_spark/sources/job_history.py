@@ -52,6 +52,30 @@ def read_raw_records(spark: SparkSession, path: str) -> DataFrame:
     return _split_records(raw.select(F.input_file_name().alias("source_file"), "value"))
 
 
+def stage_url(url: str, staging_dir: str | None = None) -> str:
+    """HTTP(S) source (reference ``-i http...`` / CGI ``url=`` param,
+    bin/job_history:181-183, job_history.cgi:96-97): download the log to a
+    local staging file and return its path for ``load_history``.
+
+    The fetch is a driver-side boundary exactly as in the reference (the
+    only network hop in the system); the parallel read happens on the staged
+    copy. ``file://`` URLs work too (used by tests — no network here).
+    """
+    import tempfile
+    import urllib.request
+
+    fd, path = tempfile.mkstemp(
+        suffix=".txt", prefix="job_history_", dir=staging_dir
+    )
+    with urllib.request.urlopen(url) as resp, open(fd, "wb") as out:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    return path
+
+
 def records_from_string(spark: SparkSession, log_text: str, name: str = "<inline>") -> DataFrame:
     """Inline-body source: a whole log passed as a string (reference CGI
     ``log=`` POST param, job_history.cgi:98-99)."""

@@ -1,0 +1,82 @@
+"""Sinks (delimited / pretty-print / PNG chart) and the URL source."""
+
+import glob
+import struct
+import zlib
+
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.operators import map_table, timeline
+from hadoop_jobanalyzer_spark.sinks import (
+    TIMELINE_COLORS,
+    delimited_lines,
+    format_nice,
+    render_timeline_png,
+    write_delimited,
+)
+from hadoop_jobanalyzer_spark.sources import load_history
+from hadoop_jobanalyzer_spark.sources.job_history import stage_url
+
+
+def test_delimited_lines_multichar_delimiter(spark, fixture_log1):
+    v = load_history(spark, fixture_log1)
+    mt = map_table(v).select("taskid", "start_time", "end_time", "elapsed", "num_attempts")
+    lines = delimited_lines(mt, ", ").collect()
+    assert len(lines) == 512
+    first = sorted(r["value"] for r in lines)[0]
+    # golden row from vis/grap/map.d (space-delimited there; same fields)
+    assert first.startswith("task_201010291643_0125_m_000000, 1289542284, 1289551128, 8843, 1")
+
+
+def test_write_delimited_roundtrip(spark, fixture_log1, tmp_path):
+    v = load_history(spark, fixture_log1)
+    mt = map_table(v).select("taskid", "elapsed")
+    out = str(tmp_path / "out")
+    write_delimited(mt, out, delimiter="|", header=True)
+    back = spark.read.text(out).collect()
+    values = {r["value"] for r in back}
+    assert "taskid|elapsed" in values
+    assert len(values) == 513  # 512 rows + header
+
+
+def test_format_nice_nested():
+    s = format_nice({"JOBID": "job_1", "COUNTERS": {"FileSystemCounters": {"HDFS_BYTES_WRITTEN": 5}}})
+    assert "JOBID = job_1" in s
+    assert "HDFS_BYTES_WRITTEN = 5" in s
+    # nested counters must be indented deeper than the top-level key
+    top = next(line for line in s.splitlines() if "JOBID" in line)
+    deep = next(line for line in s.splitlines() if "HDFS_BYTES_WRITTEN" in line)
+    assert len(deep) - len(deep.lstrip()) > len(top) - len(top.lstrip())
+
+
+def _png_dims(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h, data
+
+
+def test_render_timeline_png(spark, fixture_log1, tmp_path):
+    v = load_history(spark, fixture_log1)
+    tl = timeline(v).filter(F.col("jobid") == "job_201010291643_0125")
+    out = str(tmp_path / "timeline.png")
+    render_timeline_png(tl, out, width=300, height=200)
+    w, h, data = _png_dims(out)
+    assert (w, h) == (300, 200)
+    # decode and check the bottom-left region is the maps color (blue) —
+    # maps dominate the start of the job
+    raw = zlib.decompress(data[data.index(b"IDAT") + 4 : data.rindex(b"IEND") - 4])
+    stride = 1 + 3 * w
+    bottom = raw[(h - 1) * stride + 1 : (h - 1) * stride + 1 + 30]
+    px = (bottom[0], bottom[1], bottom[2])
+    assert px == TIMELINE_COLORS["maps"], px
+
+
+def test_stage_url_file_scheme(spark, fixture_log1):
+    from pathlib import Path
+
+    staged = stage_url(Path(fixture_log1).as_uri())
+    v = load_history(spark, staged)
+    assert v.jobs.count() == 1
+    assert glob.glob(staged)
