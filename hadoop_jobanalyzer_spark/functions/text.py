@@ -97,6 +97,62 @@ def shingles(words: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingles_seq(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles in positional order (NOT deduped — winnowing
+    needs the positional hash sequence)."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + k) for k in range(n)]
+    )
+    return F.when(F.size(words) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, ngram: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme over word shingles):
+    hash every positional shingle, slide a ``window`` over the hash
+    sequence, keep the distinct per-window minima. Guarantees any shared
+    run of ``window + ngram - 1`` words produces a shared fingerprint —
+    the rolling-hash fingerprint family for plagiarism/near-dup detection.
+
+    Plan shape: posexplode the positional shingles (ONE md5 per shingle,
+    codegen), then a sliding ``min(...) rowsBetween(0, window-1)`` window
+    partitioned by doc — never an in-row slice-per-window expression, which
+    Catalyst would inline into O(windows) recomputations of the whole hash
+    array. Short docs (fewer than ``window`` shingles but at least one)
+    contribute their single minimum; docs without shingles contribute
+    nothing. Output: one distinct row per (id, fp).
+    """
+    from pyspark.sql.window import Window
+
+    from hadoop_jobanalyzer_spark.util import spread
+
+    hashed = spread(df).select(
+        F.col(id_col),
+        F.posexplode(shingles_seq(tokens(text_col), ngram)).alias("_pos", "_sh"),
+    ).select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.conv(F.substring(F.md5("_sh"), 1, 8), 16, 10).cast("long").alias("_h"),
+    )
+    slide = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
+    whole = Window.partitionBy(id_col)
+    return (
+        hashed.select(
+            F.col(id_col),
+            F.col("_pos"),
+            F.min("_h").over(slide).alias("fp"),
+            F.count("*").over(whole).alias("_n"),
+        )
+        # valid window starts: 1..n-window+1 (0-based: 0..n-window); a doc
+        # shorter than the window keeps only pos 0 = min of everything
+        .filter(F.col("_pos") <= F.greatest(F.col("_n") - window, F.lit(0)))
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+
+
 def token_hashes(words: Column) -> Column:
     """32-bit integer hash per token (md5-prefix — identical in any engine
     with md5, unlike engine-native hash functions)."""

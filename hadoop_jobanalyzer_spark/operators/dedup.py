@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.functions.text import shingles, tokens
+from hadoop_jobanalyzer_spark.util import pair_structs as _pair_structs
 from hadoop_jobanalyzer_spark.util import spread
 
 # Universal-hash family over md5-derived 32-bit shingle hashes:
@@ -46,21 +47,6 @@ def _md5_hash32(col: Column) -> Column:
     """First 8 md5 hex digits as a 64-bit-safe integer (engine-portable —
     never Spark-native hash functions, which DuckDB cannot reproduce)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-
-
-def _pair_structs(ids: Column) -> Column:
-    """All (id_a < id_b) pairs from a sorted id array — in-bucket candidate
-    generation. O(|bucket|^2) by LSH design; ``max_bucket`` guards the
-    degenerate giant-bucket case at scale."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str, key: Column | None = None) -> DataFrame:

@@ -91,6 +91,67 @@ def knn_lsh(
     return knn_brute_force(candidates, id_col, vec_col, query_id, k, round_to)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    cell_col: str | None = None,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    round_to: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, candidate-bounded.
+
+    Bucket the corpus (by ``cell_col`` — an IVF-style coarse assignment —
+    or by hyperplane LSH when no cell column exists), generate candidate
+    pairs *within* buckets (never corpus x corpus), then verify with exact
+    cosine >= ``threshold``. Per-vector squared norms are computed once in
+    the projection, so each candidate pair costs a single dot-product fold.
+    ``max_bucket`` bounds the O(|bucket|^2) degenerate case.
+    Output: id_a < id_b, cos_sim (rounded).
+    """
+    from hadoop_jobanalyzer_spark.functions.vectors import _fold_sum
+    from hadoop_jobanalyzer_spark.util import pair_structs, spread
+
+    df = spread(df)
+    if cell_col is not None:
+        keyed = df.select(F.col(id_col), F.col(cell_col).alias("bucket"))
+    else:
+        keyed = lsh_buckets(df, id_col, vec_col, n_planes, dim, seed)
+    buckets = (
+        keyed.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    pairs = buckets.select(F.explode(pair_structs(F.col("_ids"))).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    )
+    v = to_double(F.col(vec_col))
+    sides = df.select(
+        F.col(id_col).alias("_id"), v.alias("_v"), _fold_sum(F.transform(v, lambda x: x * x)).alias("_n2")
+    )
+    va = sides.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n2").alias("_na"))
+    vb = sides.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n2").alias("_nb"))
+    # same float ops as cosine(): dot / sqrt(na * nb) — norms precomputed
+    cos = F.round(
+        _fold_sum(F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y))
+        / F.sqrt(F.col("_na") * F.col("_nb")),
+        round_to,
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def knn_ivf_cell(
     df: DataFrame,
     id_col: str,

@@ -26,6 +26,7 @@ from hadoop_jobanalyzer_spark.functions.text import (
     stopword_ratio,
     token_count,
     tokens,
+    winnow_fingerprints,
 )
 from hadoop_jobanalyzer_spark.operators.dedup import (
     exact_duplicates,
@@ -34,6 +35,7 @@ from hadoop_jobanalyzer_spark.operators.dedup import (
 )
 from hadoop_jobanalyzer_spark.operators.multimodal import attach_payload, payload_meta
 from hadoop_jobanalyzer_spark.operators.similarity import (
+    embedding_near_dup_pairs,
     knn_brute_force,
     knn_ivf_cell,
     lsh_buckets,
@@ -303,6 +305,95 @@ LIMIT 5
 """
 
 
+# --- document fingerprinting (winnowing / rolling-hash family) --------------
+
+
+def q31_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return winnow_fingerprints(t["documents"], "doc_id", "text", ngram=3, window=4).orderBy(
+        "doc_id", "fp"
+    )
+
+
+_WINNOW_W = 4
+
+Q31_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hashes AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w) - 2),
+                        i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT) AS h
+  FROM words WHERE len(w) >= 3
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {_WINNOW_W}
+              THEN list_distinct(list_transform(generate_series(1, len(h) - {_WINNOW_W} + 1),
+                                                i -> list_min(list_slice(h, i, i + {_WINNOW_W} - 1))))
+              ELSE [list_min(h)] END AS fp
+  FROM hashes WHERE len(h) > 0
+)
+SELECT doc_id, UNNEST(fp) AS fp FROM fps ORDER BY doc_id, fp
+"""
+
+
+# --- embedding-cosine near-dup (IVF-cell bounded) ----------------------------
+
+
+def q32_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return embedding_near_dup_pairs(
+        t["embeddings"], "vec_id", "embedding", threshold=0.4, cell_col="label"
+    )
+
+
+Q32_SQL = """
+WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         ROUND(list_sum(list_transform(list_zip(a.v, c.v), x -> x[1] * x[2]))
+               / sqrt(list_sum(list_transform(a.v, x -> x * x))
+                      * list_sum(list_transform(c.v, x -> x * x))), 4) AS cos_sim
+  FROM b a JOIN b c ON a.label = c.label AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
+"""
+
+
+# --- BPE-ish regex token counting -------------------------------------------
+
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q33_regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer-style counting: alpha runs, digit runs, and single
+    non-alphanumeric marks — the BPE-ish regex segmentation of the task
+    brief, counted per doc entirely JVM-side."""
+    t = load_tables(spark, sf_dir)
+    all_tokens = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    alpha = F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0)
+    digit = F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
+    return (
+        spread(t["documents"])
+        .select(
+            "doc_id",
+            F.size(all_tokens).alias("n_bpe_tokens"),
+            F.size(alpha).alias("n_alpha_runs"),
+            F.size(digit).alias("n_digit_runs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q33_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_runs,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- multimodal --------------------------------------------------------------
 
 
@@ -335,4 +426,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q28_lsh_bucket_histogram": (q28_lsh_bucket_histogram, _q28_sql()),
     "q29_knn_ivf_cell": (q29_knn_ivf_cell, Q29_SQL),
     "q30_payload_meta": (q30_payload_meta, Q30_SQL),
+    "q31_winnow_fingerprints": (q31_winnow_fingerprints, Q31_SQL),
+    "q32_embedding_near_dups": (q32_embedding_near_dups, Q32_SQL),
+    "q33_regex_token_counts": (q33_regex_token_counts, Q33_SQL),
 }

@@ -2,7 +2,23 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_structs(ids: Column) -> Column:
+    """All (id_a < id_b) pairs from a sorted id array — in-bucket candidate
+    generation for LSH/inverted-index dedup. O(|bucket|^2) by design; callers
+    bound bucket size for the degenerate giant-bucket case at scale."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

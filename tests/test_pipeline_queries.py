@@ -71,3 +71,40 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_winnow_shared_run_produces_shared_fingerprint(spark):
+    """Winnowing guarantee: a shared run of window+ngram-1 words yields at
+    least one shared fingerprint between the two docs."""
+    from hadoop_jobanalyzer_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words >= 4+3-1=6
+    df = spark.createDataFrame(
+        [(1, f"one two {shared} x y z"), (2, f"{shared} p q r s t")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text").collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert a & b
+
+
+def test_winnow_short_doc_single_min(spark):
+    from hadoop_jobanalyzer_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "just three words"), (2, "ab")], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, "doc_id", "text").collect()
+    assert [r["doc_id"] for r in rows] == [1]  # doc 2 has no shingles
+
+
+def test_embedding_near_dup_symmetric_bound(spark, sf_dir):
+    from hadoop_jobanalyzer_spark.operators.similarity import embedding_near_dup_pairs
+    t = load_tables(spark, sf_dir)
+    rows = embedding_near_dup_pairs(
+        t["embeddings"], "vec_id", "embedding", threshold=0.4, cell_col="label"
+    ).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.4 <= r["cos_sim"] <= 1.0
