@@ -399,11 +399,14 @@ FROM documents ORDER BY doc_id
 
 def q30_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload metadata via the Arrow/mapInPandas plumbing (the
-    corpus is ASCII, so the byte-level oracle can restate it in SQL)."""
+    corpus is ASCII, so the byte-level oracle can restate it in SQL).
+
+    The sort runs *before* the pandas stage: range-partitioning samples its
+    child, so sorting after mapInPandas would execute the Python stage
+    twice; mapInPandas preserves per-partition row order, so the output
+    stays globally ordered."""
     t = load_tables(spark, sf_dir)
-    return payload_meta(attach_payload(t["documents"], "doc_id", "text")).orderBy(
-        "doc_id"
-    )
+    return payload_meta(attach_payload(t["documents"].orderBy("doc_id"), "doc_id", "text"))
 
 
 Q30_SQL = """
