@@ -1,0 +1,121 @@
+"""CLI with the reference's ``bin/job_history`` interface.
+
+``python -m hadoop_jobanalyzer_spark [-s | -m | -r | --reduce-bytes | -t]
+[-d DELIM] [-i INPUT] [--scale N]``
+
+Flag semantics follow ``/root/reference/bin/job_history:78-191``:
+
+* ``-s`` job summary, ``-m`` map table, ``-r`` reduce table, timeline when
+  no mode flag is given (``-t`` makes it explicit — the reference parsed
+  ``-t`` but never checked it, SURVEY.md §2.9);
+* ``--reduce-bytes`` adds the Python frontend's reduce-bytes report
+  (``bin/job_history.py:106-113`` — state the Groovy CLI collected but
+  never printed);
+* ``-d`` output delimiter (default ", ", multi-char allowed);
+* ``-i`` a path, glob, directory, ``http(s)://`` / ``file://`` URL, or
+  ``-`` for stdin (staged to a temp file — Spark reads files, not pipes);
+* ``--scale`` one timestamp divisor (default 1000 = seconds, where the
+  reference hard-coded 1e6 CLI / 1e3 py / 1e2 CGI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from hadoop_jobanalyzer_spark.operators import (
+    job_summary,
+    map_table,
+    reduce_bytes_table,
+    reduce_table,
+    timeline,
+)
+from hadoop_jobanalyzer_spark.session import get_spark
+from hadoop_jobanalyzer_spark.sinks import delimited_lines
+from hadoop_jobanalyzer_spark.sources import load_history
+from hadoop_jobanalyzer_spark.sources.job_history import stage_url
+
+SUMMARY_COLS = [
+    "jobid",
+    "jobname",
+    "user",
+    "job_status",
+    "total_time",
+    "num_maps",
+    "avg_map_len",
+    "all_maps_complete",
+    "num_reduces",
+    "avg_shuffle_len",
+    "avg_reduce_len",
+]
+MAP_COLS = ["taskid", "start_time", "end_time", "elapsed", "num_attempts"]
+REDUCE_COLS = [
+    "taskid",
+    "start_time",
+    "maps_complete",
+    "shuffle_finish",
+    "end_time",
+    "elapsed",
+    "num_attempts",
+]
+RBYTES_COLS = ["taskid", "reduce_output_bytes", "shuffle_finish_rel", "reduce_finish_rel"]
+TIMELINE_COLS = ["t", "maps", "shuffle", "merge", "reduce", "waste"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hadoop_jobanalyzer_spark",
+        description="Hadoop job-history analyzer (PySpark engine)",
+    )
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument("-s", action="store_true", help="job summary")
+    mode.add_argument("-m", action="store_true", help="per-map-task table")
+    mode.add_argument("-r", action="store_true", help="per-reduce-task table")
+    mode.add_argument("--reduce-bytes", action="store_true", help="reduce output-bytes table")
+    mode.add_argument("-t", action="store_true", help="concurrency timeline (default)")
+    p.add_argument("-d", default=", ", metavar="DELIM", help="output delimiter (default ', ')")
+    p.add_argument("-i", default="-", metavar="INPUT", help="path/glob/URL or - for stdin")
+    p.add_argument("--scale", type=int, default=1000, help="timestamp divisor (default 1000)")
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    return p
+
+
+def resolve_input(inp: str) -> str:
+    if inp == "-":
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".txt", prefix="job_history_stdin_", delete=False
+        ) as f:
+            f.write(sys.stdin.read())
+            return f.name
+    if inp.startswith(("http://", "https://", "file://")):
+        return stage_url(inp)
+    return inp
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name="job_history", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    views = load_history(spark, resolve_input(args.i))
+
+    if args.s:
+        df, cols = job_summary(views, scale=args.scale), SUMMARY_COLS
+    elif args.m:
+        df, cols = map_table(views, scale=args.scale), MAP_COLS
+    elif args.r:
+        df, cols = reduce_table(views, scale=args.scale), REDUCE_COLS
+    elif args.reduce_bytes:
+        df, cols = reduce_bytes_table(views, scale=args.scale), RBYTES_COLS
+    else:
+        df, cols = timeline(views, scale=args.scale), TIMELINE_COLS
+
+    # toLocalIterator streams partition-by-partition — the driver never
+    # holds the whole report (reports can be huge for directory inputs)
+    for row in delimited_lines(df.select(*cols), args.d).toLocalIterator():
+        print(row["value"])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
