@@ -56,6 +56,12 @@ def main() -> None:
     # the plan, not session cold-start.
     next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Warm the Python worker pool (reused across queries) so the one pandas
+    # query doesn't absorb 32 worker cold-starts into its timing.
+    spark.range(int(CPUS) * 4).repartition(int(CPUS)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()

@@ -132,6 +132,62 @@ def lsh_candidate_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The production dedup pipeline: MinHash-LSH candidate generation,
+    then exact n-gram Jaccard verification on candidates only.
+
+    This is the composition that scales: LSH bounds the candidate set to
+    band collisions (O(near-dups), not O(pairs-sharing-any-shingle)), and
+    the exact verification joins shingles against *candidate pairs* — at
+    corpus scale the verify stage touches a vanishing fraction of the
+    inverted index that :func:`ngram_jaccard_pairs` (the ground-truth
+    all-pairs form) must expand.
+    Output: id_a < id_b, n_shared_bands, n_common, n_a, n_b, jaccard.
+    """
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, n_hashes, bands, ngram, max_bucket
+    )
+    df = spread(df)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col), ngram)).alias("sh")
+    )
+    sizes = df.select(
+        F.col(id_col), F.size(shingles(tokens(text_col), ngram)).alias("n_sh")
+    )
+    # shingles() is distinct per doc, so the inner join counts the exact
+    # intersection size per candidate pair
+    common = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "n_shared_bands")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sizes_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sizes_a, "id_a")
+        .join(sizes_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 3
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared_bands", "n_common", "n_a", "n_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

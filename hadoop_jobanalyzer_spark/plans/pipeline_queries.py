@@ -31,6 +31,7 @@ from hadoop_jobanalyzer_spark.functions.text import (
 from hadoop_jobanalyzer_spark.operators.dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
+    near_dup_pairs,
     ngram_jaccard_pairs,
 )
 from hadoop_jobanalyzer_spark.operators.multimodal import attach_payload, payload_meta
@@ -142,6 +143,58 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
+def q34_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale dedup composition: LSH candidates -> exact
+    Jaccard verify (only candidate pairs ever expand shingles)."""
+    t = load_tables(spark, sf_dir)
+    return near_dup_pairs(
+        t["documents"], "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2
+    )
+
+
+def _q34_sql() -> str:
+    from hadoop_jobanalyzer_spark.operators.dedup import MINHASH_P, _minhash_params
+
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_minhash_params(_N_HASHES))
+    )
+    rows = _N_HASHES // _BANDS
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {concat} AS bh FROM m".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P} AS h FROM sh),
+m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS ({bands}),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, c.n_shared_bands, COUNT(*) AS n_common
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, n_shared_bands, n_common, sa.n AS n_a, sb.n AS n_b,
+       ROUND(n_common / (sa.n + sb.n - n_common), 3) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ROUND(n_common / (sa.n + sb.n - n_common), 3) >= 0.2
 ORDER BY id_a, id_b
 """
 
@@ -432,4 +485,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q31_winnow_fingerprints": (q31_winnow_fingerprints, Q31_SQL),
     "q32_embedding_near_dups": (q32_embedding_near_dups, Q32_SQL),
     "q33_regex_token_counts": (q33_regex_token_counts, Q33_SQL),
+    "q34_dedup_pipeline": (q34_dedup_pipeline, _q34_sql()),
 }

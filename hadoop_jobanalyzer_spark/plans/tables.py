@@ -25,12 +25,26 @@ TABLES = [
 ]
 
 
+_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every table and register it as a temp view.
 
     Parquet scans keep predicate pushdown / column pruning available to every
     query built on top (verified via .explain PushedFilters/ReadSchema).
+    DataFrames are immutable plans, so the dict is cached per
+    (session, dir) — schema reads and view registration happen once, not
+    once per query.
     """
+    key = (id(spark), sf_dir)
+    if key in _CACHE:
+        # plans are reusable as-is, but temp views must repoint in case a
+        # different sf_dir registered them since (driver runs two SFs in
+        # one session)
+        for name, df in _CACHE[key].items():
+            df.createOrReplaceTempView(name)
+        return _CACHE[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -40,4 +54,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
         df.createOrReplaceTempView(name)
         out[name] = df
+    _CACHE[key] = out
     return out
