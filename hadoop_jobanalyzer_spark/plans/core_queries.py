@@ -542,6 +542,81 @@ FROM events GROUP BY 1 ORDER BY hour
 """
 
 
+# --- as-of join (operator Spark lacks — operators/joins.py) ------------------
+
+
+def q19_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the same user's most recent view at or
+    before it — the as-of join, oracled by DuckDB's native ASOF JOIN."""
+    from hadoop_jobanalyzer_spark.operators.joins import asof_join
+
+    t = load_tables(spark, sf_dir)
+    views = t["events"].filter(F.col("event_type") == "view")
+    # unique per (user, ts): keep the max event_id on timestamp ties
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        views.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id")
+    )
+    purchases = t["events"].filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("event_id_asof").alias("view_event_id"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+    ).orderBy("event_id")
+
+
+Q19_SQL = """
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       v.event_id AS view_event_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+# --- exact percentiles (interpolated — identical definition both engines) ----
+
+
+def q35_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q35_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_shipping_priority": (q02_shipping_priority, Q02_SQL),
@@ -561,4 +636,6 @@ CORE_QUERIES: dict[str, tuple] = {
     "q16_view_days_without_purchase": (q16_view_days_without_purchase, Q16_SQL),
     "q17_props_stats": (q17_props_stats, Q17_SQL),
     "q18_hourly_value_stats": (q18_hourly_value_stats, Q18_SQL),
+    "q19_last_view_before_purchase": (q19_last_view_before_purchase, Q19_SQL),
+    "q35_value_percentiles": (q35_value_percentiles, Q35_SQL),
 }
