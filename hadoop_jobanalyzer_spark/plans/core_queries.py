@@ -617,6 +617,55 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- sessionization (session_window — gap-based grouping) --------------------
+
+
+def q36_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: number of activity sessions under a 1-hour inactivity gap
+    and total events — Spark's session_window (the batch form of the
+    streaming session-window operator)."""
+    t = load_tables(spark, sf_dir)
+    sessions = (
+        t["events"]
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q36_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 1 HOUR
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       MAX(n_events) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_shipping_priority": (q02_shipping_priority, Q02_SQL),
@@ -638,4 +687,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "q18_hourly_value_stats": (q18_hourly_value_stats, Q18_SQL),
     "q19_last_view_before_purchase": (q19_last_view_before_purchase, Q19_SQL),
     "q35_value_percentiles": (q35_value_percentiles, Q35_SQL),
+    "q36_user_sessions": (q36_user_sessions, Q36_SQL),
 }
