@@ -139,11 +139,14 @@ def _merged_attrs(
     parsed: DataFrame,
     group_cols: list[str],
     fields: list[tuple[str, str, str | None]],
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Group records and merge each listed attribute last-non-null-wins.
 
     ``fields``: (ATTR_KEY, out_name, cast_type|None). Special cast types:
     'counters' -> parsed counters struct array, 'splits' -> array<string>.
+    ``extra_aggs`` join the same single aggregation — one shuffle for
+    everything a view needs (no second groupBy + join).
     """
     aggs = []
     for key, name, typ in fields:
@@ -157,6 +160,7 @@ def _merged_attrs(
         aggs.append(col.alias(name))
     aggs.append(F.min("seq").alias("first_seq"))
     aggs.append(F.max("seq").alias("last_seq"))
+    aggs.extend(extra_aggs or [])
     return parsed.groupBy(*group_cols).agg(*aggs)
 
 
@@ -238,20 +242,21 @@ def attempts_view(parsed: DataFrame) -> DataFrame:
     att = parsed.filter(F.col("event").isin("MapAttempt", "ReduceAttempt")).withColumn(
         "attempt_id", F.col(_A)["TASK_ATTEMPT_ID"]
     )
-    merged = _merged_attrs(att, ["source_file", "attempt_id"], ATTEMPT_FIELDS)
-    # kind and finish_seq need per-record (not last-non-null) semantics.
-    extra = (
-        att.groupBy("source_file", "attempt_id")
-        .agg(
+    # kind and finish_seq need per-record (not last-non-null) semantics but
+    # ride the same single aggregation — one shuffle, no join-back.
+    merged = _merged_attrs(
+        att,
+        ["source_file", "attempt_id"],
+        ATTEMPT_FIELDS,
+        extra_aggs=[
             F.max_by("event", "seq").alias("kind"),
             F.max(
                 F.when(F.col(_A)["FINISH_TIME"].isNotNull(), F.col("seq"))
             ).alias("finish_seq"),
-        )
+        ],
     )
     out = (
-        merged.join(extra, ["source_file", "attempt_id"])
-        .withColumn("jobid", _jobid_of_taskid(F.col("taskid")))
+        merged.withColumn("jobid", _jobid_of_taskid(F.col("taskid")))
         .withColumn(
             "start_time",
             F.when(F.col("start_time") == 0, F.lit(None).cast("long")).otherwise(
