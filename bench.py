@@ -22,6 +22,8 @@ from hadoop_jobanalyzer_spark.plans import registry
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# min-of-N per query: JVM JIT + GC make single runs noisy by ~30%
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
 def sf_from_dir(path: str) -> float:
@@ -64,13 +66,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # a failing query must not sink the bench
-            timings[name] = -1.0
-            print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
+        best = None
+        for _ in range(max(RUNS, 1)):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # a failing query must not sink the bench
+                best = -1.0
+                print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
