@@ -666,6 +666,79 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- multi-resolution time rollup (hypertable continuous-aggregate shape) ----
+
+
+def q37_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute/hour/day rollups of the event stream from ONE raw scan: the
+    minute aggregate is computed once, each minute row fans out to its
+    three (resolution, coarser bucket) assignments, and one small
+    re-aggregation produces every resolution. A naive union of three
+    groupBys would scan the raw events three times (Spark does not
+    auto-materialize shared subplans); this shape scans once and the
+    re-rollup touches O(minutes) rows — the continuous-aggregate pattern.
+    """
+    t = load_tables(spark, sf_dir)
+    minute = (
+        t["events"]
+        .groupBy(F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            _dbl(F.round(F.sum(_dec("value", 2)), 2)).alias("sum_value"),
+        )
+    )
+    fanout = minute.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("minute").alias("resolution"), F.col("bucket").alias("bucket")),
+                F.struct(F.lit("hour").alias("resolution"), F.date_trunc("hour", "bucket").alias("bucket")),
+                F.struct(F.lit("day").alias("resolution"), F.date_trunc("day", "bucket").alias("bucket")),
+            )
+        ).alias("rb"),
+        "n",
+        "sum_value",
+    )
+    return (
+        fanout.groupBy(F.col("rb.resolution").alias("resolution"), F.col("rb.bucket").alias("bucket"))
+        .agg(
+            F.sum("n").alias("n"),
+            _dbl(F.round(F.sum(_dec("sum_value", 2)), 2)).alias("sum_value"),
+        )
+        .select(
+            "resolution",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("bucket"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("resolution", "bucket")
+    )
+
+
+Q37_SQL = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket, COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+),
+hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket, SUM(n) AS n,
+         CAST(ROUND(SUM(CAST(sum_value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+  FROM minute GROUP BY 1
+),
+day AS (
+  SELECT date_trunc('day', bucket) AS bucket, SUM(n) AS n,
+         CAST(ROUND(SUM(CAST(sum_value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+  FROM minute GROUP BY 1
+)
+SELECT 'minute' AS resolution, strftime(bucket, '%Y-%m-%d %H:%M') AS bucket, n, sum_value FROM minute
+UNION ALL
+SELECT 'hour', strftime(bucket, '%Y-%m-%d %H:%M'), n, sum_value FROM hour
+UNION ALL
+SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M'), n, sum_value FROM day
+ORDER BY resolution, bucket
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_shipping_priority": (q02_shipping_priority, Q02_SQL),
@@ -688,4 +761,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "q19_last_view_before_purchase": (q19_last_view_before_purchase, Q19_SQL),
     "q35_value_percentiles": (q35_value_percentiles, Q35_SQL),
     "q36_user_sessions": (q36_user_sessions, Q36_SQL),
+    "q37_multires_rollup": (q37_multires_rollup, Q37_SQL),
 }
