@@ -21,6 +21,45 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows to right intervals with ``lo <= value < hi``.
+
+    A naive non-equi join degenerates to a per-key cross product (Spark
+    plans it as BroadcastNestedLoopJoin — O(|left| x |right|) comparisons).
+    This is the bucketed form: every interval is expanded to the width
+    buckets it covers, the join is an equi-join on bucket id, and the exact
+    range predicate filters the candidates. ``bucket_width`` should be of
+    the order of the typical interval width (narrower -> more interval
+    duplication, wider -> more false candidates).
+    """
+    bucket = F.floor(F.col(value_col) / F.lit(bucket_width))
+    r_buckets = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)),
+                # hi is exclusive: the bucket containing hi still overlaps
+                # [lo, hi) unless hi is exactly on the boundary
+                F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    joined = left.withColumn("_bucket", bucket).join(
+        r_buckets, "_bucket", how
+    )
+    return joined.filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    ).drop("_bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -739,6 +739,54 @@ ORDER BY resolution, bucket
 """
 
 
+# --- range join (bucketed non-equi join) -------------------------------------
+
+_PRICE_BANDS = [
+    ("b0_100k", 0, 100_000),
+    ("b100_200k", 100_000, 200_000),
+    ("b200_300k", 200_000, 300_000),
+    ("b300_400k", 300_000, 400_000),
+    ("b400_500k", 400_000, 500_000),
+    ("b500k_up", 500_000, 10_000_000),
+]
+
+
+def q38_price_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders classified into price bands via the bucketed range join
+    (operators/joins.range_join) — never a nested-loop theta join."""
+    from hadoop_jobanalyzer_spark.operators.joins import range_join
+
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo long, hi long")
+    return (
+        range_join(
+            t["orders"].select("o_orderkey", "o_totalprice"),
+            bands,
+            value_col="o_totalprice",
+            lo_col="lo",
+            hi_col="hi",
+            bucket_width=100_000,
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dbl(F.round(F.sum(_dec("o_totalprice", 2)), 2)).alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+
+Q38_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+SELECT band, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_shipping_priority": (q02_shipping_priority, Q02_SQL),
@@ -762,4 +810,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "q35_value_percentiles": (q35_value_percentiles, Q35_SQL),
     "q36_user_sessions": (q36_user_sessions, Q36_SQL),
     "q37_multires_rollup": (q37_multires_rollup, Q37_SQL),
+    "q38_price_band_counts": (q38_price_band_counts, Q38_SQL),
 }
