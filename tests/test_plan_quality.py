@@ -1,0 +1,90 @@
+"""Plan-quality guards: physical plans must keep the shapes that survive
+100 TB — no accidental nested-loop/cartesian joins, filters pushed into the
+parquet scans — plus ingest robustness probes."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.operators import job_summary, map_table, timeline
+from hadoop_jobanalyzer_spark.plans.registry import QUERIES
+from hadoop_jobanalyzer_spark.sources.job_history import (
+    HistoryViews,
+    attempts_view,
+    jobs_view,
+    parse_records,
+    records_from_string,
+    tasks_view,
+)
+
+# Queries where an O(n) x 1-row broadcast nested loop is the *intended*
+# plan (single query-vector crossJoin — the broadcast side is one row).
+NESTED_LOOP_OK = {"q27_knn_brute_force", "q29_knn_ivf_cell"}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_cartesian(spark, sf_dir, name):
+    fn, _ = QUERIES[name]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join"
+        )
+
+
+def test_scan_pruning_core_join(spark, sf_dir):
+    """q02's lineitem scan must push its date filter and read only the
+    needed columns."""
+    fn, _ = QUERIES["q02_shipping_priority"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    # ReadSchema for lineitem should not include unused wide columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_orderkey" in line:
+            assert "l_comment" not in line and "l_shipmode" not in line
+
+
+def _views_from(spark, text):
+    parsed = parse_records(records_from_string(spark, text))
+    return HistoryViews(
+        records=parsed,
+        jobs=jobs_view(parsed),
+        tasks=tasks_view(parsed),
+        attempts=attempts_view(parsed),
+    )
+
+
+def test_empty_input_yields_empty_reports(spark):
+    v = _views_from(spark, "")
+    assert v.records.count() == 0
+    assert job_summary(v).count() == 0
+    assert map_table(v).count() == 0
+    assert timeline(v).count() == 0
+
+
+def test_garbage_input_no_exceptions(spark):
+    garbage = "not a record\nalso not one\n\x00\x01 binaryish\nEVENT missing terminator"
+    v = _views_from(spark, garbage)
+    assert v.records.count() == 0  # nothing " ."-terminated
+    assert job_summary(v).count() == 0
+
+
+def test_unterminated_trailing_record_dropped(spark):
+    text = (
+        'Job JOBID="job_1_0001" SUBMIT_TIME="1000" .\n'
+        'Job JOBID="job_1_0001" FINISH_TIME="2000"'  # no " ." terminator
+    )
+    v = _views_from(spark, text)
+    assert v.records.count() == 1  # reference remainder semantics: dropped
+    row = v.jobs.collect()[0]
+    assert row["submit_time"] == 1000 and row["finish_time"] is None
