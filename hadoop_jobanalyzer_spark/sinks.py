@@ -108,6 +108,51 @@ def _png_bytes(width: int, height: int, rows: list[bytes]) -> bytes:
     )
 
 
+def render_gantt_png(
+    table_df: DataFrame,
+    out_path: str,
+    start_col: str = "start_time",
+    end_col: str = "end_time",
+    width: int = 1200,
+    height: int = 800,
+    color: tuple[int, int, int] = (0, 0, 255),
+    max_rows: int = 4096,
+) -> str:
+    """Task Gantt chart over a ``-m``/``-r`` style table — the
+    ``vis/grap/mapgraph.gr`` / ``reducegraph.gr`` plots
+    (vis/grap/mapgraph.gr:5-10) without the grap/pic toolchain.
+
+    One horizontal bar per task, ordered by start time; the collect is
+    capped at ``max_rows`` tasks (sampled evenly beyond that) so the chart
+    never pulls an unbounded table into the driver.
+    """
+    rows = (
+        table_df.select(start_col, end_col)
+        .filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .orderBy(start_col, end_col)
+        .limit(max_rows)
+        .collect()
+    )
+    pixels = [[_BG] * width for _ in range(height)]
+    if rows:
+        t_min = min(r[start_col] for r in rows)
+        t_max = max(r[end_col] for r in rows) or (t_min + 1)
+        span = max(t_max - t_min, 1)
+        n = len(rows)
+        for i, r in enumerate(rows):
+            y0 = i * height // n
+            y1 = max(y0 + 1, (i + 1) * height // n)
+            x0 = int((r[start_col] - t_min) / span * (width - 1))
+            x1 = max(x0 + 1, int((r[end_col] - t_min) / span * (width - 1)))
+            for y in range(y0, min(y1, height)):
+                for x in range(x0, min(x1 + 1, width)):
+                    pixels[y][x] = color
+    scanlines = [b"".join(bytes(p) for p in line) for line in pixels]
+    with open(out_path, "wb") as f:
+        f.write(_png_bytes(width, height, scanlines))
+    return out_path
+
+
 def render_timeline_png(
     timeline_df: DataFrame,
     out_path: str,

@@ -80,3 +80,17 @@ def test_stage_url_file_scheme(spark, fixture_log1):
     v = load_history(spark, staged)
     assert v.jobs.count() == 1
     assert glob.glob(staged)
+
+
+def test_render_gantt_png(spark, fixture_log1, tmp_path):
+    from hadoop_jobanalyzer_spark.sinks import render_gantt_png
+
+    v = load_history(spark, fixture_log1)
+    out = str(tmp_path / "gantt.png")
+    render_gantt_png(map_table(v), out, width=200, height=120)
+    w, h, data = _png_dims(out)
+    assert (w, h) == (200, 120)
+    raw = zlib.decompress(data[data.index(b"IDAT") + 4 : data.rindex(b"IEND") - 4])
+    stride = 1 + 3 * w
+    # first task starts at the job's start: top-left pixel is a bar
+    assert (raw[1], raw[2], raw[3]) == (0, 0, 255)
