@@ -787,6 +787,27 @@ GROUP BY band ORDER BY band
 """
 
 
+# --- skew-safe exact distinct (salted two-phase) -----------------------------
+
+
+def q39_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via value-hash salting — the
+    skew-spread execution of q09's countDistinct (identical result, the
+    hot key's value set fans over 16 reducers instead of one)."""
+    from hadoop_jobanalyzer_spark.operators.skew import salted_distinct_count
+
+    t = load_tables(spark, sf_dir)
+    return salted_distinct_count(
+        t["events"], ["event_type"], "user_id", n_salts=16, out_name="n_users"
+    ).orderBy("event_type")
+
+
+Q39_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_shipping_priority": (q02_shipping_priority, Q02_SQL),
@@ -811,4 +832,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "q36_user_sessions": (q36_user_sessions, Q36_SQL),
     "q37_multires_rollup": (q37_multires_rollup, Q37_SQL),
     "q38_price_band_counts": (q38_price_band_counts, Q38_SQL),
+    "q39_salted_distinct_users": (q39_salted_distinct_users, Q39_SQL),
 }

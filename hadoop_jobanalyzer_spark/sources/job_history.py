@@ -291,9 +291,11 @@ def final_attempts(attempts: DataFrame) -> DataFrame:
 
 @dataclass
 class HistoryViews:
-    """The typed views one ingest produces (SURVEY.md §1.3)."""
+    """The typed views one ingest produces (SURVEY.md §1.3). ``records`` is
+    None when the views were reopened from a persisted lake (reports only
+    consume the typed views)."""
 
-    records: DataFrame
+    records: DataFrame | None
     jobs: DataFrame
     tasks: DataFrame
     attempts: DataFrame
@@ -303,7 +305,8 @@ class HistoryViews:
 
     def register(self, prefix: str = "jh_") -> None:
         """Expose every view to spark.sql as temp views."""
-        self.records.createOrReplaceTempView(f"{prefix}records")
+        if self.records is not None:
+            self.records.createOrReplaceTempView(f"{prefix}records")
         self.jobs.createOrReplaceTempView(f"{prefix}jobs")
         self.tasks.createOrReplaceTempView(f"{prefix}tasks")
         self.attempts.createOrReplaceTempView(f"{prefix}attempts")

@@ -2,6 +2,7 @@
 
 from hadoop_jobanalyzer_spark.streaming.history_stream import (
     attempt_finish_counts,
+    dedup_attempts_stream,
     job_status_stream,
     latest_success_attempts,
     read_history_stream,
@@ -9,6 +10,7 @@ from hadoop_jobanalyzer_spark.streaming.history_stream import (
 
 __all__ = [
     "attempt_finish_counts",
+    "dedup_attempts_stream",
     "job_status_stream",
     "latest_success_attempts",
     "read_history_stream",

@@ -227,6 +227,25 @@ def latest_success_attempts(parsed: DataFrame) -> DataFrame:
     )
 
 
+def dedup_attempts_stream(
+    parsed: DataFrame, watermark_delay: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup of attempt records: first record per
+    (attempt_id, record kind) wins, duplicates arriving within the
+    watermark are dropped and state is evicted past it —
+    ``dropDuplicatesWithinWatermark``, the streaming form of the batch
+    engine's dropDuplicates/countDistinct family (SURVEY.md O3).
+    """
+    events = (
+        _attempt_events(parsed)
+        .filter(F.col("finish_time").isNotNull())
+        .withColumn("finish_ts", F.timestamp_millis(F.col("finish_time")))
+    )
+    return events.withWatermark("finish_ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["attempt_id", "kind"]
+    )
+
+
 def _opt_long(v: Any) -> int | None:
     return None if pd.isna(v) else int(v)
 
@@ -234,6 +253,7 @@ def _opt_long(v: Any) -> int | None:
 __all__ = [
     "read_history_stream",
     "attempt_finish_counts",
+    "dedup_attempts_stream",
     "job_status_stream",
     "latest_success_attempts",
     "LATEST_ATTEMPT_OUTPUT_SCHEMA",

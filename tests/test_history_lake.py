@@ -1,0 +1,44 @@
+"""Partitioned parquet lake: write, reopen, partition pruning, report parity."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.operators import job_summary, map_table
+from hadoop_jobanalyzer_spark.sources import load_history
+from hadoop_jobanalyzer_spark.sources.history_lake import (
+    read_history_lake,
+    write_history_lake,
+)
+
+
+def test_lake_roundtrip_and_partition_pruning(spark, fixture_log1, fixture_log2, tmp_path):
+    views = load_history(spark, f"{fixture_log1.rsplit('/', 1)[0]}/*")
+    lake = str(tmp_path / "lake")
+    write_history_lake(views, lake)
+    reopened = read_history_lake(spark, lake)
+
+    # report parity: summary over the lake equals summary over raw logs
+    want = {
+        r["jobid"]: (r["avg_map_len"], r["num_maps"], r["num_reduces"])
+        for r in job_summary(views).collect()
+    }
+    got = {
+        r["jobid"]: (r["avg_map_len"], r["num_maps"], r["num_reduces"])
+        for r in job_summary(reopened).collect()
+    }
+    assert got == want and len(got) == 2
+
+    # per-job query prunes to one jobid partition
+    one_job = reopened.tasks.filter(F.col("jobid") == "job_201010291643_0125")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_job.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(jobid" in plan
+    assert map_table(reopened).count() == 512 + 1024
+
+    # append adds partitions without clobbering (same data twice -> 2x rows)
+    write_history_lake(views, lake, mode="append")
+    assert read_history_lake(spark, lake).jobs.count() == 4

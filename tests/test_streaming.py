@@ -95,3 +95,17 @@ def test_attempt_finish_counts_windows(spark, log_dir):
     assert total == want
     for r in rows:
         assert (r["window_end"] - r["window_start"]).total_seconds() == 300
+
+
+def test_dedup_attempts_stream(spark, log_dir):
+    from hadoop_jobanalyzer_spark.streaming import dedup_attempts_stream
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    parsed = read_history_stream(spark, log_dir)
+    _run_to_memory(dedup_attempts_stream(parsed), name, "append")
+    rows = spark.table(name).collect()
+    keys = [(r["attempt_id"], r["kind"]) for r in rows]
+    assert len(keys) == len(set(keys))  # exactly-once per (attempt, kind)
+    # matches batch distinct attempts with a finish record
+    batch = load_history(spark, log_dir).attempts
+    assert len(keys) == batch.filter(F.col("finish_time").isNotNull()).count()
