@@ -1,0 +1,304 @@
+"""Extended queries: dedup clustering, corpus statistics, deterministic
+sampling, pivots, moving windows, and deciles — each as a (DataFrame
+builder, DuckDB oracle) pair like the core and pipeline sets.
+
+These widen the engine surface past the reference's fixed reports
+(SURVEY.md §2.5 notes the free generalizations; the clustering/sampling
+entries belong to the training-data-pipeline layer). Determinism rules are
+the ones from core_queries: exact decimal money sums, integer-only ranking
+keys where possible, unique-key tiebreaks on every ordering, md5-based
+portable hashing (never engine-native hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_jobanalyzer_spark.functions.text import tokens
+from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
+from hadoop_jobanalyzer_spark.operators.graph import (
+    component_sizes,
+    connected_components,
+)
+from hadoop_jobanalyzer_spark.operators.sampling import train_val_test
+from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES, near_dup_ctes
+from hadoop_jobanalyzer_spark.plans.tables import load_tables
+from hadoop_jobanalyzer_spark.util import spread
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _dbl(col: F.Column) -> F.Column:
+    return col.cast("double")
+
+
+# --- q40: near-dup clustering (connected components) -------------------------
+
+
+def q40_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> undirected graph -> connected components: every
+    document labeled with its dedup cluster (min doc_id reachable) and the
+    cluster size. Singletons are their own component. This is the step that
+    turns pairwise similarity into "keep one per group" at corpus scale."""
+    t = load_tables(spark, sf_dir)
+    pairs = near_dup_pairs(
+        t["documents"], "doc_id", "text",
+        n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=t["documents"].select(F.col("doc_id").alias("id")), id_col="id",
+    )
+    return (
+        component_sizes(cc, id_col="id")
+        .select(F.col("id").alias("doc_id"), "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+def _q40_sql() -> str:
+    # Transitive closure via recursive CTE: component(n) = min id reachable
+    # from n. UNION (distinct) guarantees termination; component sizes join
+    # back on the labels.
+    return f"""
+WITH RECURSIVE {near_dup_ctes()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT doc_id, comp.component, cluster_size
+FROM comp JOIN csize USING (component)
+ORDER BY doc_id
+"""
+
+
+# --- q41/q42: corpus vocabulary and per-doc top terms ------------------------
+
+
+def q41_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top 50 tokens by occurrence count (tie-break on
+    the token itself so the cut is deterministic). One explode + one
+    partial-aggregating groupBy — the canonical word-count shape."""
+    t = load_tables(spark, sf_dir)
+    tok = spread(t["documents"]).select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(50)
+    )
+
+
+Q41_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM w GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+"""
+
+
+def q42_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3 distinctive terms per document, TF-IDF-shaped but integer-only
+    for cross-engine determinism: rank by term frequency desc, document
+    frequency asc (rarer = more distinctive), token asc.
+
+    Document frequency is a count-window over the tf rows rather than a
+    groupBy + re-join: Spark does not materialize shared subplans, so the
+    join form would scan + explode the corpus twice; the window form costs
+    one extra shuffle of the (already corpus-reduced) tf table instead."""
+    t = load_tables(spark, sf_dir)
+    tok = spread(t["documents"]).select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+Q42_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM w GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+ranked AS (
+  SELECT doc_id, tf.token, tf, df,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, tf.token ASC) AS rnk
+  FROM tf JOIN dfreq ON tf.token = dfreq.token
+)
+SELECT doc_id, token, tf, df, rnk FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+# --- q43: deterministic stratified train/val/test split ----------------------
+
+
+def q43_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from md5(doc_id):
+    membership is a pure function of the key, so re-runs and engine ports
+    reproduce it exactly and corpus growth never reshuffles old rows.
+    Output: per (lang, split) document counts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("split", train_val_test(F.col("doc_id")))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+Q43_SQL = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+# --- q44: pivot (daily x event_type counts) ----------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q44_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type. The pivot
+    value list is explicit, so the schema is fixed at plan time (no extra
+    distinct-values job) — required for a stable driver schema and the
+    right call at scale anyway."""
+    t = load_tables(spark, sf_dir)
+    out = (
+        t["events"]
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, [*_EVENT_TYPES])
+    )
+    for et in _EVENT_TYPES:
+        out = out.withColumnRenamed(et, f"n_{et}")
+    return out.orderBy("day")
+
+
+Q44_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  {", ".join(f"COUNT(CASE WHEN event_type = '{et}' THEN 1 END) AS n_{et}" for et in _EVENT_TYPES)}
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+# --- q45: 7-day moving window over daily revenue -----------------------------
+
+
+def q45_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a 7-day trailing window (sum + avg).
+
+    Money goes through exact decimal sums (summation order invariant), and
+    the window frame is ROWS-based over a unique day key, so both engines
+    fold identical values in identical order. The day-grain series is tiny
+    at any SF — the single-partition window after the partial-agg'd daily
+    rollup is the correct plan, not a scale bug."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        _dbl(F.round("rev", 2)).alias("day_revenue"),
+        _dbl(F.round(F.sum("rev").over(w), 2)).alias("revenue_7d"),
+        F.round(_dbl(F.sum("rev").over(w)) / F.count("*").over(w), 2).alias("avg_7d"),
+    ).orderBy("day")
+
+
+Q45_SQL = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day,
+  CAST(ROUND(rev, 2) AS DOUBLE) AS day_revenue,
+  CAST(ROUND(SUM(rev) OVER w, 2) AS DOUBLE) AS revenue_7d,
+  ROUND(CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 2) AS avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+# --- q46: customer spend deciles (ntile) -------------------------------------
+
+
+def q46_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into spend deciles (ntile over an exact decimal
+    total with a unique custkey tiebreak), then per-decile stats."""
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("spend"))
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dbl(F.round(F.min("spend"), 2)).alias("min_spend"),
+            _dbl(F.round(F.max("spend"), 2)).alias("max_spend"),
+            _dbl(F.round(F.sum("spend"), 2)).alias("sum_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q46_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+d AS (SELECT *, NTILE(10) OVER (ORDER BY spend, o_custkey) AS decile FROM spend)
+SELECT decile, COUNT(*) AS n_customers,
+  CAST(ROUND(MIN(spend), 2) AS DOUBLE) AS min_spend,
+  CAST(ROUND(MAX(spend), 2) AS DOUBLE) AS max_spend,
+  CAST(ROUND(SUM(spend), 2) AS DOUBLE) AS sum_spend
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
+EXTENDED_QUERIES = {
+    "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
+    "q41_vocabulary": (q41_vocabulary, Q41_SQL),
+    "q42_doc_top_terms": (q42_doc_top_terms, Q42_SQL),
+    "q43_split_counts": (q43_split_counts, Q43_SQL),
+    "q44_daily_event_pivot": (q44_daily_event_pivot, Q44_SQL),
+    "q45_moving_revenue": (q45_moving_revenue, Q45_SQL),
+    "q46_customer_deciles": (q46_customer_deciles, Q46_SQL),
+}

@@ -156,7 +156,10 @@ def q34_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q34_sql() -> str:
+def near_dup_ctes() -> str:
+    """The WITH-body (CTE chain) computing LSH-verified near-dup pairs —
+    shared by the q34 oracle and the q40 clustering oracle (which adds a
+    recursive connected-components CTE on top)."""
     from hadoop_jobanalyzer_spark.operators.dedup import MINHASH_P, _minhash_params
 
     mins = ", ".join(
@@ -171,8 +174,7 @@ def _q34_sql() -> str:
         )
         for b in range(_BANDS)
     )
-    return f"""
-WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P} AS h FROM sh),
 m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS ({bands}),
@@ -188,14 +190,21 @@ common AS (
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
   GROUP BY 1, 2, 3
-)
-SELECT id_a, id_b, n_shared_bands, n_common, sa.n AS n_a, sb.n AS n_b,
-       ROUND(n_common / (sa.n + sb.n - n_common), 3) AS jaccard
-FROM common
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE ROUND(n_common / (sa.n + sb.n - n_common), 3) >= 0.2
-ORDER BY id_a, id_b
+),
+verified AS (
+  SELECT id_a, id_b, n_shared_bands, n_common, sa.n AS n_a, sb.n AS n_b,
+         ROUND(n_common / (sa.n + sb.n - n_common), 3) AS jaccard
+  FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE ROUND(n_common / (sa.n + sb.n - n_common), 3) >= 0.2
+)"""
+
+
+def _q34_sql() -> str:
+    return f"""
+WITH {near_dup_ctes()}
+SELECT * FROM verified ORDER BY id_a, id_b
 """
 
 

@@ -26,6 +26,13 @@ try:  # pipeline queries (dedup/similarity/text/multimodal) — added as built
 except ImportError:  # pragma: no cover
     pass
 
+try:  # extended queries (clustering, sampling, pivots, windows)
+    from hadoop_jobanalyzer_spark.plans.extended_queries import EXTENDED_QUERIES
+
+    QUERIES.update(EXTENDED_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in QUERIES.items()}

@@ -1,0 +1,90 @@
+"""Differential + unit tests for the extended query set (q40-q46) and the
+graph/sampling operators behind it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.operators.graph import component_sizes, connected_components
+from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket, hash_sample
+from hadoop_jobanalyzer_spark.plans.extended_queries import EXTENDED_QUERIES
+
+from tests.oracle_utils import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(EXTENDED_QUERIES))
+def test_extended_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = EXTENDED_QUERIES[name]
+    problems = compare(fn(spark, sf_dir), duck, sql)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(EXTENDED_QUERIES))
+def test_extended_query_nonempty(spark, sf_dir, name):
+    fn, _ = EXTENDED_QUERIES[name]
+    assert fn(spark, sf_dir).count() > 0, f"{name} returned no rows at {sf_dir}"
+
+
+# --- connected components unit tests ----------------------------------------
+
+
+def _cc(spark, edges, nodes=None):
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long") if nodes else None
+    out = connected_components(edf, nodes=ndf)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+def test_cc_path_graph(spark):
+    # a long path exercises pointer jumping (min label must travel the chain)
+    got = _cc(spark, [(i, i + 1) for i in range(1, 12)])
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_cc_two_components_and_singleton(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)], nodes=[1, 2, 3, 10, 11, 99])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_cc_star_and_cycle(spark):
+    got = _cc(spark, [(5, 1), (5, 2), (5, 3), (7, 8), (8, 9), (9, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_cc_empty_edges_with_nodes(spark):
+    edf = spark.createDataFrame([], "src long, dst long")
+    ndf = spark.createDataFrame([(1,), (2,)], "id long")
+    out = {r["id"]: r["component"] for r in connected_components(edf, nodes=ndf).collect()}
+    assert out == {1: 1, 2: 2}
+
+
+def test_component_sizes(spark):
+    edf = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = component_sizes(connected_components(edf), id_col="id")
+    assert {(r["id"], r["cluster_size"]) for r in out.collect()} == {(1, 3), (2, 3), (3, 3)}
+
+
+# --- sampling unit tests -----------------------------------------------------
+
+
+def test_hash_bucket_range_and_determinism(spark):
+    df = spark.range(500).select(hash_bucket(F.col("id")).alias("b"))
+    rows = [r["b"] for r in df.collect()]
+    assert all(0 <= b < 100 for b in rows)
+    rows2 = [r["b"] for r in df.collect()]
+    assert rows == rows2
+
+
+def test_hash_sample_disjoint_strata(spark):
+    df = spark.range(1000)
+    kept = hash_sample(df, F.col("id"), 10)
+    n = kept.count()
+    assert 40 <= n <= 200  # ~10% of 1000, generous tolerance
+    # complement: pct=10 sample is a subset of pct=50 sample (nesting property)
+    wide = {r["id"] for r in hash_sample(df, F.col("id"), 50).collect()}
+    assert {r["id"] for r in kept.collect()} <= wide
