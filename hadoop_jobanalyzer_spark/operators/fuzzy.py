@@ -1,0 +1,56 @@
+"""Blocked fuzzy (edit-distance) matching.
+
+An all-pairs levenshtein join is O(n^2) and never survives corpus scale.
+The standard shape is *blocking*: a cheap deterministic key (language +
+length band here; phonetic keys, sorted-token prefixes, or LSH buckets in
+general) partitions the corpus so the quadratic comparison runs only
+inside blocks, and the per-pair cost is bounded by comparing fixed-length
+prefixes. Both the blocking join and the levenshtein expression are
+JVM-side Catalyst operations — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hadoop_jobanalyzer_spark.util import spread
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: Column,
+    prefix_len: int = 40,
+    max_dist: int = 8,
+) -> DataFrame:
+    """All (id_a < id_b) pairs within a block whose ``prefix_len``-char
+    prefixes are within ``max_dist`` edits.
+
+    ``block`` is the blocking key expression (evaluated against ``df``'s
+    columns). Near-miss pairs straddling a block boundary are the method's
+    documented recall tradeoff — callers wanting boundary overlap pass a
+    coarser or doubled key. Output: id_a, id_b, lev.
+    """
+    keyed = spread(df).select(
+        F.col(id_col),
+        block.alias("_blk"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+    )
+    a = keyed.select(
+        F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_pfx").alias("_pfx_a")
+    )
+    b = keyed.select(
+        F.col("_blk"), F.col(id_col).alias("id_b"), F.col("_pfx").alias("_pfx_b")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # levenshtein's optional threshold arg short-circuits rows whose
+        # distance exceeds max_dist (returns -1) instead of filling the
+        # full DP matrix — cheaper than computing then filtering.
+        .withColumn("lev", F.levenshtein("_pfx_a", "_pfx_b", max_dist))
+        .filter(F.col("lev") >= 0)
+        .select("id_a", "id_b", "lev")
+        .orderBy("id_a", "id_b")
+    )

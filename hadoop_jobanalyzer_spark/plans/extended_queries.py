@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.functions.text import tokens
 from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
+from hadoop_jobanalyzer_spark.operators.fuzzy import blocked_levenshtein_pairs
 from hadoop_jobanalyzer_spark.operators.graph import (
     component_sizes,
     connected_components,
@@ -293,6 +294,128 @@ FROM d GROUP BY decile ORDER BY decile
 """
 
 
+# --- q47: grouping sets with grouping() ---------------------------------------
+
+
+def q47_status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed grouping sets (by status, by priority, grand total) with
+    grouping() flags — one shuffle computes all three group-bys (Catalyst
+    expands then partial-aggregates; at scale this replaces three scans)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            _dbl(F.round(F.sum(_dec("o_totalprice")), 2)).alias("total"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+Q47_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+  GROUPING(o_orderstatus) AS g_status,
+  GROUPING(o_orderpriority) AS g_priority,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+# --- q48: calendar rollup (ISO day-of-week) ----------------------------------
+
+
+def q48_dow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by ISO day-of-week. Calendar conventions differ per engine
+    (Spark dayofweek is 1=Sunday, DuckDB's is 0=Sunday) — the portable
+    formulation is ISO (1=Monday) plus the locale-stable 'Mon' label."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            (F.weekday("o_orderdate") + F.lit(1)).alias("isodow"),
+            F.date_format("o_orderdate", "E").alias("dow"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dbl(F.round(F.sum(_dec("o_totalprice")), 2)).alias("total"),
+        )
+        .orderBy("isodow")
+    )
+
+
+Q48_SQL = """
+SELECT isodow(o_orderdate) AS isodow, strftime(o_orderdate, '%a') AS dow,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2 ORDER BY isodow
+"""
+
+
+# --- q49: JSON path extraction ------------------------------------------------
+
+
+def q49_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats over a JSON property column via JSON-path
+    extraction (get_json_object — JVM-side, no UDF), the schema-on-read
+    companion to q17's regex form."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q49_SQL = """
+SELECT event_type,
+       COUNT(k) AS n_with_k, SUM(k) AS sum_k, MAX(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- q50: blocked fuzzy (levenshtein) pairs ----------------------------------
+
+
+def q50_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance join: same-language, same-length-band documents
+    whose 40-char prefixes are within 8 edits."""
+    t = load_tables(spark, sf_dir)
+    block = F.concat_ws("|", F.col("lang"), (F.col("n_chars") / 100).cast("long"))
+    return blocked_levenshtein_pairs(
+        t["documents"], "doc_id", "text", block, prefix_len=40, max_dist=8
+    )
+
+
+Q50_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk,
+         substr(text, 1, 40) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.pfx, b.pfx) AS lev
+FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 8
+ORDER BY id_a, id_b
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -301,4 +424,8 @@ EXTENDED_QUERIES = {
     "q44_daily_event_pivot": (q44_daily_event_pivot, Q44_SQL),
     "q45_moving_revenue": (q45_moving_revenue, Q45_SQL),
     "q46_customer_deciles": (q46_customer_deciles, Q46_SQL),
+    "q47_status_priority_grouping_sets": (q47_status_priority_grouping_sets, Q47_SQL),
+    "q48_dow_revenue": (q48_dow_revenue, Q48_SQL),
+    "q49_json_props": (q49_json_props, Q49_SQL),
+    "q50_fuzzy_prefix_pairs": (q50_fuzzy_prefix_pairs, Q50_SQL),
 }
