@@ -416,6 +416,131 @@ ORDER BY id_a, id_b
 """
 
 
+# --- q51: top-k per group (window rank after join+agg) -----------------------
+
+
+def q51_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3 parts by revenue within each brand: broadcast dim join ->
+    partial-agg'd revenue per (brand, part) -> per-brand window rank with a
+    unique tiebreak. The window shuffles the already-aggregated table (one
+    row per part), never the fact table."""
+    t = load_tables(spark, sf_dir)
+    one = F.lit(1).cast("decimal(8,4)")
+    rev = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (one - F.col("l_discount").cast("decimal(18,4)"))
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "p_brand", "p_partkey",
+            _dbl(F.round("rev", 2)).alias("revenue"), "rnk",
+        )
+        .orderBy("p_brand", "rnk")
+    )
+
+
+Q51_SQL = """
+WITH rev AS (
+  SELECT p_brand, p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey ASC) AS rnk
+  FROM rev
+)
+SELECT p_brand, p_partkey, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue, rnk
+FROM ranked WHERE rnk <= 3 ORDER BY p_brand, rnk
+"""
+
+
+# --- q52: lead/lag gap analysis ----------------------------------------------
+
+
+def q52_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps per user (lag over a unique (ts, event_id) order),
+    aggregated per event type. Integer millisecond arithmetic end-to-end."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        t["events"]
+        .withColumn("prev_ms", F.lag(F.unix_millis("ts")).over(w))
+        .withColumn("gap_ms", F.unix_millis("ts") - F.col("prev_ms"))
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.sum("gap_ms") / F.count("*"), 1).alias("avg_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q52_SQL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(SUM(gap_ms) / COUNT(*), 1) AS avg_gap_ms,
+       MAX(gap_ms) AS max_gap_ms
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- q53: unpivot (wide -> long) ---------------------------------------------
+
+_UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q53_lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot of the lineitem measures, then per-metric totals.
+    ``unpivot`` is a zero-shuffle projection (each input row emits k rows);
+    the only shuffle is the final 4-group aggregate."""
+    t = load_tables(spark, sf_dir)
+    casted = t["lineitem"].select(
+        *[F.col(c).cast("decimal(18,4)").alias(c) for c in _UNPIVOT_METRICS]
+    )
+    return (
+        casted.unpivot([], _UNPIVOT_METRICS, "metric", "val")
+        .groupBy("metric")
+        .agg(
+            F.count("*").alias("n"),
+            _dbl(F.round(F.sum("val"), 2)).alias("total"),
+        )
+        .orderBy("metric")
+    )
+
+
+Q53_SQL = f"""
+WITH long AS (
+  {" UNION ALL ".join(
+    f"SELECT '{c}' AS metric, CAST({c} AS DECIMAL(18,4)) AS val FROM lineitem"
+    for c in _UNPIVOT_METRICS
+  )}
+)
+SELECT metric, COUNT(*) AS n, CAST(ROUND(SUM(val), 2) AS DOUBLE) AS total
+FROM long GROUP BY metric ORDER BY metric
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -428,4 +553,7 @@ EXTENDED_QUERIES = {
     "q48_dow_revenue": (q48_dow_revenue, Q48_SQL),
     "q49_json_props": (q49_json_props, Q49_SQL),
     "q50_fuzzy_prefix_pairs": (q50_fuzzy_prefix_pairs, Q50_SQL),
+    "q51_top_parts_per_brand": (q51_top_parts_per_brand, Q51_SQL),
+    "q52_event_gap_stats": (q52_event_gap_stats, Q52_SQL),
+    "q53_lineitem_unpivot_stats": (q53_lineitem_unpivot_stats, Q53_SQL),
 }

@@ -69,6 +69,33 @@ def test_component_sizes(spark):
     assert {(r["id"], r["cluster_size"]) for r in out.collect()} == {(1, 3), (2, 3), (3, 3)}
 
 
+# --- approximate aggregate tolerance tests -----------------------------------
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from hadoop_jobanalyzer_spark.functions.approx import approx_distinct
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    est = ev.select(approx_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(est - exact) <= max(0.08 * exact, 2), (est, exact)
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    from hadoop_jobanalyzer_spark.functions.approx import approx_quantiles
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+    for p, est in zip([0.1, 0.5, 0.9], approx_quantiles(ev, "value", [0.1, 0.5, 0.9], 0.01)):
+        # GK guarantee: returned value's rank within (p +- relative_error) * n
+        lo = vals[max(0, int((p - 0.02) * n) - 1)]
+        hi = vals[min(n - 1, int((p + 0.02) * n) + 1)]
+        assert lo <= est <= hi, (p, est, lo, hi)
+
+
 # --- sampling unit tests -----------------------------------------------------
 
 
