@@ -90,6 +90,83 @@ def decode_image(payload: bytes):  # pragma: no cover - stub by design
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(payloads: DataFrame, frame_len: int = 64, stride: int = 32) -> DataFrame:
+    """Sample fixed-length frames from each payload at a stride — the
+    video-frame-extraction batch shape: one input row fans out to N output
+    rows *inside* the Arrow stage (no Spark-side explode of a decoded
+    column, so undecoded bytes never shuffle). A real deployment replaces
+    the byte slicing with a container demuxer; partitioning, schema, and
+    the 1->N batch contract are exactly this.
+
+    Frames start at offsets 0, stride, 2*stride, ... < len(payload); the
+    tail frame may be short. Output: (doc_id, frame_idx, frame binary).
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for k, off in enumerate(range(0, len(b), stride)):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(b[off : off + frame_len])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return payloads.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
+    """Resize an image payload. STUB: requires a codec library (Pillow/
+    libvips) not present in this environment; `fake_thumbnail` exercises
+    the identical binary->binary batch path."""
+    raise NotImplementedError(
+        "image resize requires a codec library not present in this environment"
+    )
+
+
+THUMBNAIL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def fake_thumbnail(payloads: DataFrame, factor: int = 8) -> DataFrame:
+    """Deterministic stand-in for resize: keep every ``factor``-th byte.
+    Binary in, smaller binary out, per Arrow batch — the resize contract
+    without the codec."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": pdf["payload"].map(lambda b: bytes(b)[::factor]),
+                }
+            )
+
+    return payloads.mapInPandas(shrink, THUMBNAIL_SCHEMA)
+
+
 def fake_image_features(payloads: DataFrame) -> DataFrame:
     """Deterministic stand-in feature extractor exercising the same batch
     path as a real decoder: per payload, mean (x100, floored) and max of the

@@ -541,6 +541,39 @@ FROM long GROUP BY metric ORDER BY metric
 """
 
 
+# --- q54: multimodal frame sampling ------------------------------------------
+
+_FRAME_LEN, _FRAME_STRIDE = 64, 32
+
+
+def q54_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end to end: payloads -> 1->N Arrow-batched
+    frame extraction -> per-frame md5 + per-doc frame stats. The corpus is
+    ASCII, so the byte-slicing oracle is expressible as SQL substr."""
+    from hadoop_jobanalyzer_spark.operators.multimodal import attach_payload, frame_sample
+
+    t = load_tables(spark, sf_dir)
+    frames = frame_sample(
+        attach_payload(t["documents"], "doc_id", "text"),
+        frame_len=_FRAME_LEN, stride=_FRAME_STRIDE,
+    )
+    return (
+        frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+Q54_SQL = f"""
+WITH offs AS (
+  SELECT doc_id, text, UNNEST(generate_series(0, strlen(text) - 1, {_FRAME_STRIDE})) AS off
+  FROM documents
+)
+SELECT doc_id, off // {_FRAME_STRIDE} AS frame_idx,
+       md5(substr(text, off + 1, {_FRAME_LEN})) AS frame_md5
+FROM offs ORDER BY doc_id, frame_idx
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -556,4 +589,5 @@ EXTENDED_QUERIES = {
     "q51_top_parts_per_brand": (q51_top_parts_per_brand, Q51_SQL),
     "q52_event_gap_stats": (q52_event_gap_stats, Q52_SQL),
     "q53_lineitem_unpivot_stats": (q53_lineitem_unpivot_stats, Q53_SQL),
+    "q54_frame_samples": (q54_frame_samples, Q54_SQL),
 }

@@ -69,6 +69,36 @@ def test_component_sizes(spark):
     assert {(r["id"], r["cluster_size"]) for r in out.collect()} == {(1, 3), (2, 3), (3, 3)}
 
 
+# --- multimodal frame/thumbnail plumbing -------------------------------------
+
+
+def test_frame_sample_shapes(spark):
+    from hadoop_jobanalyzer_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 100)), (2, bytearray(b"xy"))],
+        "doc_id long, payload binary",
+    )
+    rows = frame_sample(df, frame_len=64, stride=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: offsets 0,32,64,96 -> 4 frames; lens 64,64,36,4
+    assert [len(bytes(r["frame"])) for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [64, 64, 36, 4]
+    # doc 2: single short frame
+    assert len(by_doc[2]) == 1 and bytes(by_doc[2][0]["frame"]) == b"xy"
+
+
+def test_fake_thumbnail_deterministic(spark):
+    from hadoop_jobanalyzer_spark.operators.multimodal import fake_thumbnail
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(32))))], "doc_id long, payload binary"
+    )
+    thumb = bytes(fake_thumbnail(df, factor=8).first()["thumb"])
+    assert thumb == bytes([0, 8, 16, 24])
+
+
 # --- approximate aggregate tolerance tests -----------------------------------
 
 
