@@ -62,6 +62,8 @@ def connected_components(
             .groupBy("_a")
             .agg(F.min("component").alias("_nmin"))
         )
+        # the pre-round label rides along as _old so convergence needs no
+        # extra join against the previous table
         stepped = (
             labels.join(neigh.withColumnRenamed("_a", id_col), id_col, "left")
             .select(
@@ -69,6 +71,7 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce("_nmin", "component")).alias(
                     "component"
                 ),
+                F.col("component").alias("_old"),
             )
         )
         # pointer jumping: component <- component(component). Every label is
@@ -81,16 +84,17 @@ def connected_components(
                 ),
                 F.col("x.component") == F.col("_lid"),
             )
-            .select(F.col(f"x.{id_col}"), F.least("x.component", "_lcomp").alias("component"))
+            .select(
+                F.col(f"x.{id_col}"),
+                F.least("x.component", "_lcomp").alias("component"),
+                F.col("x._old").alias("_old"),
+            )
         )
-        jumped = jumped.localCheckpoint(eager=True)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = jumped
+        # lazy checkpoint + count: one action both materializes the round
+        # (truncating lineage) and measures convergence
+        jumped = jumped.localCheckpoint(eager=False)
+        changed = jumped.filter(F.col("component") != F.col("_old")).count()
+        labels = jumped.select(id_col, "component")
         if changed == 0:
             break
     return labels
