@@ -69,6 +69,74 @@ def test_component_sizes(spark):
     assert {(r["id"], r["cluster_size"]) for r in out.collect()} == {(1, 3), (2, 3), (3, 3)}
 
 
+# --- property-based: CC vs union-find, frame reassembly ----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label normalization
+    out = {}
+    for x in range(n_nodes):
+        r = find(x)
+        out.setdefault(r, []).append(x)
+    return {x: min(grp) for r, grp in out.items() for x in grp}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=30).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=n - 1),
+                    st.integers(min_value=0, max_value=n - 1),
+                ),
+                max_size=40,
+            ),
+        )
+    )
+)
+def test_cc_matches_union_find(spark, n_and_edges):
+    n, edges = n_and_edges
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(n, edges)
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edf, nodes=ndf).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=1, max_size=200), st.integers(min_value=1, max_value=64))
+def test_frame_reassembly_roundtrip(spark, payload, frame_len):
+    """With stride == frame_len, concatenating the frames in order must
+    reproduce the payload exactly (lossless tiling)."""
+    from hadoop_jobanalyzer_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = frame_sample(df, frame_len=frame_len, stride=frame_len).collect()
+    rows.sort(key=lambda r: r["frame_idx"])
+    assert b"".join(bytes(r["frame"]) for r in rows) == payload
+
+
 # --- multimodal frame/thumbnail plumbing -------------------------------------
 
 

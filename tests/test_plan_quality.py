@@ -64,6 +64,40 @@ def _views_from(spark, text):
     )
 
 
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # spread() fan-out + countDistinct two-phase; sort+limit folds to
+        # TakeOrdered
+        ("q41_vocabulary", 3),
+        ("q44_daily_event_pivot", 3),  # two-level pivot agg + final sort
+        ("q53_lineitem_unpivot_stats", 2),  # metric agg + final sort
+        ("q43_split_counts", 2),   # (lang, split) agg + final sort
+    ],
+)
+def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    """Shuffle budgets for representative new queries: regressions that add
+    an Exchange (lost partial agg, accidental repartition) fail here."""
+    fn, _ = QUERIES[name]
+    plan = _plan(fn(spark, sf_dir))
+    n = _n_exchanges(plan)
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges})\n{plan}"
+
+
+def test_q51_broadcasts_dim_join(spark, sf_dir):
+    """The part-side of q51's join is dimension-sized — it must broadcast,
+    not shuffle the fact table into a sort-merge join."""
+    fn, _ = QUERIES["q51_top_parts_per_brand"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_empty_input_yields_empty_reports(spark):
     v = _views_from(spark, "")
     assert v.records.count() == 0
