@@ -25,6 +25,7 @@ import sys
 import tempfile
 
 from hadoop_jobanalyzer_spark.operators import (
+    error_summary,
     job_summary,
     map_table,
     reduce_bytes_table,
@@ -61,6 +62,7 @@ REDUCE_COLS = [
 ]
 RBYTES_COLS = ["taskid", "reduce_output_bytes", "shuffle_finish_rel", "reduce_finish_rel"]
 TIMELINE_COLS = ["t", "maps", "shuffle", "merge", "reduce", "waste"]
+ERRORS_COLS = ["jobid", "task_type", "task_status", "error_class", "n_attempts"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -73,6 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("-m", action="store_true", help="per-map-task table")
     mode.add_argument("-r", action="store_true", help="per-reduce-task table")
     mode.add_argument("--reduce-bytes", action="store_true", help="reduce output-bytes table")
+    mode.add_argument("--errors", action="store_true", help="failure summary by exception class")
     mode.add_argument("-t", action="store_true", help="concurrency timeline (default)")
     p.add_argument("-d", default=", ", metavar="DELIM", help="output delimiter (default ', ')")
     p.add_argument("-i", default="-", metavar="INPUT", help="path/glob/URL or - for stdin")
@@ -107,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
         df, cols = reduce_table(views, scale=args.scale), REDUCE_COLS
     elif args.reduce_bytes:
         df, cols = reduce_bytes_table(views, scale=args.scale), RBYTES_COLS
+    elif args.errors:
+        df, cols = error_summary(views), ERRORS_COLS
     else:
         df, cols = timeline(views, scale=args.scale), TIMELINE_COLS
 

@@ -7,6 +7,7 @@ from hadoop_jobanalyzer_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from hadoop_jobanalyzer_spark.operators.history_reports import (
+    error_summary,
     job_summary,
     map_table,
     reduce_bytes_table,
@@ -23,6 +24,7 @@ from hadoop_jobanalyzer_spark.operators.timeline import timeline
 
 __all__ = [
     "embedding_near_dup_pairs",
+    "error_summary",
     "exact_duplicates",
     "job_summary",
     "knn_brute_force",

@@ -209,3 +209,39 @@ def reduce_bytes_table(views: HistoryViews, scale: int = 1000) -> DataFrame:
         )
         .orderBy("taskid")
     )
+
+
+def error_summary(views: HistoryViews) -> DataFrame:
+    """Failure analysis: per (job, task_type, status), attempt counts grouped
+    by extracted exception class.
+
+    The reference *parses* ERROR attributes (including multi-line stack
+    traces, e.g. the OutOfMemoryError traces in fixture log 1) but exposes
+    them in no report; wasted/failed attempts only feed the timeline's waste
+    series (SURVEY.md §2.9). This report makes failures queryable: the
+    exception class is the first ``...Exception``/``...Error`` token of the
+    raw (backslash-escaped) ERROR value, unescaped for display; attempts
+    that died without an ERROR attribute group under NULL.
+    """
+    klass = F.regexp_replace(
+        F.regexp_extract(
+            F.col("error"), r"([\w$]+(?:\\\.[\w$]+)*(?:Exception|Error))", 1
+        ),
+        r"\\\.",
+        ".",
+    )
+    return (
+        views.attempts.filter(
+            F.col("task_status").isin("FAILED", "KILLED") | F.col("error").isNotNull()
+        )
+        .select(
+            *_JOB_KEY,
+            "task_type",
+            "task_status",
+            F.when(klass != "", klass).alias("error_class"),
+            "attempt_id",
+        )
+        .groupBy(*_JOB_KEY, "task_type", "task_status", "error_class")
+        .agg(F.countDistinct("attempt_id").alias("n_attempts"))
+        .orderBy(*_JOB_KEY, "task_type", "task_status", "error_class")
+    )

@@ -125,3 +125,20 @@ def test_summary_multifile(spark, fixture_log1, fixture_log2):
     out = job_summary(v)
     assert out.count() == 2
     assert out.filter(F.col("num_maps") == 1024).count() == 1
+
+
+def test_error_summary_goldens(spark, fixture_log1, fixture_log2):
+    """Failure counts pinned to the fixture Job records: log 1 has 127
+    failed maps and 12 failed reduces (3 with OutOfMemoryError traces from
+    the multi-line ERROR records), log 2 has 34 failed maps."""
+    from hadoop_jobanalyzer_spark.operators import error_summary
+
+    rows = error_summary(load_history(spark, fixture_log1)).collect()
+    by_key = {(r["task_type"], r["task_status"], r["error_class"]): r["n_attempts"] for r in rows}
+    assert by_key[("MAP", "KILLED", None)] == 127
+    assert by_key[("REDUCE", "FAILED", "java.lang.OutOfMemoryError")] == 3
+    assert by_key[("REDUCE", "KILLED", None)] == 9
+
+    rows2 = error_summary(load_history(spark, fixture_log2)).collect()
+    by_key2 = {(r["task_type"], r["task_status"], r["error_class"]): r["n_attempts"] for r in rows2}
+    assert by_key2 == {("MAP", "KILLED", None): 34}

@@ -109,3 +109,29 @@ def test_dedup_attempts_stream(spark, log_dir):
     # matches batch distinct attempts with a finish record
     batch = load_history(spark, log_dir).attempts
     assert len(keys) == batch.filter(F.col("finish_time").isNotNull()).count()
+
+
+def test_hash_sample_composes_with_streaming(spark, log_dir):
+    """Stateless engine ops (deterministic hash sampling) compose with
+    streaming sources unchanged: the streamed sample equals the batch
+    sample of the same attempt events (membership is a pure key function,
+    no state required)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket
+    from hadoop_jobanalyzer_spark.sources.job_history import parse_records, read_raw_records
+    from hadoop_jobanalyzer_spark.streaming.history_stream import _attempt_events
+
+    name = "sampled_attempts"
+    parsed = read_history_stream(spark, log_dir)
+    stream_sampled = _attempt_events(parsed).filter(
+        hash_bucket(F.col("attempt_id")) < 25
+    ).select("attempt_id", "seq")
+    _run_to_memory(stream_sampled, name, "append")
+    got = sorted((r["attempt_id"], r["seq"]) for r in spark.table(name).collect())
+
+    batch = _attempt_events(parse_records(read_raw_records(spark, log_dir))).filter(
+        hash_bucket(F.col("attempt_id")) < 25
+    )
+    want = sorted((r["attempt_id"], r["seq"]) for r in batch.select("attempt_id", "seq").collect())
+    assert got == want and len(got) > 0
