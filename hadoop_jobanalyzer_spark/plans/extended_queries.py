@@ -574,6 +574,89 @@ FROM offs ORDER BY doc_id, frame_idx
 """
 
 
+# --- q55: document chunking (training-context windows) -----------------------
+
+_CHUNK_LEN, _CHUNK_STRIDE = 32, 24  # tokens; stride < len -> 8-token overlap
+
+
+def q55_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks (the training
+    pretokenization shape). Chunk starts are a ``sequence`` per doc and the
+    slices stay in-row until one explode — all codegen, no UDF; output rows
+    carry (doc, chunk_idx, n_tokens, md5) so the hash is checkable."""
+    t = load_tables(spark, sf_dir)
+    w = tokens("text")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(_CHUNK_STRIDE))
+    chunks = (
+        spread(t["documents"])
+        .select("doc_id", w.alias("_w"), F.explode(starts).alias("_start"))
+        .select(
+            "doc_id",
+            (F.col("_start") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.slice("_w", F.col("_start") + 1, _CHUNK_LEN).alias("_chunk"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("_chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "_chunk")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+Q55_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks, UNNEST(generate_series(0, GREATEST(len(toks) - 1, 0), {_CHUNK_STRIDE})) AS s
+  FROM w
+)
+SELECT doc_id, s // {_CHUNK_STRIDE} AS chunk_idx,
+       len(toks[s + 1 : s + {_CHUNK_LEN}]) AS n_tokens,
+       md5(array_to_string(toks[s + 1 : s + {_CHUNK_LEN}], ' ')) AS chunk_md5
+FROM starts ORDER BY doc_id, chunk_idx
+"""
+
+
+# --- q56: greedy token packing into fixed budgets ----------------------------
+
+_PACK_BUDGET, _N_SHARDS = 2048, 8
+
+
+def q56_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs: shard by a
+    deterministic key, then pack_id = floor(cumulative tokens / budget)
+    within each shard (running-sum window). Sharding keeps the window
+    parallel — the single-partition global-order window is exactly what
+    this avoids at corpus scale."""
+    t = load_tables(spark, sf_dir)
+    n_tok = F.size(tokens("text"))
+    shard = (F.col("doc_id") % _N_SHARDS).alias("shard")
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        t["documents"]
+        .select("doc_id", shard, n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("pack_id", ((F.col("cum_tokens") - 1) / _PACK_BUDGET).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+Q56_SQL = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {_N_SHARDS} AS shard, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+       (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // {_PACK_BUDGET} AS pack_id
+FROM d ORDER BY doc_id
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -590,4 +673,6 @@ EXTENDED_QUERIES = {
     "q52_event_gap_stats": (q52_event_gap_stats, Q52_SQL),
     "q53_lineitem_unpivot_stats": (q53_lineitem_unpivot_stats, Q53_SQL),
     "q54_frame_samples": (q54_frame_samples, Q54_SQL),
+    "q55_doc_chunks": (q55_doc_chunks, Q55_SQL),
+    "q56_token_packing": (q56_token_packing, Q56_SQL),
 }
