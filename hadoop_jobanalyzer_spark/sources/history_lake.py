@@ -42,3 +42,43 @@ def read_history_lake(spark: SparkSession, path: str) -> HistoryViews:
     tasks = spark.read.parquet(os.path.join(path, "tasks"))
     attempts = spark.read.parquet(os.path.join(path, "attempts"))
     return HistoryViews(records=None, jobs=jobs, tasks=tasks, attempts=attempts)
+
+
+def compact_lake_view(
+    spark: SparkSession,
+    path: str,
+    view: str,
+    files_per_partition: int = 1,
+) -> tuple[int, int]:
+    """Compact one lake view's small files in place.
+
+    Fleet-scale append ingest accumulates one-file-per-batch partitions; a
+    scan then pays one task + one footer read per tiny file. Compaction
+    rewrites each ``jobid`` partition to ``files_per_partition`` files.
+    Uses dynamic partition overwrite so only partitions present in the
+    rewrite are replaced — concurrent appends to *other* jobids survive.
+
+    Returns (files_before, files_after) for observability.
+    """
+    import glob
+
+    view_path = os.path.join(path, view)
+
+    def _count() -> int:
+        return len(glob.glob(os.path.join(view_path, "*", "*.parquet")))
+
+    before = _count()
+    df = spark.read.parquet(view_path)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(files_per_partition, "jobid")
+            .sortWithinPartitions("jobid")
+            .write.mode("overwrite")
+            .partitionBy("jobid")
+            .parquet(view_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    return before, _count()

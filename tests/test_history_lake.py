@@ -42,3 +42,32 @@ def test_lake_roundtrip_and_partition_pruning(spark, fixture_log1, fixture_log2,
     # append adds partitions without clobbering (same data twice -> 2x rows)
     write_history_lake(views, lake, mode="append")
     assert read_history_lake(spark, lake).jobs.count() == 4
+
+
+def test_compact_lake_view(spark, tmp_path, fixture_log1, fixture_log2):
+    """Appending twice leaves multiple files per partition; compaction
+    collapses them and preserves the data exactly."""
+    from hadoop_jobanalyzer_spark.sources import load_history
+    from hadoop_jobanalyzer_spark.sources.history_lake import (
+        compact_lake_view,
+        read_history_lake,
+        write_history_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    write_history_lake(load_history(spark, fixture_log1), lake)
+    # two appends of the same job -> two files in that jobid's partition
+    # (duplicate rows, deliberately: compaction must preserve them)
+    write_history_lake(load_history(spark, fixture_log2), lake)
+    write_history_lake(load_history(spark, fixture_log2), lake)
+
+    before_rows = sorted(
+        (r["jobid"], r["taskid"]) for r in read_history_lake(spark, lake).tasks.collect()
+    )
+    nb, na = compact_lake_view(spark, lake, "tasks", files_per_partition=1)
+    assert na < nb, (nb, na)
+    assert na == 2  # one file per jobid partition
+    after_rows = sorted(
+        (r["jobid"], r["taskid"]) for r in read_history_lake(spark, lake).tasks.collect()
+    )
+    assert after_rows == before_rows
