@@ -657,6 +657,93 @@ FROM d ORDER BY doc_id
 """
 
 
+# --- q57: SQL front door (scalar + IN subqueries) ----------------------------
+
+_Q57 = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS spend
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_regionkey = (SELECT MIN(r_regionkey) FROM region))
+GROUP BY c_custkey, c_mktsegment
+HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) >
+       (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) * 5
+ORDER BY c_custkey
+"""
+
+
+def q57_big_spenders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: every table is registered as a temp view, so the
+    engine's surface includes full Spark SQL — scalar subqueries, IN
+    subqueries, HAVING. Catalyst rewrites the IN to a semi join and the
+    scalars to broadcast one-row joins (same physical shapes as the
+    DataFrame API; the plan guard suite applies)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q57)
+
+
+# --- q58: distribution windows (percent_rank / cume_dist) --------------------
+
+
+def q58_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist over customer spend (unique-key order;
+    the ratios are exact small-integer divisions, identical per engine)."""
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["orders"].groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("spend"))
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return (
+        spend.select(
+            "o_custkey",
+            _dbl(F.round("spend", 2)).alias("spend"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+Q58_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(ROUND(spend, 2) AS DOUBLE) AS spend,
+       ROUND(PERCENT_RANK() OVER (ORDER BY spend, o_custkey), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY spend, o_custkey), 6) AS cume
+FROM spend ORDER BY o_custkey
+"""
+
+
+# --- q59: array aggregation ---------------------------------------------------
+
+
+def q59_user_event_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile via array aggregation: the sorted distinct event
+    types as one string (portable form of collect_set), plus counts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q59_SQL = """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -675,4 +762,7 @@ EXTENDED_QUERIES = {
     "q54_frame_samples": (q54_frame_samples, Q54_SQL),
     "q55_doc_chunks": (q55_doc_chunks, Q55_SQL),
     "q56_token_packing": (q56_token_packing, Q56_SQL),
+    "q57_big_spenders_sql": (q57_big_spenders_sql, _Q57),
+    "q58_spend_distribution": (q58_spend_distribution, Q58_SQL),
+    "q59_user_event_profiles": (q59_user_event_profiles, Q59_SQL),
 }
