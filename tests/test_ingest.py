@@ -130,3 +130,27 @@ def test_fixture_log1_event_counts(spark, fixture_log1):
     assert v.tasks.filter(F.col("task_type") == "MAP").count() == 512
     assert v.tasks.filter(F.col("task_type") == "REDUCE").count() == 320
     assert v.final_attempts().count() == 832
+
+
+def test_jobhistory_datasource_matches_catalyst_parse(spark, fixture_log1, fixture_log2):
+    """The registered `jobhistory` format must produce exactly the records
+    the Catalyst parse produces (framing, seq numbering, attr maps)."""
+    import os
+
+    from hadoop_jobanalyzer_spark.sources.datasource import JobHistoryDataSource
+    from hadoop_jobanalyzer_spark.sources.job_history import parse_records, read_raw_records
+
+    spark.dataSource.register(JobHistoryDataSource)
+    for log in (fixture_log1, fixture_log2):
+        via_ds = spark.read.format("jobhistory").load(log)
+        via_engine = parse_records(read_raw_records(spark, log))
+
+        def norm(df):
+            rows = [
+                (r["seq"], r["event"], tuple(sorted(r["attrs"].items())))
+                for r in df.collect()
+            ]
+            return sorted(rows)
+
+        a, b = norm(via_ds), norm(via_engine)
+        assert len(a) > 1000 and a == b, os.path.basename(log)
