@@ -2,6 +2,7 @@
 
 from hadoop_jobanalyzer_spark.streaming.history_stream import (
     attempt_finish_counts,
+    attempt_sessions,
     dedup_attempts_stream,
     job_status_stream,
     latest_success_attempts,
@@ -10,6 +11,7 @@ from hadoop_jobanalyzer_spark.streaming.history_stream import (
 
 __all__ = [
     "attempt_finish_counts",
+    "attempt_sessions",
     "dedup_attempts_stream",
     "job_status_stream",
     "latest_success_attempts",

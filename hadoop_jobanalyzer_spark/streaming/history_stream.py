@@ -120,6 +120,36 @@ def attempt_finish_counts(
     )
 
 
+def attempt_sessions(
+    parsed: DataFrame,
+    gap: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Session windows over attempt completions per task type: consecutive
+    finishes closer than ``gap`` merge into one session (the streaming
+    form of q36's batch sessionization). Works on a stream (with the
+    watermark bounding session state) AND on a batch DataFrame (the same
+    expression — Spark ignores the watermark in batch), which is what the
+    differential test exploits.
+    """
+    events = (
+        _attempt_events(parsed)
+        .filter(F.col("finish_time").isNotNull())
+        .withColumn("finish_ts", F.timestamp_millis(F.col("finish_time")))
+    )
+    return (
+        events.withWatermark("finish_ts", watermark_delay)
+        .groupBy(F.session_window("finish_ts", gap).alias("win"), "task_type")
+        .agg(F.count("*").alias("n_finished"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "task_type",
+            "n_finished",
+        )
+    )
+
+
 def job_status_stream(parsed: DataFrame) -> DataFrame:
     """Rolling last-write-wins job merge (reference A1) as a streaming
     aggregation: per job, the latest-by-sequence value of each attribute.

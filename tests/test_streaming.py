@@ -135,3 +135,26 @@ def test_hash_sample_composes_with_streaming(spark, log_dir):
     )
     want = sorted((r["attempt_id"], r["seq"]) for r in batch.select("attempt_id", "seq").collect())
     assert got == want and len(got) > 0
+
+
+def test_attempt_sessions_stream_matches_batch(spark, log_dir):
+    """Streaming session windows equal the batch evaluation of the same
+    expression over the same records (complete mode; availableNow)."""
+    from hadoop_jobanalyzer_spark.sources.job_history import parse_records, read_raw_records
+    from hadoop_jobanalyzer_spark.streaming import attempt_sessions
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        attempt_sessions(read_history_stream(spark, log_dir)), name, "complete"
+    )
+    got = sorted(
+        (r["session_start"], r["session_end"], r["task_type"], r["n_finished"])
+        for r in spark.table(name).collect()
+    )
+    want = sorted(
+        (r["session_start"], r["session_end"], r["task_type"], r["n_finished"])
+        for r in attempt_sessions(
+            parse_records(read_raw_records(spark, log_dir))
+        ).collect()
+    )
+    assert got == want and len(got) > 0
