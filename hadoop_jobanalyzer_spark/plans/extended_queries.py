@@ -553,14 +553,15 @@ def q54_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_jobanalyzer_spark.operators.multimodal import attach_payload, frame_sample
 
     t = load_tables(spark, sf_dir)
+    # sort BEFORE the pandas stage: an orderBy after mapInPandas makes the
+    # range partitioner's sampling pass execute the Python stage twice.
+    # Row order is not part of the result contract (the driver's compare
+    # sorts rows), so no output sort is needed.
     frames = frame_sample(
-        attach_payload(t["documents"], "doc_id", "text"),
+        attach_payload(t["documents"], "doc_id", "text").sortWithinPartitions("doc_id"),
         frame_len=_FRAME_LEN, stride=_FRAME_STRIDE,
     )
-    return (
-        frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
-        .orderBy("doc_id", "frame_idx")
-    )
+    return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
 
 
 Q54_SQL = f"""
