@@ -8,6 +8,7 @@ from hadoop_jobanalyzer_spark.operators.dedup import (
 )
 from hadoop_jobanalyzer_spark.operators.history_reports import (
     error_summary,
+    fleet_summary,
     job_summary,
     map_table,
     reduce_bytes_table,
@@ -26,6 +27,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "error_summary",
     "exact_duplicates",
+    "fleet_summary",
     "job_summary",
     "knn_brute_force",
     "knn_ivf_cell",

@@ -245,3 +245,30 @@ def error_summary(views: HistoryViews) -> DataFrame:
         .agg(F.countDistinct("attempt_id").alias("n_attempts"))
         .orderBy(*_JOB_KEY, "task_type", "task_status", "error_class")
     )
+
+
+def fleet_summary(views: HistoryViews, scale: int = 1000) -> DataFrame:
+    """Cross-job (fleet) rollup over per-job summaries: jobs, task totals,
+    failure totals, and duration means per user.
+
+    The reference analyzes one log per invocation; the lake makes the
+    multi-job question ("how do my users' jobs behave?") a one-shuffle
+    rollup over the already-aggregated per-job rows — never over raw
+    attempts.
+    """
+    per_job = job_summary(views, scale=scale)
+    n = F.count("*")
+    return (
+        per_job.groupBy("user")
+        .agg(
+            n.alias("n_jobs"),
+            F.sum("total_maps").alias("total_maps"),
+            F.sum("total_reduces").alias("total_reduces"),
+            F.sum("failed_maps").alias("failed_maps"),
+            F.sum("failed_reduces").alias("failed_reduces"),
+            F.round(F.sum("total_time") / n, 2).alias("avg_job_time"),
+            F.round(F.sum("avg_map_len") / n, 2).alias("avg_map_len"),
+            F.round(F.sum("avg_reduce_len") / n, 2).alias("avg_reduce_len"),
+        )
+        .orderBy("user")
+    )

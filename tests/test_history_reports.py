@@ -142,3 +142,21 @@ def test_error_summary_goldens(spark, fixture_log1, fixture_log2):
     rows2 = error_summary(load_history(spark, fixture_log2)).collect()
     by_key2 = {(r["task_type"], r["task_status"], r["error_class"]): r["n_attempts"] for r in rows2}
     assert by_key2 == {("MAP", "KILLED", None): 34}
+
+
+def test_fleet_summary_both_logs(spark, fixture_log1, fixture_log2):
+    """Cross-job rollup over both fixture jobs (distinct users, so two
+    rows whose totals match the per-job Job records)."""
+    import glob
+    import os
+
+    from hadoop_jobanalyzer_spark.operators.history_reports import fleet_summary
+
+    views = load_history(spark, os.path.join(os.path.dirname(fixture_log1), "*"))
+    rows = {r["user"]: r for r in fleet_summary(views).collect()}
+    assert set(rows) == {"kbhatia", "hadoop"}
+    k = rows["kbhatia"]
+    assert (k["n_jobs"], k["total_maps"], k["total_reduces"]) == (1, 512, 320)
+    assert (k["failed_maps"], k["failed_reduces"]) == (127, 12)
+    h = rows["hadoop"]
+    assert (h["n_jobs"], h["total_maps"], h["failed_maps"]) == (1, 1024, 34)
