@@ -512,7 +512,7 @@ def q17_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q17_SQL = r"""
 SELECT event_type,
-       SUM(k) AS sum_k, ROUND(AVG(k), 2) AS avg_k, MAX(k) AS max_k
+       CAST(SUM(k) AS BIGINT) AS sum_k, ROUND(AVG(k), 2) AS avg_k, MAX(k) AS max_k
 FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k FROM events)
 GROUP BY event_type ORDER BY event_type
 """
@@ -660,7 +660,7 @@ per_session AS (
   SELECT user_id, session_id, COUNT(*) AS n_events
   FROM sess GROUP BY user_id, session_id
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(n_events) AS max_session_events
 FROM per_session GROUP BY user_id ORDER BY user_id
 """
@@ -721,12 +721,12 @@ WITH minute AS (
   FROM events GROUP BY 1
 ),
 hour AS (
-  SELECT date_trunc('hour', bucket) AS bucket, SUM(n) AS n,
+  SELECT date_trunc('hour', bucket) AS bucket, CAST(SUM(n) AS BIGINT) AS n,
          CAST(ROUND(SUM(CAST(sum_value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
   FROM minute GROUP BY 1
 ),
 day AS (
-  SELECT date_trunc('day', bucket) AS bucket, SUM(n) AS n,
+  SELECT date_trunc('day', bucket) AS bucket, CAST(SUM(n) AS BIGINT) AS n,
          CAST(ROUND(SUM(CAST(sum_value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
   FROM minute GROUP BY 1
 )

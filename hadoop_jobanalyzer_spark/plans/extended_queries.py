@@ -384,7 +384,7 @@ def q49_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q49_SQL = """
 SELECT event_type,
-       COUNT(k) AS n_with_k, SUM(k) AS sum_k, MAX(k) AS max_k
+       COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
 GROUP BY event_type ORDER BY event_type
 """
