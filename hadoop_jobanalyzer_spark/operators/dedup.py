@@ -95,7 +95,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     ngram: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on at least one band.
 
@@ -104,7 +104,8 @@ def lsh_candidate_pairs(
     buckets — signatures are computed exactly once (no self-join recompute)
     and non-colliding pairs are never materialized. ``max_bucket`` drops
     degenerate giant buckets (near-identical clusters better handled by the
-    exact-dedup path) to bound the O(|bucket|^2) fan-out at corpus scale.
+    exact-dedup path) to bound the O(|bucket|^2) fan-out at corpus scale;
+    ON by default (1000), pass ``None`` to opt out.
     Output: id_a < id_b, n_shared_bands.
     """
     rows = n_hashes // bands
@@ -140,7 +141,7 @@ def near_dup_pairs(
     bands: int = 4,
     ngram: int = 3,
     threshold: float = 0.2,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """The production dedup pipeline: MinHash-LSH candidate generation,
     then exact n-gram Jaccard verification on candidates only.
@@ -194,16 +195,19 @@ def ngram_jaccard_pairs(
     text_col: str,
     ngram: int = 3,
     threshold: float = 0.2,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >= 1 shingle.
 
     Shingle inverted index (explode once) -> bucket per shingle -> in-bucket
     pair generation -> per-pair intersection count; per-doc distinct-shingle
     counts stay in-row (size of the shingle array — no second explode).
-    Ultra-common shingles are the scale risk (O(df^2) pair fan-out); the
-    production path runs this only on LSH candidates
-    (``lsh_candidate_pairs`` first, then verify) or drops stop-shingles by
-    bucket size.
+    Ultra-common shingles are the scale risk (O(df^2) pair fan-out):
+    ``max_bucket`` drops stop-shingles whose posting list exceeds the cap
+    (ON by default, 1000; ``None`` opts out). A dropped stop-shingle can
+    lower a pair's intersection count, so the capped form is a *lower
+    bound* on Jaccard for pairs touching such shingles — the production
+    path is LSH-first (``near_dup_pairs``) anyway.
     Output: id_a < id_b, n_common, n_a, n_b, jaccard (rounded 3).
     """
     df = spread(df)
@@ -213,11 +217,15 @@ def ngram_jaccard_pairs(
     sizes = df.select(
         F.col(id_col), F.size(shingles(tokens(text_col), ngram)).alias("n_sh")
     )
-    common = (
+    posting = (
         sh.groupBy("sh")
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
         .filter(F.size("_ids") > 1)
-        .select(F.explode(_pair_structs(F.col("_ids"))).alias("p"))
+    )
+    if max_bucket is not None:
+        posting = posting.filter(F.size("_ids") <= max_bucket)
+    common = (
+        posting.select(F.explode(_pair_structs(F.col("_ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )

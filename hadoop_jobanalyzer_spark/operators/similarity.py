@@ -101,7 +101,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 7,
     round_to: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, candidate-bounded.
 
@@ -110,7 +110,8 @@ def embedding_near_dup_pairs(
     pairs *within* buckets (never corpus x corpus), then verify with exact
     cosine >= ``threshold``. Per-vector squared norms are computed once in
     the projection, so each candidate pair costs a single dot-product fold.
-    ``max_bucket`` bounds the O(|bucket|^2) degenerate case.
+    ``max_bucket`` bounds the O(|bucket|^2) degenerate case (ON by
+    default, 1000; ``None`` opts out).
     Output: id_a < id_b, cos_sim (rounded).
     """
     from hadoop_jobanalyzer_spark.functions.vectors import _fold_sum

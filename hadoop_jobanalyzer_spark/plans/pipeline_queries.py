@@ -94,9 +94,12 @@ def q22_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q22_SQL = f"""
 WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+-- stop-shingle cap: mirror the operator's default max_bucket=1000
+keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM keep)
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,

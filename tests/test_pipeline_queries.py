@@ -46,6 +46,29 @@ def test_lsh_candidates_catch_jaccard_dups(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(jac)} true pairs"
 
 
+def test_max_bucket_bounds_degenerate_corpus(spark):
+    """A corpus of identical docs is the O(n^2) worst case: every shingle's
+    posting list is the whole corpus. The default stop-shingle cap must keep
+    the pair fan-out bounded; opting out (max_bucket=None) restores the
+    exact all-pairs expansion."""
+    from hadoop_jobanalyzer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    n = 12
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    # capped: every posting list has 12 > 4 docs -> all dropped -> no pairs
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", max_bucket=4).count() == 0
+    assert lsh_candidate_pairs(docs, "doc_id", "text", max_bucket=4).count() == 0
+    # opt-out: full n*(n-1)/2 expansion
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", max_bucket=None)
+    assert full.count() == n * (n - 1) // 2
+
+
 def test_knn_lsh_overlaps_brute_force(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     bf = [r["vec_id"] for r in knn_brute_force(t["embeddings"], "vec_id", "embedding", 0, k=10).collect()]
