@@ -28,9 +28,8 @@ def range_join(
     lo_col: str,
     hi_col: str,
     bucket_width: float,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join left rows to right intervals with ``lo <= value < hi``.
+    """Inner-join left rows to right intervals with ``lo <= value < hi``.
 
     A naive non-equi join degenerates to a per-key cross product (Spark
     plans it as BroadcastNestedLoopJoin — O(|left| x |right|) comparisons).
@@ -39,6 +38,10 @@ def range_join(
     range predicate filters the candidates. ``bucket_width`` should be of
     the order of the typical interval width (narrower -> more interval
     duplication, wider -> more false candidates).
+
+    Inner only: the bucket explode duplicates intervals and the post-join
+    range filter would drop outer-extended null rows, so any outer variant
+    of this plan yields wrong results by construction.
     """
     bucket = F.floor(F.col(value_col) / F.lit(bucket_width))
     r_buckets = right.withColumn(
@@ -52,9 +55,7 @@ def range_join(
             )
         ),
     )
-    joined = left.withColumn("_bucket", bucket).join(
-        r_buckets, "_bucket", how
-    )
+    joined = left.withColumn("_bucket", bucket).join(r_buckets, "_bucket", "inner")
     return joined.filter(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     ).drop("_bucket")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -25,7 +26,12 @@ TABLES = [
 ]
 
 
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Keyed on the live session object (weakly — a stopped, collected session
+# must not pin its plans, and id() reuse after GC must not serve another
+# session's DataFrames). Inner dict: sf_dir -> {table -> DataFrame}.
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -37,14 +43,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     (session, dir) — schema reads and view registration happen once, not
     once per query.
     """
-    key = (id(spark), sf_dir)
-    if key in _CACHE:
+    per_session = _CACHE.setdefault(spark, {})
+    if sf_dir in per_session:
         # plans are reusable as-is, but temp views must repoint in case a
         # different sf_dir registered them since (driver runs two SFs in
         # one session)
-        for name, df in _CACHE[key].items():
+        for name, df in per_session[sf_dir].items():
             df.createOrReplaceTempView(name)
-        return _CACHE[key]
+        return per_session[sf_dir]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -54,5 +60,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
         df.createOrReplaceTempView(name)
         out[name] = df
-    _CACHE[key] = out
+    per_session[sf_dir] = out
     return out

@@ -108,6 +108,21 @@ def _png_bytes(width: int, height: int, rows: list[bytes]) -> bytes:
     )
 
 
+def _assert_single_job(df: DataFrame, what: str) -> None:
+    """The PNG renderers draw ONE job's chart (the reference CGI serves one
+    job per request, job_history.cgi:344-390). A multi-job frame would
+    silently interleave and average buckets across jobs — reject it."""
+    keys = [c for c in ("source_file", "jobid") if c in df.columns]
+    if not keys:
+        return
+    n = df.select(*keys).distinct().limit(2).count()
+    if n > 1:
+        raise ValueError(
+            f"{what} renders a single job but the input has multiple "
+            f"({keys}) keys — filter to one job first"
+        )
+
+
 def render_gantt_png(
     table_df: DataFrame,
     out_path: str,
@@ -126,6 +141,7 @@ def render_gantt_png(
     capped at ``max_rows`` tasks (sampled evenly beyond that) so the chart
     never pulls an unbounded table into the driver.
     """
+    _assert_single_job(table_df, "render_gantt_png")
     rows = (
         table_df.select(start_col, end_col)
         .filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
@@ -169,6 +185,7 @@ def render_timeline_png(
     buckets into pixel columns, and stacks the series bottom-up in the
     reference's colors.
     """
+    _assert_single_job(timeline_df, "render_timeline_png")
     rows = (
         timeline_df.select("t", *series).orderBy("t").collect()
     )

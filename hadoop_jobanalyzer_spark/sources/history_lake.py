@@ -50,35 +50,68 @@ def compact_lake_view(
     view: str,
     files_per_partition: int = 1,
 ) -> tuple[int, int]:
-    """Compact one lake view's small files in place.
+    """Compact one lake view's small files.
 
     Fleet-scale append ingest accumulates one-file-per-batch partitions; a
     scan then pays one task + one footer read per tiny file. Compaction
-    rewrites each ``jobid`` partition to ``files_per_partition`` files.
-    Uses dynamic partition overwrite so only partitions present in the
-    rewrite are replaced — concurrent appends to *other* jobids survive.
+    rewrites each ``jobid`` partition to (at most) ``files_per_partition``
+    files: rows are range-partitioned on (jobid, salt) with salt =
+    hash(row) % files_per_partition and one target partition per
+    (jobid, salt) group, so rows of one jobid actually land in
+    ``files_per_partition`` distinct tasks (a bare ``repartition(n,
+    "jobid")`` would put the whole jobid in a single task regardless of
+    ``n``, and hash-partitioning on the salt can collide salt groups into
+    one task). Parallelism scales with #jobs x files_per_partition.
+
+    Crash safety: the compacted view is written to a sibling ``.compacting``
+    directory, row counts are verified, and the result is swapped in with
+    two filesystem renames — the original is never modified until the
+    replacement is complete, so a mid-write failure leaves the live view
+    intact. The swap replaces the WHOLE view: do not run compaction
+    concurrently with appends to the same view (appends landing between
+    read and swap would be dropped).
 
     Returns (files_before, files_after) for observability.
     """
     import glob
 
+    from pyspark.sql import functions as F
+
     view_path = os.path.join(path, view)
+    tmp_path = view_path + ".compacting"
+    old_path = view_path + ".old"
 
-    def _count() -> int:
-        return len(glob.glob(os.path.join(view_path, "*", "*.parquet")))
+    def _count(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "*", "*.parquet")))
 
-    before = _count()
+    before = _count(view_path)
     df = spark.read.parquet(view_path)
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.repartition(files_per_partition, "jobid")
-            .sortWithinPartitions("jobid")
-            .write.mode("overwrite")
-            .partitionBy("jobid")
-            .parquet(view_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
-    return before, _count()
+    n_rows = df.count()
+    n_jobs = df.select("jobid").distinct().count()  # column-pruned scan
+    # hash() rejects MAP-typed input anywhere in the column (counters is
+    # array<struct<..,map<..>>>) — salt on the map-free columns only
+    hashable = [c for c, t in df.dtypes if "map<" not in t]
+    salt = F.pmod(F.abs(F.hash(*hashable)), F.lit(files_per_partition))
+    (
+        df.withColumn("_salt", salt)
+        .repartitionByRange(max(1, n_jobs * files_per_partition), "jobid", "_salt")
+        .sortWithinPartitions("jobid")
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy("jobid")
+        .parquet(tmp_path)
+    )
+    if spark.read.parquet(tmp_path).count() != n_rows:  # pragma: no cover
+        raise RuntimeError(f"compaction row-count mismatch for {view_path}; original left in place")
+    # atomic-ish swap via the Hadoop FileSystem API (works on HDFS/S3A/local)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.delete(hpath(old_path), True)
+    if not fs.rename(hpath(view_path), hpath(old_path)):  # pragma: no cover
+        raise RuntimeError(f"compaction swap failed renaming {view_path} aside")
+    if not fs.rename(hpath(tmp_path), hpath(view_path)):  # pragma: no cover
+        fs.rename(hpath(old_path), hpath(view_path))  # roll back
+        raise RuntimeError(f"compaction swap failed installing {tmp_path}; rolled back")
+    fs.delete(hpath(old_path), True)
+    return before, _count(view_path)

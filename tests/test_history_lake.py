@@ -71,3 +71,24 @@ def test_compact_lake_view(spark, tmp_path, fixture_log1, fixture_log2):
         (r["jobid"], r["taskid"]) for r in read_history_lake(spark, lake).tasks.collect()
     )
     assert after_rows == before_rows
+    # the original is swapped out wholesale — no stale .compacting/.old left
+    leftovers = [p.name for p in tmp_path.glob("lake/tasks.*")]
+    assert leftovers == [], leftovers
+
+
+def test_compact_lake_view_multi_file(spark, tmp_path, fixture_log1):
+    """files_per_partition > 1 actually produces multiple files per jobid
+    (the shuffle key is salted — a bare repartition(n, jobid) could not)."""
+    from hadoop_jobanalyzer_spark.sources import load_history
+    from hadoop_jobanalyzer_spark.sources.history_lake import (
+        compact_lake_view,
+        read_history_lake,
+        write_history_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    write_history_lake(load_history(spark, fixture_log1), lake)
+    before_rows = read_history_lake(spark, lake).tasks.count()
+    _, na = compact_lake_view(spark, lake, "tasks", files_per_partition=3)
+    assert na == 3  # one jobid partition, salted into 3 files
+    assert read_history_lake(spark, lake).tasks.count() == before_rows

@@ -73,6 +73,20 @@ def test_render_timeline_png(spark, fixture_log1, tmp_path):
     assert px == TIMELINE_COLORS["maps"], px
 
 
+def test_render_png_rejects_multi_job(spark, fixture_log1, fixture_log2, tmp_path):
+    """The renderers draw one job per chart (reference CGI serves one job
+    per request); a multi-job frame must be rejected, not interleaved."""
+    import pytest
+
+    from hadoop_jobanalyzer_spark.sinks import render_gantt_png
+
+    v = load_history(spark, f"{fixture_log1.rsplit('/', 1)[0]}/*")
+    with pytest.raises(ValueError, match="multiple"):
+        render_timeline_png(timeline(v), str(tmp_path / "t.png"), width=40, height=30)
+    with pytest.raises(ValueError, match="multiple"):
+        render_gantt_png(map_table(v), str(tmp_path / "g.png"), width=40, height=30)
+
+
 def test_stage_url_file_scheme(spark, fixture_log1):
     from pathlib import Path
 
