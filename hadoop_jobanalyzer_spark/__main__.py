@@ -15,7 +15,10 @@ Flag semantics follow ``/root/reference/bin/job_history:78-191``:
 * ``-i`` a path, glob, directory, ``http(s)://`` / ``file://`` URL, or
   ``-`` for stdin (staged to a temp file — Spark reads files, not pipes);
 * ``--scale`` one timestamp divisor (default 1000 = seconds, where the
-  reference hard-coded 1e6 CLI / 1e3 py / 1e2 CGI).
+  reference hard-coded 1e6 CLI / 1e3 py / 1e2 CGI);
+* ``--require-success`` skip non-SUCCESS jobs entirely (the reference's
+  ``-s`` bails out on them, bin/job_history:384-386; default computes
+  every job per SURVEY.md §2.9).
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ from hadoop_jobanalyzer_spark.operators import (
 from hadoop_jobanalyzer_spark.session import get_spark
 from hadoop_jobanalyzer_spark.sinks import delimited_lines
 from hadoop_jobanalyzer_spark.sources import load_history
-from hadoop_jobanalyzer_spark.sources.job_history import stage_url
+from hadoop_jobanalyzer_spark.sources.job_history import filter_success, stage_url
 
 SUMMARY_COLS = [
     "jobid",
@@ -80,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", default=", ", metavar="DELIM", help="output delimiter (default ', ')")
     p.add_argument("-i", default="-", metavar="INPUT", help="path/glob/URL or - for stdin")
     p.add_argument("--scale", type=int, default=1000, help="timestamp divisor (default 1000)")
+    p.add_argument(
+        "--require-success",
+        action="store_true",
+        help="skip non-SUCCESS jobs (reference -s bail-out, bin/job_history:384-386)",
+    )
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     return p
 
@@ -101,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="job_history", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     views = load_history(spark, resolve_input(args.i))
+    if args.require_success:
+        views = filter_success(views)
 
     if args.s:
         df, cols = job_summary(views, scale=args.scale), SUMMARY_COLS

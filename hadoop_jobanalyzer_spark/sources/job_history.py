@@ -313,6 +313,26 @@ class HistoryViews:
         self.final_attempts().createOrReplaceTempView(f"{prefix}final_attempts")
 
 
+def filter_success(views: HistoryViews) -> HistoryViews:
+    """Keep only jobs whose final status is SUCCESS, across every view.
+
+    The reference's ``-s`` mode bails out before computing statistics for a
+    non-SUCCESS job (bin/job_history:384-386); SURVEY.md §2.9 keeps that as
+    an opt-in (``--require-success``) with compute-anyway as the default.
+    The jobs view is tiny (one row per job), so the membership join is an
+    explicit broadcast semi-join — no shuffle of tasks/attempts.
+    """
+    ok = views.jobs.filter(F.col("job_status") == "SUCCESS")
+    keys = F.broadcast(ok.select("source_file", "jobid"))
+    on = ["source_file", "jobid"]
+    return HistoryViews(
+        records=views.records,
+        jobs=ok,
+        tasks=views.tasks.join(keys, on, "left_semi"),
+        attempts=views.attempts.join(keys, on, "left_semi"),
+    )
+
+
 def load_history(spark: SparkSession, path: str, unescape: bool = False) -> HistoryViews:
     """One-call ingest: path (file, glob, or directory of job logs) -> views."""
     parsed = parse_records(read_raw_records(spark, path), unescape=unescape)

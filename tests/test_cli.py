@@ -36,3 +36,33 @@ def test_cli_mutually_exclusive_modes():
     except SystemExit:
         raised = True
     assert raised
+
+
+def test_cli_require_success_skips_failed_job(capsys, spark):
+    """--require-success drops non-SUCCESS jobs (reference -s bail-out,
+    bin/job_history:384-386); default computes them anyway."""
+    import os
+
+    failed = os.path.join(os.path.dirname(__file__), "data", "failed_log.txt")
+    assert main(["-s", "-i", failed]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 1
+    assert main(["-s", "-i", failed, "--require-success"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_cli_require_success_mixed_dir(capsys, spark, tmp_path):
+    """In a directory with one SUCCESS and one FAILED job, only the SUCCESS
+    job survives the filter — tasks/attempts views included."""
+    import os
+    import shutil
+
+    from hadoop_jobanalyzer_spark.sources import load_history
+    from hadoop_jobanalyzer_spark.sources.job_history import filter_success
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    for name in ("tiny_log.txt", "failed_log.txt"):
+        shutil.copy(os.path.join(data, name), tmp_path / name)
+    views = filter_success(load_history(spark, str(tmp_path / "*")))
+    assert [r["jobid"] for r in views.jobs.collect()] == ["job_202001010000_0001"]
+    assert views.tasks.filter("jobid = 'job_202001010000_0002'").count() == 0
+    assert views.attempts.filter("jobid = 'job_202001010000_0002'").count() == 0
