@@ -34,6 +34,7 @@ from hadoop_jobanalyzer_spark.operators import (
     reduce_bytes_table,
     reduce_table,
     timeline,
+    wasted_summary,
 )
 from hadoop_jobanalyzer_spark.session import get_spark
 from hadoop_jobanalyzer_spark.sinks import delimited_lines
@@ -66,6 +67,7 @@ REDUCE_COLS = [
 RBYTES_COLS = ["taskid", "reduce_output_bytes", "shuffle_finish_rel", "reduce_finish_rel"]
 TIMELINE_COLS = ["t", "maps", "shuffle", "merge", "reduce", "waste"]
 ERRORS_COLS = ["jobid", "task_type", "task_status", "error_class", "n_attempts"]
+WASTED_COLS = ["jobid", "n_wasted", "n_wasted_maps", "n_wasted_reduces", "wasted_time"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -79,6 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("-r", action="store_true", help="per-reduce-task table")
     mode.add_argument("--reduce-bytes", action="store_true", help="reduce output-bytes table")
     mode.add_argument("--errors", action="store_true", help="failure summary by exception class")
+    mode.add_argument("--wasted", action="store_true", help="per-job wasted-attempt report")
     mode.add_argument("-t", action="store_true", help="concurrency timeline (default)")
     p.add_argument("-d", default=", ", metavar="DELIM", help="output delimiter (default ', ')")
     p.add_argument("-i", default="-", metavar="INPUT", help="path/glob/URL or - for stdin")
@@ -122,6 +125,8 @@ def main(argv: list[str] | None = None) -> int:
         df, cols = reduce_bytes_table(views, scale=args.scale), RBYTES_COLS
     elif args.errors:
         df, cols = error_summary(views), ERRORS_COLS
+    elif args.wasted:
+        df, cols = wasted_summary(views, scale=args.scale), WASTED_COLS
     else:
         df, cols = timeline(views, scale=args.scale), TIMELINE_COLS
 

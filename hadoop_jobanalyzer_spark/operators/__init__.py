@@ -13,6 +13,8 @@ from hadoop_jobanalyzer_spark.operators.history_reports import (
     map_table,
     reduce_bytes_table,
     reduce_table,
+    wasted_attempts,
+    wasted_summary,
 )
 from hadoop_jobanalyzer_spark.operators.similarity import (
     embedding_near_dup_pairs,
@@ -40,4 +42,6 @@ __all__ = [
     "reduce_bytes_table",
     "reduce_table",
     "timeline",
+    "wasted_attempts",
+    "wasted_summary",
 ]

@@ -272,3 +272,64 @@ def fleet_summary(views: HistoryViews, scale: int = 1000) -> DataFrame:
         )
         .orderBy("user")
     )
+
+
+def wasted_attempts(views: HistoryViews, scale: int = 1000) -> DataFrame:
+    """Every finished MAP/REDUCE attempt whose work was thrown away — the
+    reference's ``wastedAttempts`` list, collected but never reported
+    (bin/job_history:205,276-281,302-307; SURVEY.md §2.9 "expose as real
+    query outputs").
+
+    Wasted = the finish record's status is non-SUCCESS, or it is SUCCESS
+    but a later (in-file order) SUCCESS finish superseded it for the same
+    task (last-success-wins, mirroring ``final_attempts``). SETUP/CLEANUP
+    attempts never count (reference early-return, bin/job_history:242-244).
+
+    One window over (source_file, taskid) — no join, no extra shuffle
+    beyond the attempt merge itself.
+    """
+    from pyspark.sql.window import Window
+
+    att = views.attempts.filter(
+        F.col("finish_time").isNotNull()
+        & ~F.col("task_type").isin("SETUP", "CLEANUP")
+    )
+    w = Window.partitionBy("source_file", "taskid")
+    final_seq = F.max(
+        F.when(F.col("task_status") == "SUCCESS", F.col("finish_seq"))
+    ).over(w)
+    is_final = (F.col("task_status") == "SUCCESS") & (
+        F.col("finish_seq") == final_seq
+    )
+    return (
+        att.withColumn("_final", is_final)
+        .filter(~F.col("_final"))
+        .select(
+            *_JOB_KEY,
+            "taskid",
+            "attempt_id",
+            "task_type",
+            "task_status",
+            _abs(F.col("start_time"), scale).alias("start_time"),
+            _abs(F.col("finish_time"), scale).alias("end_time"),
+            _dur(F.col("finish_time"), F.col("start_time"), scale).alias("wasted_time"),
+        )
+        .orderBy(*_JOB_KEY, "taskid", "attempt_id")
+    )
+
+
+def wasted_summary(views: HistoryViews, scale: int = 1000) -> DataFrame:
+    """Per-job rollup of :func:`wasted_attempts`: counts by type plus total
+    wasted time (attempts with no START_TIME contribute null duration and
+    are excluded from the time sum but counted)."""
+    return (
+        wasted_attempts(views, scale)
+        .groupBy(*_JOB_KEY)
+        .agg(
+            F.count("*").alias("n_wasted"),
+            F.count(F.when(F.col("task_type") == "MAP", 1)).alias("n_wasted_maps"),
+            F.count(F.when(F.col("task_type") == "REDUCE", 1)).alias("n_wasted_reduces"),
+            F.sum("wasted_time").alias("wasted_time"),
+        )
+        .orderBy(*_JOB_KEY)
+    )

@@ -160,3 +160,63 @@ def test_fleet_summary_both_logs(spark, fixture_log1, fixture_log2):
     assert (k["failed_maps"], k["failed_reduces"]) == (127, 12)
     h = rows["hadoop"]
     assert (h["n_jobs"], h["total_maps"], h["failed_maps"]) == (1, 1024, 34)
+
+
+def _reference_wasted(path):
+    """Independent line-by-line reimplementation of the reference's
+    wastedAttempts fold (bin/job_history:205,242-244,268-281,296-307):
+    record reassembly, SETUP/CLEANUP skip, last-success-wins supersession."""
+    import re
+
+    attr_pat = re.compile(r'(\w+)="((?:[^"\\]|\\.)*)"')
+    final_attempt, wasted = {}, set()
+    remainder = ""
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if len(line) < 3 or not line.endswith(" ."):
+                remainder += line
+                continue
+            record, remainder = remainder + line, ""
+            event = record.split(" ", 1)[0]
+            if event not in ("MapAttempt", "ReduceAttempt"):
+                continue
+            attrs = dict(attr_pat.findall(record))
+            if attrs.get("TASK_TYPE") in ("SETUP", "CLEANUP"):
+                continue
+            if "START_TIME" in attrs:
+                continue  # reference: START branch wins, FINISH is elif
+            if "FINISH_TIME" in attrs:
+                task, att = attrs["TASKID"], attrs["TASK_ATTEMPT_ID"]
+                if attrs.get("TASK_STATUS") == "SUCCESS":
+                    if task in final_attempt:
+                        wasted.add(final_attempt[task])
+                    final_attempt[task] = att
+                else:
+                    wasted.add(att)
+    return wasted
+
+
+@pytest.mark.parametrize("fixture", ["fixture_log1", "fixture_log2", "tiny"])
+def test_wasted_attempts_matches_reference_fold(spark, request, fixture):
+    from hadoop_jobanalyzer_spark.operators import wasted_attempts
+
+    path = TINY if fixture == "tiny" else request.getfixturevalue(fixture)
+    views = load_history(spark, path)
+    got = {r["attempt_id"] for r in wasted_attempts(views).collect()}
+    want = _reference_wasted(path)
+    assert got == want
+    if fixture == "tiny":  # spot golden: m_000001's failed first attempt
+        assert got == {"attempt_202001010000_0001_m_000001_0"}
+
+
+def test_wasted_summary_golden_log1(spark, fixture_log1):
+    """README-level golden: kmerStats has 127 failed maps + 12 failed
+    reduces; superseded successes add the rest (139 is the floor)."""
+    from hadoop_jobanalyzer_spark.operators import wasted_summary
+
+    row = wasted_summary(load_history(spark, fixture_log1)).collect()[0]
+    assert row["n_wasted"] == row["n_wasted_maps"] + row["n_wasted_reduces"]
+    assert row["n_wasted"] >= 139
+    assert row["n_wasted"] == len(_reference_wasted(fixture_log1))
+    assert row["wasted_time"] is not None and row["wasted_time"] > 0
