@@ -58,6 +58,13 @@ def main() -> None:
     # the plan, not session cold-start.
     next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Touch every table once (footer + schema read) so the first query over
+    # each table doesn't absorb its I/O warm-up into the timing.
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    for df in load_tables(spark, SF_DIR).values():
+        df.limit(1).write.format("noop").mode("overwrite").save()
+
     # Warm the Python worker pool (reused across queries) so the one pandas
     # query doesn't absorb 32 worker cold-starts into its timing.
     spark.range(int(CPUS) * 4).repartition(int(CPUS)).mapInPandas(
