@@ -168,3 +168,88 @@ def knn_ivf_cell(
     )
     cell = df.join(F.broadcast(qcell), F.col(cell_col) == F.col("_qc")).drop("_qc")
     return knn_brute_force(cell, id_col, vec_col, query_id, k, round_to)
+
+
+def knn_lsh_multiprobe(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Multi-probe ANN: exact cosine ranking over the query's LSH bucket
+    plus every bucket within Hamming distance 1 of it.
+
+    Single-bucket LSH misses neighbors whose signature differs by one
+    near-zero hyperplane projection; probing the n_planes adjacent buckets
+    recovers most of that recall for (n_planes+1)/2^n_planes of the corpus
+    scanned. The probe set is n_planes+1 rows — broadcast to an equi-join
+    on bucket id, so the corpus is still scanned once and shuffled never.
+    """
+    buckets = lsh_buckets(df, id_col, vec_col, n_planes, dim)
+    qb = buckets.filter(F.col(id_col) == query_id).select(F.col("bucket").alias("_qb"))
+    masks = F.array(F.lit(0), *[F.lit(2**i) for i in range(n_planes)])
+    probes = qb.select(
+        F.explode(masks).alias("_mask"), "_qb"
+    ).select(F.col("_qb").bitwiseXOR(F.col("_mask")).alias("_pb"))
+    candidates = (
+        buckets.join(F.broadcast(probes), F.col("bucket") == F.col("_pb"))
+        .select(id_col)
+        .join(df, id_col)
+    )
+    return knn_brute_force(candidates, id_col, vec_col, query_id, k, round_to)
+
+
+def assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF coarse quantizer: (id, cell) = nearest centroid by cosine.
+
+    Centroids are the ``n_cells`` lowest-id vectors — deterministic and
+    engine-reproducible (a production pipeline would k-means or sample
+    them offline; the *assignment pass* is identical either way: broadcast
+    centroids x one corpus scan, no shuffle of the corpus). Ties on the
+    rounded cosine break toward the lowest centroid id.
+    """
+    from pyspark.sql.window import Window
+
+    cents = (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("_cid"), to_double(F.col(vec_col)).alias("_cv"))
+    )
+    cos = F.round(cosine(to_double(F.col(vec_col)), F.col("_cv")), round_to)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "_cid")
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), F.col("_cid"), cos.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_cid").alias("cell"))
+    )
+
+
+def knn_ivf_assigned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 5,
+    n_cells: int = 16,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF ANN with a *computed* coarse quantizer: assign every vector to
+    its nearest-centroid cell (:func:`assign_cells`), then search only the
+    query's cell. With the assignment persisted and the corpus partitioned
+    by cell, the cell restriction is partition pruning at the scan."""
+    cells = assign_cells(df, id_col, vec_col, n_cells)
+    assigned = df.join(cells, id_col)
+    return knn_ivf_cell(assigned, id_col, vec_col, "cell", query_id, k, round_to)

@@ -38,7 +38,9 @@ from hadoop_jobanalyzer_spark.operators.multimodal import attach_payload, payloa
 from hadoop_jobanalyzer_spark.operators.similarity import (
     embedding_near_dup_pairs,
     knn_brute_force,
+    knn_ivf_assigned,
     knn_ivf_cell,
+    knn_lsh_multiprobe,
     lsh_buckets,
 )
 from hadoop_jobanalyzer_spark.functions.vectors import hyperplanes
@@ -462,6 +464,74 @@ FROM documents ORDER BY doc_id
 # --- multimodal --------------------------------------------------------------
 
 
+def q60_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query's bucket plus all Hamming-1 buckets
+    (operators/similarity.knn_lsh_multiprobe)."""
+    t = load_tables(spark, sf_dir)
+    return knn_lsh_multiprobe(
+        t["embeddings"], "vec_id", "embedding", query_id=0, k=10, n_planes=8, dim=64
+    )
+
+
+def _q60_sql() -> str:
+    terms = []
+    for i, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]::BIGINT[]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(embedding::DOUBLE[], {arr}), "
+            f"x -> CAST(ROUND(x[1] * 1000) AS BIGINT) * x[2])) >= 0 "
+            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    probe_dists = ", ".join(str(m) for m in [0] + [2**i for i in range(8)])
+    return f"""
+WITH b AS (SELECT vec_id, ({bucket}) AS bucket FROM embeddings),
+qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+cand AS (SELECT vec_id FROM b, qb WHERE xor(bucket, qbucket) IN ({probe_dists})),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_COS_SQL} AS cos_sim
+FROM embeddings e JOIN cand USING (vec_id), q
+WHERE e.vec_id != 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def q61_knn_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a *computed* nearest-centroid assignment (no pre-labeled
+    cell column — operators/similarity.assign_cells)."""
+    t = load_tables(spark, sf_dir)
+    return knn_ivf_assigned(
+        t["embeddings"], "vec_id", "embedding", query_id=0, k=5, n_cells=16
+    )
+
+
+Q61_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+cents AS (SELECT vec_id AS cid, vv AS cv FROM v ORDER BY vec_id LIMIT 16),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         ROUND(list_sum(list_transform(list_zip(v.vv, c.cv), x -> x[1] * x[2]))
+               / sqrt(list_sum(list_transform(v.vv, x -> x * x))
+                      * list_sum(list_transform(c.cv, x -> x * x))), 6) AS cos
+  FROM v CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM scored) WHERE rn = 1
+),
+qcell AS (SELECT cell AS qc FROM cells WHERE vec_id = 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_COS_SQL} AS cos_sim
+FROM embeddings e JOIN cells USING (vec_id), qcell, q
+WHERE cells.cell = qcell.qc AND e.vec_id != 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+"""
+
+
 def q30_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload metadata via the Arrow/mapInPandas plumbing (the
     corpus is ASCII, so the byte-level oracle can restate it in SQL).
@@ -493,6 +563,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q27_knn_brute_force": (q27_knn_brute_force, Q27_SQL),
     "q28_lsh_bucket_histogram": (q28_lsh_bucket_histogram, _q28_sql()),
     "q29_knn_ivf_cell": (q29_knn_ivf_cell, Q29_SQL),
+    "q60_knn_multiprobe": (q60_knn_multiprobe, _q60_sql()),
+    "q61_knn_ivf_assigned": (q61_knn_ivf_assigned, Q61_SQL),
     "q30_payload_meta": (q30_payload_meta, Q30_SQL),
     "q31_winnow_fingerprints": (q31_winnow_fingerprints, Q31_SQL),
     "q32_embedding_near_dups": (q32_embedding_near_dups, Q32_SQL),

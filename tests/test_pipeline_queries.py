@@ -79,6 +79,37 @@ def test_knn_lsh_overlaps_brute_force(spark, sf_dir):
     assert set(ann).isdisjoint({0})
 
 
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    """Hamming-1 probing must search a superset of the single bucket, so
+    its top-k cosine floor is >= single-bucket's and both are bounded by
+    brute force."""
+    from hadoop_jobanalyzer_spark.operators.similarity import knn_lsh_multiprobe
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    bf = {r["vec_id"]: r["cos_sim"] for r in knn_brute_force(emb, "vec_id", "embedding", 0, k=10).collect()}
+    single = [r["cos_sim"] for r in knn_lsh(emb, "vec_id", "embedding", 0, k=10).collect()]
+    multi = [r["cos_sim"] for r in knn_lsh_multiprobe(emb, "vec_id", "embedding", 0, k=10).collect()]
+    assert len(multi) >= len(single)
+    if single and multi:
+        assert min(multi) >= min(single) or len(multi) > len(single)
+    # every multiprobe hit is bounded by the true max
+    assert max(multi) <= max(bf.values())
+
+
+def test_assign_cells_covers_corpus(spark, sf_dir):
+    """Every vector gets exactly one cell; centroid vectors map to their
+    own cell (cosine(v, v) = 1 beats any other centroid)."""
+    from hadoop_jobanalyzer_spark.operators.similarity import assign_cells
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cells = assign_cells(emb, "vec_id", "embedding", n_cells=8)
+    assert cells.count() == emb.count()
+    own = {r["vec_id"]: r["cell"] for r in cells.filter(F.col("vec_id") < 8).collect()}
+    assert own == {i: i for i in range(8)}
+
+
 def test_multimodal_fake_features(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     payloads = attach_payload(t["documents"].limit(20), "doc_id", "text")

@@ -19,9 +19,15 @@ from hadoop_jobanalyzer_spark.sources.job_history import (
     tasks_view,
 )
 
-# Queries where an O(n) x 1-row broadcast nested loop is the *intended*
-# plan (single query-vector crossJoin — the broadcast side is one row).
-NESTED_LOOP_OK = {"q27_knn_brute_force", "q29_knn_ivf_cell"}
+# Queries where an O(n) x tiny-broadcast nested loop is the *intended*
+# plan (single query-vector or n_cells-centroid crossJoin — the broadcast
+# side is 1..n_cells rows).
+NESTED_LOOP_OK = {
+    "q27_knn_brute_force",
+    "q29_knn_ivf_cell",
+    "q60_knn_multiprobe",
+    "q61_knn_ivf_assigned",
+}
 
 
 def _plan(df) -> str:
