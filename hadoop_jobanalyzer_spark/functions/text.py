@@ -217,3 +217,33 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for b in bits[1:]:
         total = total + b
     return hashed.groupBy(id_col).agg(*votes).select(F.col(id_col), total.alias("simhash"))
+
+
+# PII scrubbing (training-data hygiene). The synthetic corpus has no PII,
+# so these are exercised by unit tests with planted values rather than a
+# registry query — the expressions are ordinary codegen regexps and run
+# unchanged over a real corpus.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d(). -]{7,}\d",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (email/url/phone)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.regexp_count(text, F.lit(pat)) for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace each PII match with a typed placeholder (<EMAIL>/<URL>/
+    <PHONE>). Order matters: emails first (their local part would otherwise
+    survive a phone-ish digit run), then URLs, then phones."""
+    text = F.col(text) if isinstance(text, str) else text
+    out = text
+    for kind in ("email", "url", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

@@ -246,3 +246,51 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+def minhash_est_vs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Estimator-quality report: per LSH candidate pair, the MinHash
+    Jaccard estimate (fraction of agreeing signature positions) next to
+    the exact n-gram Jaccard.
+
+    This is the knob-tuning query for the dedup pipeline: it quantifies,
+    on live data, how far b bands x r rows of signature drift from truth —
+    the input for choosing n_hashes/bands at corpus scale. Production
+    would persist the signature table once (Spark recomputes unpersisted
+    subtrees); at report scale the recompute is two codegen passes.
+    Output: id_a < id_b, est_jaccard, jaccard, abs_err.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram)
+    pairs = near_dup_pairs(
+        df, id_col, text_col, n_hashes, bands, ngram,
+        threshold=0.0, max_bucket=max_bucket,
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(n_hashes)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(n_hashes)]
+    )
+    agree = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(n_hashes)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(n_hashes), 3).alias("est_jaccard"),
+            "jaccard",
+            F.round(F.abs(agree / F.lit(n_hashes) - F.col("jaccard")), 3).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )

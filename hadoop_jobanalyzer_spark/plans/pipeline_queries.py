@@ -22,6 +22,8 @@ from hadoop_jobanalyzer_spark.functions.text import (
     bow_fingerprint,
     distinct_token_count,
     lang_id,
+    shingles,
+    shingles_seq,
     simhash_table,
     stopword_ratio,
     token_count,
@@ -31,6 +33,7 @@ from hadoop_jobanalyzer_spark.functions.text import (
 from hadoop_jobanalyzer_spark.operators.dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
+    minhash_est_vs_exact,
     near_dup_pairs,
     ngram_jaccard_pairs,
 )
@@ -161,10 +164,11 @@ def q34_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_ctes() -> str:
+def near_dup_ctes(threshold: float = 0.2) -> str:
     """The WITH-body (CTE chain) computing LSH-verified near-dup pairs —
-    shared by the q34 oracle and the q40 clustering oracle (which adds a
-    recursive connected-components CTE on top)."""
+    shared by the q34 oracle, the q40 clustering oracle (which adds a
+    recursive connected-components CTE on top), and the q66 estimator
+    comparison (threshold 0 = keep every candidate)."""
     from hadoop_jobanalyzer_spark.operators.dedup import MINHASH_P, _minhash_params
 
     mins = ", ".join(
@@ -202,7 +206,7 @@ verified AS (
   FROM common
   JOIN sizes sa ON id_a = sa.doc_id
   JOIN sizes sb ON id_b = sb.doc_id
-  WHERE ROUND(n_common / (sa.n + sb.n - n_common), 3) >= 0.2
+  WHERE ROUND(n_common / (sa.n + sb.n - n_common), 3) >= {threshold}
 )"""
 
 
@@ -552,6 +556,210 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- corpus quality / contamination / estimator diagnostics ------------------
+
+
+def q62_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: type-token ratio, top
+    token mass, duplicate-bigram fraction. One explode + two-level partial
+    aggregation; the in-row bigram stat rides the shuffle as one double."""
+    t = load_tables(spark, sf_dir)
+    w = tokens("text")
+    bi = shingles_seq(w, 2)
+    dupbi = F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi)
+    base = spread(t["documents"]).select(
+        "doc_id", F.explode(w).alias("tok"), dupbi.alias("_dupbi")
+    )
+    cnt = base.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("c"), F.min("_dupbi").alias("_dupbi")
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.max("c").alias("_top"),
+            F.min("_dupbi").alias("_dupbi"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+            F.round(F.col("_top") / F.col("n_tokens"), 4).alias("top_token_frac"),
+            F.round("_dupbi", 4).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q62_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+bi AS (
+  SELECT doc_id,
+         ROUND(1 - len(list_distinct(big))::DOUBLE / len(big), 4) AS dup_bigram_frac
+  FROM (SELECT doc_id,
+               list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) AS big
+        FROM words)
+),
+cnt AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS t FROM words) GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+         MAX(c) AS top_c
+  FROM cnt GROUP BY doc_id
+)
+SELECT a.doc_id, n_tokens, n_types,
+       ROUND(n_types::DOUBLE / n_tokens, 4) AS ttr,
+       ROUND(top_c::DOUBLE / n_tokens, 4) AS top_token_frac,
+       bi.dup_bigram_frac
+FROM agg a JOIN bi USING (doc_id) ORDER BY doc_id
+"""
+
+
+_BENCH_MAX_ID = 20  # doc_id < 20 plays the held-out benchmark set
+_CONTAM_N = 5  # 5-gram overlap — long enough that chance collisions vanish
+
+
+def q63_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination probe: for each corpus doc, how many of
+    its distinct 5-gram shingles appear anywhere in the benchmark set
+    (doc_id < 20). The benchmark shingle set is small by construction and
+    explicitly broadcast — the corpus is scanned once, shuffled only for
+    the per-doc count."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"])
+    sh5 = shingles(tokens("text"), _CONTAM_N)
+    bench = (
+        docs.filter(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode(sh5).alias("s"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") >= _BENCH_MAX_ID).select(
+        "doc_id", F.size(sh5).alias("n_sh"), F.explode(sh5).alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_sh"), 4).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q63_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh5 AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+  FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+),
+bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id < {_BENCH_MAX_ID}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh5 GROUP BY doc_id)
+SELECT s.doc_id, COUNT(*) AS n_overlap,
+       ROUND(COUNT(*)::DOUBLE / ANY_VALUE(n_sh), 4) AS overlap_frac
+FROM sh5 s JOIN bench USING (s) JOIN sizes USING (doc_id)
+WHERE s.doc_id >= {_BENCH_MAX_ID}
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+def q64_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (nats): ln(n) - sum(c*ln(c))/n.
+    Same explode + partial-agg shape as q62; float sums are rounded to 4
+    (re-association noise is ~1e-15)."""
+    t = load_tables(spark, sf_dir)
+    cnt = (
+        spread(t["documents"])
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log("c")).alias("_clnc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.log("n_tokens") - F.col("_clnc") / F.col("n_tokens"), 4).alias(
+                "entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q64_SQL = f"""
+WITH cnt AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_WORDS}) AS t FROM documents) GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+FROM cnt GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q65_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape at a glance: docs per log2 token-count bucket."""
+    t = load_tables(spark, sf_dir)
+    n = token_count(tokens("text"))
+    return (
+        t["documents"]
+        .select(F.floor(F.log2(n)).alias("log2_tokens"), n.alias("n"))
+        .groupBy("log2_tokens")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+        .orderBy("log2_tokens")
+    )
+
+
+Q65_SQL = f"""
+SELECT CAST(FLOOR(LOG2(len({_WORDS}))) AS BIGINT) AS log2_tokens,
+       COUNT(*) AS n_docs, MIN(len({_WORDS})) AS min_tokens,
+       MAX(len({_WORDS})) AS max_tokens
+FROM documents GROUP BY 1 ORDER BY log2_tokens
+"""
+
+
+def q66_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality vs exact Jaccard on every LSH candidate
+    pair (operators/dedup.minhash_est_vs_exact)."""
+    t = load_tables(spark, sf_dir)
+    return minhash_est_vs_exact(
+        t["documents"], "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS, ngram=3
+    )
+
+
+def _q66_sql() -> str:
+    est = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+    )
+    return f"""
+WITH {near_dup_ctes(threshold=0.0)}
+SELECT v.id_a, v.id_b,
+       ROUND(({est}) / {_N_HASHES}.0, 3) AS est_jaccard,
+       v.jaccard,
+       ROUND(ABS(({est}) / {_N_HASHES}.0 - v.jaccard), 3) AS abs_err
+FROM verified v
+JOIN m a ON v.id_a = a.doc_id
+JOIN m b ON v.id_b = b.doc_id
+ORDER BY v.id_a, v.id_b
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "q20_dedup_exact": (q20_dedup_exact, Q20_SQL),
     "q21_dedup_bow_fingerprint": (q21_dedup_bow_fingerprint, Q21_SQL),
@@ -565,6 +773,11 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q29_knn_ivf_cell": (q29_knn_ivf_cell, Q29_SQL),
     "q60_knn_multiprobe": (q60_knn_multiprobe, _q60_sql()),
     "q61_knn_ivf_assigned": (q61_knn_ivf_assigned, Q61_SQL),
+    "q62_repetition_signals": (q62_repetition_signals, Q62_SQL),
+    "q63_contamination": (q63_contamination, Q63_SQL),
+    "q64_token_entropy": (q64_token_entropy, Q64_SQL),
+    "q65_doclen_histogram": (q65_doclen_histogram, Q65_SQL),
+    "q66_minhash_estimate": (q66_minhash_estimate, _q66_sql()),
     "q30_payload_meta": (q30_payload_meta, Q30_SQL),
     "q31_winnow_fingerprints": (q31_winnow_fingerprints, Q31_SQL),
     "q32_embedding_near_dups": (q32_embedding_near_dups, Q32_SQL),

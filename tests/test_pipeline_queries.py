@@ -162,3 +162,29 @@ def test_embedding_near_dup_symmetric_bound(spark, sf_dir):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert 0.4 <= r["cos_sim"] <= 1.0
+
+
+def test_redact_pii_planted(spark):
+    """The synthetic corpus has no PII, so redaction is exercised on
+    planted values; expressions are plain codegen regexps."""
+    from hadoop_jobanalyzer_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or call +1 (415) 555-0199 now"),
+        (1, "see https://example.com/a?b=c#d and http://t.co/xyz"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    counts = {k: f"n_{k}" for k in ("email", "url", "phone")}
+    got = df.select(
+        "id",
+        redact_pii("text").alias("clean"),
+        *[v.alias(counts[k]) for k, v in pii_counts("text").items()],
+    ).collect()
+    by_id = {r["id"]: r for r in got}
+    assert "<EMAIL>" in by_id[0]["clean"] and "<PHONE>" in by_id[0]["clean"]
+    assert "@" not in by_id[0]["clean"] and "555" not in by_id[0]["clean"]
+    assert by_id[0]["n_email"] == 1 and by_id[0]["n_phone"] >= 1
+    assert by_id[1]["clean"].count("<URL>") == 2 and by_id[1]["n_url"] == 2
+    assert by_id[2]["clean"] == "nothing sensitive here"
+    assert by_id[2]["n_email"] == by_id[2]["n_url"] == by_id[2]["n_phone"] == 0
