@@ -7,6 +7,7 @@ from hadoop_jobanalyzer_spark.streaming.history_stream import (
     job_status_stream,
     latest_success_attempts,
     read_history_stream,
+    wasted_counts_stream,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "job_status_stream",
     "latest_success_attempts",
     "read_history_stream",
+    "wasted_counts_stream",
 ]

@@ -288,3 +288,32 @@ __all__ = [
     "latest_success_attempts",
     "LATEST_ATTEMPT_OUTPUT_SCHEMA",
 ]
+
+
+def wasted_counts_stream(parsed: DataFrame) -> DataFrame:
+    """Streaming form of the wasted-attempt rollup (reference
+    ``wastedAttempts``, bin/job_history:205,276-281): per task, finished
+    attempts minus the single surviving SUCCESS — every other finish is
+    thrown-away work. Plain incremental aggregation (two counters per
+    task, no custom state store); emit with ``update``/``complete``.
+    SETUP/CLEANUP excluded as in the batch operator.
+    """
+    ev = _attempt_events(parsed).filter(
+        F.col("finish_time").isNotNull()
+        & ~F.col("task_type").isin("SETUP", "CLEANUP")
+    )
+    return (
+        ev.groupBy("source_file", "taskid")
+        .agg(
+            F.count("*").alias("n_finished"),
+            F.count(F.when(F.col("task_status") == "SUCCESS", 1)).alias("n_success"),
+        )
+        .select(
+            "source_file",
+            "taskid",
+            "n_finished",
+            (F.col("n_finished") - F.least(F.lit(1), F.col("n_success"))).alias(
+                "n_wasted"
+            ),
+        )
+    )

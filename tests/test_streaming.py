@@ -158,3 +158,23 @@ def test_attempt_sessions_stream_matches_batch(spark, log_dir):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_wasted_counts_stream_matches_batch(spark, log_dir):
+    """Streaming wasted counts == batch wasted_attempts rolled up per task."""
+    from hadoop_jobanalyzer_spark.operators import wasted_attempts
+    from hadoop_jobanalyzer_spark.streaming.history_stream import wasted_counts_stream
+
+    name = f"wasted_{uuid.uuid4().hex[:8]}"
+    parsed = read_history_stream(spark, log_dir)
+    _run_to_memory(wasted_counts_stream(parsed), name, "complete")
+    got = {
+        r["taskid"]: r["n_wasted"]
+        for r in spark.table(name).filter("n_wasted > 0").collect()
+    }
+    batch = wasted_attempts(load_history(spark, log_dir))
+    want = {
+        r["taskid"]: r["n"]
+        for r in batch.groupBy("taskid").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(got) > 100  # kmerStats alone wastes 139
