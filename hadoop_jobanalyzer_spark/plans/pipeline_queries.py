@@ -567,8 +567,13 @@ def q62_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tokens("text")
     bi = shingles_seq(w, 2)
     dupbi = F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi)
-    base = spread(t["documents"]).select(
-        "doc_id", F.explode(w).alias("tok"), dupbi.alias("_dupbi")
+    # dupbi is materialized in its own projection BEFORE the explode: put in
+    # the same select, the (interpreted-lambda) bigram build would be
+    # re-evaluated per exploded row — measured 20.6s -> 0.9s at sf0.1.
+    base = (
+        spread(t["documents"])
+        .select("doc_id", F.col("text"), dupbi.alias("_dupbi"))
+        .select("doc_id", "_dupbi", F.explode(tokens("text")).alias("tok"))
     )
     cnt = base.groupBy("doc_id", "tok").agg(
         F.count("*").alias("c"), F.min("_dupbi").alias("_dupbi")
@@ -632,18 +637,23 @@ def q63_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"])
     sh5 = shingles(tokens("text"), _CONTAM_N)
+    # Explodes are DIRECT (generator-only selects): carrying another
+    # expression (size) next to a generator re-evaluates the n-gram build
+    # per exploded row — measured 23s vs 3s at sf0.1. Sizes ride a
+    # separate one-row-per-doc projection, as in near_dup_pairs.
     bench = (
         docs.filter(F.col("doc_id") < _BENCH_MAX_ID)
         .select(F.explode(sh5).alias("s"))
         .distinct()
     )
-    corpus = docs.filter(F.col("doc_id") >= _BENCH_MAX_ID).select(
-        "doc_id", F.size(sh5).alias("n_sh"), F.explode(sh5).alias("s")
-    )
+    corpus = docs.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    corpus_sh = corpus.select("doc_id", F.explode(sh5).alias("s"))
+    sizes = corpus.select("doc_id", F.size(sh5).alias("n_sh"))
     return (
-        corpus.join(F.broadcast(bench), "s")
-        .groupBy("doc_id", "n_sh")
+        corpus_sh.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
+        .join(sizes, "doc_id")
         .select(
             "doc_id",
             "n_overlap",
