@@ -23,7 +23,7 @@ from hadoop_jobanalyzer_spark.operators.graph import (
     component_sizes,
     connected_components,
 )
-from hadoop_jobanalyzer_spark.operators.sampling import train_val_test
+from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket, train_val_test
 from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES, near_dup_ctes
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
 from hadoop_jobanalyzer_spark.util import spread
@@ -745,6 +745,116 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- q67: source-balanced deterministic downsampling -------------------------
+
+
+_BAL_MOD = 10_000  # rate resolution for the hash-mod keep decision
+
+
+def q67_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing: downsample every ``source`` to the smallest source's
+    volume with deterministic hash-mod membership — re-runs (and the DuckDB
+    oracle) keep exactly the same documents, and growing one source never
+    reshuffles another's sample.
+
+    Per-source counts are a partial agg; the min is a window over that tiny
+    aggregate (no second scan); rates join back broadcast. The corpus scan
+    itself stays single-pass + codegen.
+    """
+    t = load_tables(spark, sf_dir)
+    counts = t["documents"].groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.lit(_BAL_MOD) * F.min("n_docs").over(w) / F.col("n_docs")).alias(
+            "_rate"
+        ),
+    )
+    kept = (
+        t["documents"]
+        .join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id"), _BAL_MOD) < F.col("_rate"))
+    )
+    return (
+        kept.groupBy("source", "n_docs")
+        .agg(F.count("*").alias("n_kept"))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 4).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q67_SQL = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+rates AS (
+  SELECT source, n_docs,
+         CAST(FLOOR({_BAL_MOD} * (MIN(n_docs) OVER ()) / n_docs) AS BIGINT) AS rate
+  FROM counts
+),
+kept AS (
+  SELECT d.source, r.n_docs
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % {_BAL_MOD} < r.rate
+)
+SELECT source, n_docs, COUNT(*) AS n_kept,
+       ROUND(COUNT(*)::DOUBLE / n_docs, 4) AS kept_frac
+FROM kept GROUP BY source, n_docs ORDER BY source
+"""
+
+
+# --- q68: end-to-end dedup summary -------------------------------------------
+
+
+def q68_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number that matters after dedup: corpus size before/after keeping
+    one document per near-dup cluster (cluster keeper = min doc_id), and
+    the largest cluster as the skew indicator."""
+    t = load_tables(spark, sf_dir)
+    pairs = near_dup_pairs(
+        t["documents"], "doc_id", "text",
+        n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=t["documents"].select(F.col("doc_id").alias("id")), id_col="id",
+    )
+    sized = cc.withColumn(
+        "_csz", F.count("*").over(Window.partitionBy("component"))
+    )
+    return sized.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("component").alias("n_kept"),
+        (F.count("*") - F.countDistinct("component")).alias("n_dropped"),
+        F.max("_csz").alias("max_cluster"),
+    )
+
+
+Q68_SQL = f"""
+WITH RECURSIVE {near_dup_ctes()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT component) AS n_kept,
+       COUNT(*) - COUNT(DISTINCT component) AS n_dropped,
+       CAST(MAX(csz) AS BIGINT) AS max_cluster
+FROM (SELECT doc_id, component, COUNT(*) OVER (PARTITION BY component) AS csz FROM comp)
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -766,4 +876,6 @@ EXTENDED_QUERIES = {
     "q57_big_spenders_sql": (q57_big_spenders_sql, _Q57),
     "q58_spend_distribution": (q58_spend_distribution, Q58_SQL),
     "q59_user_event_profiles": (q59_user_event_profiles, Q59_SQL),
+    "q67_source_balance": (q67_source_balance, Q67_SQL),
+    "q68_dedup_summary": (q68_dedup_summary, Q68_SQL),
 }
