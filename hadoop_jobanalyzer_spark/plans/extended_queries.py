@@ -650,10 +650,10 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, shard, n_tokens,
-       SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-       (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // {_PACK_BUDGET} AS pack_id
+       CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // {_PACK_BUDGET} AS BIGINT) AS pack_id
 FROM d ORDER BY doc_id
 """
 
