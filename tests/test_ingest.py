@@ -154,3 +154,21 @@ def test_jobhistory_datasource_matches_catalyst_parse(spark, fixture_log1, fixtu
 
         a, b = norm(via_ds), norm(via_engine)
         assert len(a) > 1000 and a == b, os.path.basename(log)
+
+
+def test_gzip_log_matches_plain(spark, fixture_log1, tmp_path):
+    """Hadoop history logs commonly arrive gzipped; Spark's text source
+    decompresses by extension, so the whole-file record split must produce
+    identical views from the compressed copy."""
+    import gzip
+    import shutil
+
+    gz = tmp_path / "log1.txt.gz"
+    with open(fixture_log1, "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    plain = load_history(spark, fixture_log1)
+    zipped = load_history(spark, str(gz))
+    want = plain.jobs.drop("source_file").collect()
+    got = zipped.jobs.drop("source_file").collect()
+    assert got == want
+    assert zipped.attempts.count() == plain.attempts.count()
