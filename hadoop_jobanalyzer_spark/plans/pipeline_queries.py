@@ -556,6 +556,53 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q69_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF balance report: vectors and mean norm per computed cell. Skewed
+    cell populations are what turn 'search one cell' into 'search half the
+    corpus' — this is the diagnostic that sizes n_cells."""
+    from hadoop_jobanalyzer_spark.functions.vectors import _fold_sum, to_double
+    from hadoop_jobanalyzer_spark.operators.similarity import assign_cells
+
+    t = load_tables(spark, sf_dir)
+    cells = assign_cells(t["embeddings"], "vec_id", "embedding", n_cells=16)
+    v = to_double(F.col("embedding"))
+    norms = t["embeddings"].select(
+        "vec_id", F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("_norm")
+    )
+    return (
+        cells.join(norms, "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("_norm"), 4).alias("avg_norm"),
+        )
+        .orderBy("cell")
+    )
+
+
+Q69_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+cents AS (SELECT vec_id AS cid, vv AS cv FROM v ORDER BY vec_id LIMIT 16),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         ROUND(list_sum(list_transform(list_zip(v.vv, c.cv), x -> x[1] * x[2]))
+               / sqrt(list_sum(list_transform(v.vv, x -> x * x))
+                      * list_sum(list_transform(c.cv, x -> x * x))), 6) AS cos
+  FROM v CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM scored) WHERE rn = 1
+),
+norms AS (SELECT vec_id, sqrt(list_sum(list_transform(vv, x -> x * x))) AS n FROM v)
+SELECT cell, COUNT(*) AS n_vecs, ROUND(AVG(n), 4) AS avg_norm
+FROM cells JOIN norms USING (vec_id)
+GROUP BY cell ORDER BY cell
+"""
+
+
 # --- corpus quality / contamination / estimator diagnostics ------------------
 
 
@@ -788,6 +835,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q64_token_entropy": (q64_token_entropy, Q64_SQL),
     "q65_doclen_histogram": (q65_doclen_histogram, Q65_SQL),
     "q66_minhash_estimate": (q66_minhash_estimate, _q66_sql()),
+    "q69_ivf_cell_stats": (q69_ivf_cell_stats, Q69_SQL),
     "q30_payload_meta": (q30_payload_meta, Q30_SQL),
     "q31_winnow_fingerprints": (q31_winnow_fingerprints, Q31_SQL),
     "q32_embedding_near_dups": (q32_embedding_near_dups, Q32_SQL),

@@ -27,6 +27,7 @@ NESTED_LOOP_OK = {
     "q29_knn_ivf_cell",
     "q60_knn_multiprobe",
     "q61_knn_ivf_assigned",
+    "q69_ivf_cell_stats",
 }
 
 
