@@ -86,6 +86,13 @@ def _n_exchanges(plan: str) -> int:
         ("q44_daily_event_pivot", 3),  # two-level pivot agg + final sort
         ("q53_lineitem_unpivot_stats", 2),  # metric agg + final sort
         ("q43_split_counts", 2),   # (lang, split) agg + final sort
+        ("q60_knn_multiprobe", 0),  # broadcast probes + TakeOrdered: no shuffle
+        ("q62_repetition_signals", 4),  # spread + 2-level agg + sort
+        ("q63_contamination", 7),  # 2 branches + distinct + agg + size join + sort
+        ("q64_token_entropy", 4),
+        ("q65_doclen_histogram", 2),
+        ("q67_source_balance", 5),
+        ("q69_ivf_cell_stats", 4),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
