@@ -29,6 +29,7 @@ import tempfile
 
 from hadoop_jobanalyzer_spark.operators import (
     error_summary,
+    fleet_summary,
     job_summary,
     map_table,
     reduce_bytes_table,
@@ -68,6 +69,16 @@ RBYTES_COLS = ["taskid", "reduce_output_bytes", "shuffle_finish_rel", "reduce_fi
 TIMELINE_COLS = ["t", "maps", "shuffle", "merge", "reduce", "waste"]
 ERRORS_COLS = ["jobid", "task_type", "task_status", "error_class", "n_attempts"]
 WASTED_COLS = ["jobid", "n_wasted", "n_wasted_maps", "n_wasted_reduces", "wasted_time"]
+FLEET_COLS = [
+    "user",
+    "n_jobs",
+    "total_maps",
+    "total_reduces",
+    "failed_maps",
+    "failed_reduces",
+    "avg_job_time",
+    "avg_map_len",
+]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -82,6 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--reduce-bytes", action="store_true", help="reduce output-bytes table")
     mode.add_argument("--errors", action="store_true", help="failure summary by exception class")
     mode.add_argument("--wasted", action="store_true", help="per-job wasted-attempt report")
+    mode.add_argument("--fleet", action="store_true", help="per-user rollup across all input jobs")
     mode.add_argument("-t", action="store_true", help="concurrency timeline (default)")
     p.add_argument("-d", default=", ", metavar="DELIM", help="output delimiter (default ', ')")
     p.add_argument("-i", default="-", metavar="INPUT", help="path/glob/URL or - for stdin")
@@ -127,6 +139,8 @@ def main(argv: list[str] | None = None) -> int:
         df, cols = error_summary(views), ERRORS_COLS
     elif args.wasted:
         df, cols = wasted_summary(views, scale=args.scale), WASTED_COLS
+    elif args.fleet:
+        df, cols = fleet_summary(views, scale=args.scale), FLEET_COLS
     else:
         df, cols = timeline(views, scale=args.scale), TIMELINE_COLS
 

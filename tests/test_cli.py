@@ -66,3 +66,12 @@ def test_cli_require_success_mixed_dir(capsys, spark, tmp_path):
     assert [r["jobid"] for r in views.jobs.collect()] == ["job_202001010000_0001"]
     assert views.tasks.filter("jobid = 'job_202001010000_0002'").count() == 0
     assert views.attempts.filter("jobid = 'job_202001010000_0002'").count() == 0
+
+
+def test_cli_fleet_rollup(capsys, fixture_log1, fixture_log2, spark):
+    d = fixture_log1.rsplit("/", 1)[0]
+    assert main(["--fleet", "-i", f"{d}/*"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2  # two users across the two fixture jobs
+    users = {line.split(", ")[0] for line in out}
+    assert users == {"kbhatia", "hadoop"}

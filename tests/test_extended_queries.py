@@ -213,3 +213,49 @@ def test_hash_sample_disjoint_strata(spark):
     # complement: pct=10 sample is a subset of pct=50 sample (nesting property)
     wide = {r["id"] for r in hash_sample(df, F.col("id"), 50).collect()}
     assert {r["id"] for r in kept.collect()} <= wide
+
+
+def test_source_balance_deterministic_and_monotone(spark):
+    """Hash-mod sampling contracts: (1) re-running selects the same docs;
+    (2) growing source B never changes which of source A's docs are kept
+    (only A's own rate changes if the min moves)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    mod = 10_000
+
+    def kept_ids(frame, rate_for):
+        return {
+            r["doc_id"]
+            for r in frame.withColumn("_b", hash_bucket(F.col("doc_id"), mod))
+            .filter(F.col("_b") < rate_for(frame))
+            .collect()
+        }
+
+    # source a (40 docs) is the min; b keeps 40/60 of its docs
+    rate_b = mod * 40 // 60
+    b = df.filter("source = 'b'")
+    first = kept_ids(b, lambda _: rate_b)
+    again = kept_ids(b, lambda _: rate_b)
+    assert first == again and 0 < len(first) < 60
+    # raising b's rate (e.g. corpus rebalance) only ADDS members
+    fuller = kept_ids(b, lambda _: mod * 50 // 60)
+    assert first <= fuller
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 <= entropy <= ln(n_types) for every doc (equality at uniform)."""
+    import math
+
+    from hadoop_jobanalyzer_spark.plans.extended_queries import EXTENDED_QUERIES
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import PIPELINE_QUERIES
+
+    ent = {r["doc_id"]: r["entropy"] for r in PIPELINE_QUERIES["q64_token_entropy"][0](spark, sf_dir).collect()}
+    types = {r["doc_id"]: r["n_types"] for r in PIPELINE_QUERIES["q62_repetition_signals"][0](spark, sf_dir).collect()}
+    assert ent.keys() == types.keys()
+    for d, e in ent.items():
+        # entropy is rounded to 4 decimals: allow half-ulp of that rounding
+        assert -1e-9 <= e <= math.log(types[d]) + 5e-5, (d, e, types[d])
