@@ -5,6 +5,7 @@ from hadoop_jobanalyzer_spark.streaming.history_stream import (
     attempt_sessions,
     dedup_attempts_stream,
     job_status_stream,
+    error_counts_stream,
     latest_success_attempts,
     read_history_stream,
     wasted_counts_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "attempt_sessions",
     "dedup_attempts_stream",
     "job_status_stream",
+    "error_counts_stream",
     "latest_success_attempts",
     "read_history_stream",
     "wasted_counts_stream",

@@ -317,3 +317,43 @@ def wasted_counts_stream(parsed: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def error_counts_stream(parsed: DataFrame) -> DataFrame:
+    """Streaming failure analysis: running counts of failed/killed attempts
+    per (task_type, status, exception class) — the incremental form of the
+    batch ``error_summary`` report. A failed attempt carries exactly one
+    terminal record, so ``count(*)`` over the filtered stream equals the
+    batch report's distinct-attempt count (differential-tested). Pure
+    incremental aggregation; emit with ``update``/``complete``.
+    """
+    a = F.col("attrs")
+    klass = F.regexp_replace(
+        F.regexp_extract(
+            F.col("error"), r"([\w$]+(?:\\\.[\w$]+)*(?:Exception|Error))", 1
+        ),
+        r"\\\.",
+        ".",
+    )
+    failed = (
+        parsed.filter(F.col("event").isin("MapAttempt", "ReduceAttempt"))
+        .select(
+            "source_file",
+            a["TASK_TYPE"].alias("task_type"),
+            a["TASK_STATUS"].alias("task_status"),
+            a["ERROR"].alias("error"),
+        )
+        .filter(
+            F.col("task_status").isin("FAILED", "KILLED") | F.col("error").isNotNull()
+        )
+    )
+    return (
+        failed.select(
+            "source_file",
+            "task_type",
+            "task_status",
+            F.when(klass != "", klass).alias("error_class"),
+        )
+        .groupBy("source_file", "task_type", "task_status", "error_class")
+        .agg(F.count("*").alias("n_attempts"))
+    )

@@ -178,3 +178,20 @@ def test_wasted_counts_stream_matches_batch(spark, log_dir):
         for r in batch.groupBy("taskid").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(got) > 100  # kmerStats alone wastes 139
+
+
+def test_error_counts_stream_matches_batch(spark, log_dir):
+    from hadoop_jobanalyzer_spark.operators import error_summary
+    from hadoop_jobanalyzer_spark.streaming.history_stream import error_counts_stream
+
+    name = f"errs_{uuid.uuid4().hex[:8]}"
+    parsed = read_history_stream(spark, log_dir)
+    _run_to_memory(error_counts_stream(parsed), name, "complete")
+    from collections import Counter
+
+    got, want = Counter(), Counter()
+    for r in spark.table(name).collect():
+        got[(r["task_type"], r["task_status"], r["error_class"])] += r["n_attempts"]
+    for r in error_summary(load_history(spark, log_dir)).collect():
+        want[(r["task_type"], r["task_status"], r["error_class"])] += r["n_attempts"]
+    assert got == want and sum(got.values()) > 100
