@@ -36,3 +36,39 @@ def salted_distinct_count(
         .agg(F.countDistinct(value_col).alias("_partial"))
     )
     return per_bucket.groupBy(*keys).agg(F.sum("_partial").alias(out_name))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread each hot join key over ``n_salts``
+    reducers.
+
+    Left rows get a deterministic salt from the hash of the whole row's
+    non-key columns; right rows are replicated once per salt value. The
+    join key becomes (keys..., salt), so a key that concentrated 10% of
+    the fact table on one task now spreads over n_salts tasks, at the
+    price of an n_salts-times-larger build side — the standard trade when
+    AQE's skew splitting can't kick in (e.g. a hash-partitioned shuffle
+    feeding a window, or a build side too big to broadcast but replicable).
+
+    Results are row-identical to the plain join (tested). ``how`` supports
+    'inner' and 'left' (right-side replication preserves both).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    non_key = [c for c in left.columns if c not in on]
+    salt = (
+        F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(n_salts))
+        if non_key
+        else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_salted.join(r_salted, [*on, "_salt"], how).drop("_salt")

@@ -575,6 +575,46 @@ FROM offs ORDER BY doc_id, frame_idx
 """
 
 
+def q70_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document frame dedup: the multimodal analog of exact text
+    dedup — hash every sampled frame, keep hashes seen in more than one
+    document. One groupBy over the frame stream (map-side partial); at
+    video scale this is how repeated intros/stock footage are found."""
+    from hadoop_jobanalyzer_spark.operators.multimodal import attach_payload, frame_sample
+
+    frames = frame_sample(
+        attach_payload(load_tables(spark, sf_dir)["documents"], "doc_id", "text")
+        .sortWithinPartitions("doc_id"),
+        frame_len=_FRAME_LEN, stride=_FRAME_STRIDE,
+    )
+    return (
+        frames.select("doc_id", F.md5("frame").alias("frame_md5"))
+        .groupBy("frame_md5")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("frame_md5")
+    )
+
+
+Q70_SQL = f"""
+WITH offs AS (
+  SELECT doc_id, text, UNNEST(generate_series(0, strlen(text) - 1, {_FRAME_STRIDE})) AS off
+  FROM documents
+)
+SELECT md5(substr(text, off + 1, {_FRAME_LEN})) AS frame_md5,
+       COUNT(*) AS n_frames,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM offs
+GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY frame_md5
+"""
+
+
 # --- q55: document chunking (training-context windows) -----------------------
 
 _CHUNK_LEN, _CHUNK_STRIDE = 32, 24  # tokens; stride < len -> 8-token overlap
@@ -878,4 +918,5 @@ EXTENDED_QUERIES = {
     "q59_user_event_profiles": (q59_user_event_profiles, Q59_SQL),
     "q67_source_balance": (q67_source_balance, Q67_SQL),
     "q68_dedup_summary": (q68_dedup_summary, Q68_SQL),
+    "q70_frame_dedup": (q70_frame_dedup, Q70_SQL),
 }

@@ -259,3 +259,34 @@ def test_entropy_bounds(spark, sf_dir):
     for d, e in ent.items():
         # entropy is rounded to 4 decimals: allow half-ulp of that rounding
         assert -1e-9 <= e <= math.log(types[d]) + 5e-5, (d, e, types[d])
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be row-identical to the plain join while spreading
+    a hot key over n_salts reducer buckets."""
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one hot key
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", i * 1.5) for i in range(1000)],
+        ["id", "k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", "HOT"), ("k10", "T"), ("k20", "U"), ("missing", "X")],
+        ["k", "label"],
+    )
+    plain = fact.join(dim, "k").select("id", "k", "v", "label")
+    salted = salted_join(fact, dim, ["k"], n_salts=8).select("id", "k", "v", "label")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched fact rows exactly once
+    plain_l = fact.join(dim, "k", "left")
+    salted_l = salted_join(fact, dim, ["k"], n_salts=8, how="left")
+    assert salted_l.count() == plain_l.count() == 1000
+    # and the hot key's rows really spread across salt buckets
+    spread_check = (
+        fact.withColumn("_salt", F.pmod(F.hash("id", "v"), F.lit(8)))
+        .filter("k = 'hot'").select("_salt").distinct().count()
+    )
+    assert spread_check > 1
