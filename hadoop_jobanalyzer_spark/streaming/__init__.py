@@ -4,6 +4,7 @@ from hadoop_jobanalyzer_spark.streaming.history_stream import (
     attempt_finish_counts,
     attempt_sessions,
     dedup_attempts_stream,
+    enrich_attempts_stream,
     job_status_stream,
     error_counts_stream,
     latest_success_attempts,
@@ -15,6 +16,7 @@ __all__ = [
     "attempt_finish_counts",
     "attempt_sessions",
     "dedup_attempts_stream",
+    "enrich_attempts_stream",
     "job_status_stream",
     "error_counts_stream",
     "latest_success_attempts",

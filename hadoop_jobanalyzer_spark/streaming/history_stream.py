@@ -357,3 +357,22 @@ def error_counts_stream(parsed: DataFrame) -> DataFrame:
         .groupBy("source_file", "task_type", "task_status", "error_class")
         .agg(F.count("*").alias("n_attempts"))
     )
+
+
+def enrich_attempts_stream(parsed: DataFrame, jobs_static: DataFrame) -> DataFrame:
+    """Stream-static enrichment: attach job attributes (user, jobname) from
+    a static jobs view (e.g. the history lake) to the live attempt stream.
+    Spark plans the static side as a broadcast per micro-batch — the
+    canonical pattern for joining a stream against slowly-changing
+    dimensions without stateful stream-stream machinery.
+    """
+    dims = jobs_static.select(
+        F.col("jobid").alias("_jobid"), "user", "jobname"
+    )
+    ev = _attempt_events(parsed).withColumn(
+        "jobid",
+        F.regexp_replace(F.col("taskid"), r"^task_(\d+_\d+)_.*$", r"job_$1"),
+    )
+    return ev.join(F.broadcast(dims), ev["jobid"] == dims["_jobid"], "left").drop(
+        "_jobid"
+    )

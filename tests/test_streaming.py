@@ -195,3 +195,23 @@ def test_error_counts_stream_matches_batch(spark, log_dir):
     for r in error_summary(load_history(spark, log_dir)).collect():
         want[(r["task_type"], r["task_status"], r["error_class"])] += r["n_attempts"]
     assert got == want and sum(got.values()) > 100
+
+
+def test_enrich_attempts_stream_static_join(spark, log_dir):
+    """Stream-static join: every streamed attempt picks up its job's user
+    from the static jobs view; counts match the raw attempt-event count."""
+    from hadoop_jobanalyzer_spark.streaming.history_stream import (
+        enrich_attempts_stream,
+    )
+
+    batch = load_history(spark, log_dir)
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    parsed = read_history_stream(spark, log_dir)
+    _run_to_memory(enrich_attempts_stream(parsed, batch.jobs), name, "append")
+    out = spark.table(name)
+    n_events = batch.records.filter(
+        "event IN ('MapAttempt', 'ReduceAttempt')"
+    ).count()
+    assert out.count() == n_events
+    users = {r["user"] for r in out.select("user").distinct().collect()}
+    assert users == {"kbhatia", "hadoop"}  # every row enriched, none null
