@@ -863,14 +863,14 @@ def q68_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, src="id_a", dst="id_b",
         nodes=t["documents"].select(F.col("doc_id").alias("id")), id_col="id",
     )
-    sized = cc.withColumn(
-        "_csz", F.count("*").over(Window.partitionBy("component"))
-    )
-    return sized.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("component").alias("n_kept"),
-        (F.count("*") - F.countDistinct("component")).alias("n_dropped"),
-        F.max("_csz").alias("max_cluster"),
+    # aggregate component sizes, then reduce — no window (a window over
+    # component would add a sort for what is just a two-level groupBy)
+    comp_sizes = cc.groupBy("component").agg(F.count("*").alias("_n"))
+    return comp_sizes.agg(
+        F.sum("_n").alias("n_docs"),
+        F.count("*").alias("n_kept"),
+        (F.sum("_n") - F.count("*")).alias("n_dropped"),
+        F.max("_n").alias("max_cluster"),
     )
 
 
@@ -886,12 +886,13 @@ reach(n, m) AS (
   UNION
   SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
 ),
-comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n)
-SELECT COUNT(*) AS n_docs,
-       COUNT(DISTINCT component) AS n_kept,
-       COUNT(*) - COUNT(DISTINCT component) AS n_dropped,
-       CAST(MAX(csz) AS BIGINT) AS max_cluster
-FROM (SELECT doc_id, component, COUNT(*) OVER (PARTITION BY component) AS csz FROM comp)
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+csz AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY component)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
+       MAX(n) AS max_cluster
+FROM csz
 """
 
 
