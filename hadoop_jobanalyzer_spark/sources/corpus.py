@@ -1,0 +1,126 @@
+"""Corpus ingestion sources for training-data pipelines.
+
+Two standard wire formats land document corpora in practice:
+
+* **WARC** (Common Crawl / web archives): length-framed records with
+  ``WARC/1.x`` header blocks. The framing is plain text + Content-Length,
+  so a dependency-free parser suffices; parsing is imperative per file,
+  which is exactly the legitimate Python boundary — ``mapInPandas`` over
+  whole files, Arrow-framed out. One WARC file = one parse unit, so
+  parallelism comes from many files (the Common Crawl layout: thousands
+  of ~1 GB segments).
+* **JSONL** (one JSON document per line): Spark's native json reader
+  already does distributed line-splitting, schema inference/enforcement,
+  predicate pushdown and column pruning — the wrapper only standardizes
+  the schema contract.
+
+Reference parity note: the reference ingests only its own log format
+(SURVEY.md §2.1); these sources are part of the training-data extension
+layer, same status as operators/dedup.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "source_file string, record_id string, warc_type string, "
+    "target_uri string, content_type string, content_length long, "
+    "payload binary"
+)
+
+
+def _parse_warc_stream(name: str, data: bytes) -> Iterator[dict]:
+    """Parse one WARC file's bytes into record dicts.
+
+    Framing per the WARC spec: a ``WARC/1.x`` version line, header lines
+    until a blank line, ``Content-Length`` octets of payload, then two
+    CRLFs. Tolerates LF-only input and skips malformed trailing bytes
+    (truncated fetches are routine in crawl data).
+    """
+    if data[:2] == b"\x1f\x8b":  # whole-file gzip (.warc.gz)
+        data = gzip.decompress(data)
+    buf = io.BytesIO(data)
+    while True:
+        line = buf.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            continue  # skip padding / malformed bytes until next record
+        headers: dict[str, str] = {}
+        while True:
+            h = buf.readline()
+            if not h or h in (b"\r\n", b"\n"):
+                break
+            if b":" in h:
+                k, v = h.split(b":", 1)
+                headers[k.strip().decode("ascii", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            continue  # unframeable record: resync on next WARC/ line
+        payload = buf.read(length)
+        if len(payload) < length:
+            return  # truncated file: drop the partial record (crawl norm)
+        yield {
+            "source_file": name,
+            "record_id": headers.get("warc-record-id", ""),
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "content_type": headers.get("content-type"),
+            "content_length": length,
+            "payload": payload,
+        }
+
+
+def read_warc(spark: SparkSession, path: str, warc_types: list[str] | None = None) -> DataFrame:
+    """Read WARC file(s) into (source_file, record_id, warc_type,
+    target_uri, content_type, content_length, payload).
+
+    ``warc_types`` (e.g. ``["response"]``) filters record types during the
+    parse, before anything is emitted into the Arrow stream — at crawl
+    scale most records are request/metadata noise a text pipeline never
+    wants to materialize.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["path"], pdf["content"]):
+                for rec in _parse_warc_stream(name, bytes(content)):
+                    if warc_types is None or rec["warc_type"] in warc_types:
+                        rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source_file", "record_id", "warc_type", "target_uri",
+                    "content_type", "content_length", "payload",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    id_field: str = "id",
+    text_field: str = "text",
+) -> DataFrame:
+    """Read a JSONL document corpus into the engine's (doc_id, text, ...)
+    contract using Spark's native distributed json reader (line-split
+    scans, pushdown, pruning all apply). Extra fields pass through."""
+    df = spark.read.json(path)
+    renames = {id_field: "doc_id", text_field: "text"}
+    for src, dst in renames.items():
+        if src in df.columns and src != dst:
+            df = df.withColumnRenamed(src, dst)
+    return df

@@ -1,0 +1,67 @@
+"""WARC / JSONL corpus ingestion: synthetic fixtures, framing edge cases."""
+
+import gzip
+import json
+
+from hadoop_jobanalyzer_spark.sources.corpus import read_jsonl_corpus, read_warc
+
+
+def _warc_record(rec_id: str, rtype: str, uri: str, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _write_fixture(path, gz=False):
+    body = (
+        _warc_record("aa", "warcinfo", "none:", b"crawler=test")
+        + _warc_record("bb", "response", "http://x.example/1", b"hello corpus one")
+        + _warc_record("cc", "request", "http://x.example/1", b"GET /1")
+        + _warc_record("dd", "response", "http://x.example/2", b"\x89PNG binary \x00 payload")
+    )
+    data = gzip.compress(body) if gz else body
+    path.write_bytes(data)
+
+
+def test_warc_roundtrip_and_type_filter(spark, tmp_path):
+    _write_fixture(tmp_path / "a.warc")
+    df = read_warc(spark, str(tmp_path / "a.warc"))
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert len(rows) == 4
+    assert bytes(rows["<urn:uuid:bb>"]["payload"]) == b"hello corpus one"
+    assert rows["<urn:uuid:dd>"]["content_length"] == len(b"\x89PNG binary \x00 payload")
+    only_resp = read_warc(spark, str(tmp_path / "a.warc"), warc_types=["response"])
+    assert {r["warc_type"] for r in only_resp.collect()} == {"response"}
+    assert only_resp.count() == 2
+
+
+def test_warc_gzip_and_truncation(spark, tmp_path):
+    _write_fixture(tmp_path / "b.warc.gz", gz=True)
+    assert read_warc(spark, str(tmp_path / "b.warc.gz")).count() == 4
+    # truncated mid-payload: partial record dropped, earlier ones kept
+    full = (tmp_path / "b.warc.gz").read_bytes()
+    raw = gzip.decompress(full)
+    (tmp_path / "trunc.warc").write_bytes(raw[: len(raw) - 30])
+    got = read_warc(spark, str(tmp_path / "trunc.warc")).count()
+    assert got == 3
+
+
+def test_jsonl_corpus_contract(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"id": i, "text": f"doc {i}", "lang": "en"}) + "\n")
+    df = read_jsonl_corpus(spark, str(p))
+    assert set(df.columns) >= {"doc_id", "text", "lang"}
+    assert df.count() == 5
+    # engine operators run unchanged on the adapted frame
+    from hadoop_jobanalyzer_spark.operators.dedup import exact_duplicates
+
+    assert exact_duplicates(df, "doc_id", "text").count() == 5
