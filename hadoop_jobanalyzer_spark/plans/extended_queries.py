@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hadoop_jobanalyzer_spark.functions.text import tokens
+from hadoop_jobanalyzer_spark.functions.text import token_count, tokens
 from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
 from hadoop_jobanalyzer_spark.operators.fuzzy import blocked_levenshtein_pairs
 from hadoop_jobanalyzer_spark.operators.graph import (
@@ -24,7 +24,12 @@ from hadoop_jobanalyzer_spark.operators.graph import (
     connected_components,
 )
 from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket, train_val_test
-from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES, near_dup_ctes
+from hadoop_jobanalyzer_spark.plans.pipeline_queries import (
+    _BANDS,
+    _N_HASHES,
+    _WORDS,
+    near_dup_ctes,
+)
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
 from hadoop_jobanalyzer_spark.util import spread
 
@@ -615,6 +620,107 @@ ORDER BY frame_md5
 """
 
 
+_CLEAN_MIN_TOKENS, _CLEAN_MAX_TOKENS = 30, 1000
+_CLEAN_SAMPLE_PCT = 80  # deterministic hash-mod keep rate, percent
+
+
+def q71_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning funnel as ONE composed plan:
+
+        quality gate (token-count band)
+          -> exact dedup keeper (min doc_id per md5)
+          -> near-dup cluster keeper (doc_id == CC component label)
+          -> deterministic hash-mod sample
+
+    Output is the funnel: one row of per-stage survivor counts — the
+    number every data-curation run reports. Each stage is the operator
+    already verified on its own (q24/q20/q40/q43 lineage); this query
+    checks that the composition stays one coherent, shuffle-sane plan.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    w = tokens("text")
+
+    # per-doc stage flags in ONE frame -> one lazy aggregation (five
+    # driver-side counts would re-execute the shared lineage five times)
+    q_flag = token_count(w).between(_CLEAN_MIN_TOKENS, _CLEAN_MAX_TOKENS)
+    flags = docs.select("doc_id", F.md5("text").alias("_h"), q_flag.alias("_q"))
+    exact_w = Window.partitionBy("_h")
+    flags = flags.withColumn(
+        "_e",
+        F.col("_q")
+        & (F.col("doc_id") == F.min(F.when(F.col("_q"), F.col("doc_id"))).over(exact_w)),
+    )
+
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS, ngram=3,
+        threshold=0.2,
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=docs.select(F.col("doc_id").alias("id")), id_col="id",
+    )
+    keepers = cc.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("_k")
+    )
+    flags = flags.join(keepers, "doc_id", "left").withColumn(
+        "_nd", F.col("_e") & F.coalesce(F.col("_k"), F.lit(False))
+    )
+    flags = flags.withColumn(
+        "_s", F.col("_nd") & (hash_bucket(F.col("doc_id")) < _CLEAN_SAMPLE_PCT)
+    )
+
+    cnt = lambda c: F.count(F.when(F.col(c), 1))  # noqa: E731
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        cnt("_q").alias("n_quality"),
+        cnt("_e").alias("n_exact"),
+        cnt("_nd").alias("n_neardup"),
+        cnt("_s").alias("n_sampled"),
+    )
+
+
+def _q71_sql() -> str:
+    return f"""
+WITH RECURSIVE {near_dup_ctes()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+),
+reach(n, mm) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.mm
+),
+comp AS (SELECT n AS doc_id, MIN(mm) AS component FROM reach GROUP BY n),
+quality AS (
+  SELECT doc_id, text FROM documents
+  WHERE len({_WORDS}) BETWEEN {_CLEAN_MIN_TOKENS} AND {_CLEAN_MAX_TOKENS}
+),
+exact AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+    FROM quality
+  ) WHERE doc_id = min_id
+),
+neardup AS (
+  SELECT e.doc_id FROM exact e JOIN comp c USING (doc_id)
+  WHERE c.doc_id = c.component
+),
+sampled AS (
+  SELECT doc_id FROM neardup
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        < {_CLEAN_SAMPLE_PCT}
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+       (SELECT COUNT(*) FROM quality) AS n_quality,
+       (SELECT COUNT(*) FROM exact) AS n_exact,
+       (SELECT COUNT(*) FROM neardup) AS n_neardup,
+       (SELECT COUNT(*) FROM sampled) AS n_sampled
+"""
+
+
 # --- q55: document chunking (training-context windows) -----------------------
 
 _CHUNK_LEN, _CHUNK_STRIDE = 32, 24  # tokens; stride < len -> 8-token overlap
@@ -920,4 +1026,5 @@ EXTENDED_QUERIES = {
     "q67_source_balance": (q67_source_balance, Q67_SQL),
     "q68_dedup_summary": (q68_dedup_summary, Q68_SQL),
     "q70_frame_dedup": (q70_frame_dedup, Q70_SQL),
+    "q71_clean_pipeline": (q71_clean_pipeline, _q71_sql()),
 }
