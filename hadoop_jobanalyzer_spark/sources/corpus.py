@@ -124,3 +124,62 @@ def read_jsonl_corpus(
         if src in df.columns and src != dst:
             df = df.withColumnRenamed(src, dst)
     return df
+
+
+# --- `warc` as a first-class Spark data source (Python Data Source API) ------
+
+try:  # the Data Source API needs pyspark >= 4
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _WarcFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class WarcReader(DataSourceReader):
+        """One input partition per WARC file (the crawl-segment parallel
+        unit); yields the same rows as :func:`read_warc`."""
+
+        def __init__(self, options: dict):
+            import glob
+            import os
+
+            path = options.get("path")
+            if not path:
+                raise ValueError("warc source requires a path: .load(<path>)")
+            if os.path.isdir(path):
+                path = os.path.join(path, "*")
+            self._files = sorted(p for p in glob.glob(path) if os.path.isfile(p))
+            types = options.get("warc_types")
+            self._types = set(types.split(",")) if types else None
+
+        def partitions(self):
+            return [_WarcFilePartition(p) for p in self._files]
+
+        def read(self, partition):
+            with open(partition.path, "rb") as f:
+                data = f.read()
+            for rec in _parse_warc_stream(f"file://{partition.path}", data):
+                if self._types is None or rec["warc_type"] in self._types:
+                    yield (
+                        rec["source_file"],
+                        rec["record_id"],
+                        rec["warc_type"],
+                        rec["target_uri"],
+                        rec["content_type"],
+                        rec["content_length"],
+                        rec["payload"],
+                    )
+
+    class WarcDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "warc"
+
+        def schema(self) -> str:
+            return WARC_SCHEMA
+
+        def reader(self, schema) -> WarcReader:
+            return WarcReader(self.options)
+
+except ImportError:  # pragma: no cover
+    WarcDataSource = None  # type: ignore[assignment]

@@ -65,3 +65,22 @@ def test_jsonl_corpus_contract(spark, tmp_path):
     from hadoop_jobanalyzer_spark.operators.dedup import exact_duplicates
 
     assert exact_duplicates(df, "doc_id", "text").count() == 5
+
+
+def test_warc_format_registration(spark, tmp_path):
+    """spark.read.format('warc') — interface parity with the jobhistory
+    Python data source."""
+    from hadoop_jobanalyzer_spark.sources.corpus import WarcDataSource
+
+    _write_fixture(tmp_path / "c.warc")
+    spark.dataSource.register(WarcDataSource)
+    df = (
+        spark.read.format("warc")
+        .option("warc_types", "response")
+        .load(str(tmp_path / "c.warc"))
+    )
+    rows = df.collect()
+    assert {r["warc_type"] for r in rows} == {"response"} and len(rows) == 2
+    assert bytes(rows[0]["payload"]).startswith(b"hello") or bytes(
+        rows[1]["payload"]
+    ).startswith(b"hello")
