@@ -721,6 +721,40 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_total,
 """
 
 
+def q72_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation dashboard view: per (source, lang), corpus volume and mean
+    quality signals. One scan, one partial-aggregating groupBy."""
+    t = load_tables(spark, sf_dir)
+    w = tokens("text")
+    per_doc = t["documents"].select(
+        "source",
+        "lang",
+        token_count(w).alias("_n"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("_ttr"),
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_n"), 2).alias("avg_tokens"),
+            F.round(F.avg("_ttr"), 4).alias("avg_ttr"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+Q72_SQL = f"""
+WITH per_doc AS (
+  SELECT source, lang, len({_WORDS}) AS n,
+         len(list_distinct({_WORDS}))::DOUBLE / len({_WORDS}) AS ttr
+  FROM documents
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n), 2) AS avg_tokens, ROUND(AVG(ttr), 4) AS avg_ttr
+FROM per_doc GROUP BY source, lang ORDER BY source, lang
+"""
+
+
 # --- q55: document chunking (training-context windows) -----------------------
 
 _CHUNK_LEN, _CHUNK_STRIDE = 32, 24  # tokens; stride < len -> 8-token overlap
@@ -1027,4 +1061,5 @@ EXTENDED_QUERIES = {
     "q68_dedup_summary": (q68_dedup_summary, Q68_SQL),
     "q70_frame_dedup": (q70_frame_dedup, Q70_SQL),
     "q71_clean_pipeline": (q71_clean_pipeline, _q71_sql()),
+    "q72_source_profile": (q72_source_profile, Q72_SQL),
 }
