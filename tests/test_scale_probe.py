@@ -55,3 +55,40 @@ def test_exact_dedup_at_50k_docs(spark, big_corpus):
     d = exact_duplicates(big_corpus, "doc_id", "text")
     assert d.count() == 50_000
     assert d.filter("is_keeper").count() == 50_000  # perturbed copies differ
+
+
+def test_ann_at_100k_vectors(spark):
+    """Multi-probe LSH kNN over 100k synthesized 64-dim vectors with 100
+    planted near-copies of the query vector: the probe set must surface
+    mostly planted neighbors, never scanning the corpus quadratically."""
+    from hadoop_jobanalyzer_spark.operators.similarity import knn_lsh_multiprobe
+
+    n, dim = 100_000, 64
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.hash(F.col("seed") * 31 + i * 13), F.lit(2000)) - 1000)
+        / 1000.0,
+    )
+    # planted: every 1000th vector reuses the query's seed with a tiny
+    # per-coordinate perturbation (cosine ~ 1 to vector 0)
+    perturbed = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.hash(i * 13), F.lit(2000)) - 1000) / 1000.0
+        + (F.pmod(F.hash(F.col("id") + i), F.lit(100))) / 50_000.0,
+    )
+    vecs = (
+        spark.range(n)
+        .withColumn("seed", F.when(F.col("id") % 1000 == 0, F.lit(0)).otherwise(F.col("id")))
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(F.col("id") % 1000 == 0, perturbed).otherwise(base).alias("embedding"),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    hits = knn_lsh_multiprobe(vecs, "vec_id", "embedding", query_id=0, k=10).collect()
+    assert len(hits) == 10
+    planted = {i for i in range(0, n, 1000)} - {0}
+    top = [r["vec_id"] for r in hits]
+    assert len(set(top) & planted) >= 8, top  # near-copies dominate top-10
+    assert all(r["cos_sim"] > 0.99 for r in hits[:8])
