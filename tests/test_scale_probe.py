@@ -92,3 +92,33 @@ def test_ann_at_100k_vectors(spark):
     top = [r["vec_id"] for r in hits]
     assert len(set(top) & planted) >= 8, top  # near-copies dominate top-10
     assert all(r["cos_sim"] > 0.99 for r in hits[:8])
+
+
+def test_fleet_ingest_300_logs(spark, tmp_path):
+    """Many-files ingest: 300 synthesized job logs (templated tiny_log with
+    distinct jobids) parse in one pass; per-job reports and the fleet
+    rollup see every job — the 'parallelism = number of files' claim off
+    the 2-file fixtures."""
+    import os
+
+    from hadoop_jobanalyzer_spark.operators import fleet_summary, job_summary
+    from hadoop_jobanalyzer_spark.sources import load_history
+
+    tiny = open(os.path.join(os.path.dirname(__file__), "data", "tiny_log.txt")).read()
+    d = tmp_path / "fleet"
+    d.mkdir()
+    for i in range(300):
+        new_id = f"job_2020010100{i:02d}_{i:04d}" if i < 100 else f"job_20200101{i:04d}_{i:04d}"
+        body = tiny.replace("job_202001010000_0001", new_id).replace(
+            "task_202001010000_0001", new_id.replace("job_", "task_")
+        ).replace("attempt_202001010000_0001", new_id.replace("job_", "attempt_"))
+        if i % 3 == 0:
+            body = body.replace('USER="alice"', 'USER="bob"')
+        (d / f"log{i:03d}.txt").write_text(body)
+
+    views = load_history(spark, str(d / "*"))
+    summary = job_summary(views)
+    assert summary.count() == 300
+    assert views.tasks.count() == 300 * 5  # 2 maps + 1 reduce + setup + cleanup
+    fleet = {r["user"]: r["n_jobs"] for r in fleet_summary(views).collect()}
+    assert fleet == {"bob": 100, "alice": 200}
