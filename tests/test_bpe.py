@@ -85,3 +85,24 @@ def test_bpe_segment_applies_merges(spark):
             syms = out
         return syms
     assert list(seg) == apply_ref("lowest") + apply_ref("low")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_learn_bpe_matches_reference_random(spark, words):
+    """Random tiny corpora over a 3-letter alphabet: merge tables must
+    match the pure-Python reference exactly, ties and all."""
+    counts = Counter(words)
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], ["text"])
+    assert learn_bpe(df, "text", n_merges=4) == _reference_bpe(dict(counts), 4)
