@@ -755,6 +755,26 @@ FROM per_doc GROUP BY source, lang ORDER BY source, lang
 """
 
 
+def q73_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus (operators/bpe.py).
+
+    Iterative argmax over a weighted vocabulary — genuinely non-SQL-
+    expressible (per-round driver argmax), so this entry registers with
+    NO DuckDB oracle and takes the driver's rows-only check; the exact
+    semantics are differential-tested against an independent pure-Python
+    classic-BPE implementation in tests/test_bpe.py (example-based +
+    property-based).
+    """
+    from hadoop_jobanalyzer_spark.operators.bpe import learn_bpe
+
+    t = load_tables(spark, sf_dir)
+    merges = learn_bpe(t["documents"], "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_idx long, left string, right string, weighted_count long",
+    )
+
+
 # --- q55: document chunking (training-context windows) -----------------------
 
 _CHUNK_LEN, _CHUNK_STRIDE = 32, 24  # tokens; stride < len -> 8-token overlap
@@ -1062,4 +1082,5 @@ EXTENDED_QUERIES = {
     "q70_frame_dedup": (q70_frame_dedup, Q70_SQL),
     "q71_clean_pipeline": (q71_clean_pipeline, _q71_sql()),
     "q72_source_profile": (q72_source_profile, Q72_SQL),
+    "q73_bpe_merges": (q73_bpe_merges, None),
 }
