@@ -294,3 +294,71 @@ def minhash_est_vs_exact(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def lsh_candidate_pairs_incremental(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stored_sigs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+    ngram: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ingest dedup: candidates for a NEW batch against an
+    existing corpus whose MinHash signatures are already persisted.
+
+    Signatures are computed for the new batch only; band buckets join the
+    new batch's bands against (stored + new) bands, so the output covers
+    new x old and new x new pairs — never old x old (already deduped) and
+    never a corpus-wide recompute. This is the shape that makes dedup
+    sustainable at ingest time: per batch, cost is O(batch) signature work
+    plus a bucket-key join against the store.
+
+    Returns (candidate_pairs, new_sigs); append ``new_sigs`` to the store
+    after processing so the next batch sees this one.
+    Output pairs: id_a < id_b, n_shared_bands.
+    """
+    rows = n_hashes // bands
+    new_sigs = minhash_signatures(new_df, id_col, text_col, n_hashes, ngram).na.drop()
+
+    def banded(sigs: DataFrame, tag: str) -> DataFrame:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+        return sigs.select(
+            F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+        ).select(id_col, "bb.band", "bb.bh", F.lit(tag).alias("_src"))
+
+    new_bands = banded(new_sigs, "new")
+    all_bands = banded(stored_sigs.na.drop(), "old").unionByName(new_bands)
+    if max_bucket is not None:
+        sized = all_bands.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
+        all_bands = all_bands.join(
+            sized.filter(F.col("_bsz") <= max_bucket).select("band", "bh"),
+            ["band", "bh"],
+            "left_semi",
+        )
+    j = new_bands.select(
+        F.col(id_col).alias("_nid"), "band", "bh"
+    ).join(all_bands, ["band", "bh"])
+    pairs = (
+        j.filter(F.col("_nid") != F.col(id_col))
+        .select(
+            F.least("_nid", id_col).alias("id_a"),
+            F.greatest("_nid", id_col).alias("id_b"),
+            "band",
+        )
+        .distinct()  # new x new pairs appear from both sides' probes
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("id_a", "id_b")
+    )
+    return pairs, new_sigs

@@ -188,3 +188,36 @@ def test_redact_pii_planted(spark):
     assert by_id[1]["clean"].count("<URL>") == 2 and by_id[1]["n_url"] == 2
     assert by_id[2]["clean"] == "nothing sensitive here"
     assert by_id[2]["n_email"] == by_id[2]["n_url"] == by_id[2]["n_phone"] == 0
+
+
+def test_incremental_lsh_matches_full_batch(spark, sf_dir):
+    """Split the corpus into an 'existing' store and a 'new' batch: the
+    incremental operator must reproduce exactly the full-batch candidate
+    pairs that involve at least one new document, computing signatures for
+    the new batch only."""
+    from hadoop_jobanalyzer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    old = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0")
+    store = minhash_signatures(old, "doc_id", "text").na.drop()
+
+    inc, new_sigs = lsh_candidate_pairs_incremental(
+        new, "doc_id", "text", stored_sigs=store
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in inc.collect()}
+
+    full = lsh_candidate_pairs(docs, "doc_id", "text")
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == want and len(got) > 0
+    # the returned signatures extend the store for the next batch
+    assert new_sigs.count() == new.count()
