@@ -78,6 +78,7 @@ FLEET_COLS = [
     "failed_reduces",
     "avg_job_time",
     "avg_map_len",
+    "avg_reduce_len",
 ]
 
 

@@ -134,8 +134,11 @@ def bpe_segment(df: DataFrame, text_col: str, merges: list[tuple[str, str, int]]
     """Apply a learned merge table to a corpus: per word, start from
     characters and replay the merges in order. Corpus-sized but one pass;
     each merge is an in-row fold over the word's symbol array."""
+    # drop empty tokens (consecutive/leading/trailing spaces) — learn_bpe
+    # filters them too, so '' never has merge-table entries
     words = df.select(
-        "*", F.split(F.col(text_col), " ").alias("_ws")
+        "*",
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("_ws"),
     )
     piece = F.transform(
         F.col("_ws"),

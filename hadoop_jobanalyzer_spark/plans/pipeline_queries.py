@@ -146,9 +146,12 @@ def _q23_sql() -> str:
 WITH {_SHINGLES_CTE},
 hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P} AS h FROM sh),
 m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-banded AS ({bands})
+banded AS ({bands}),
+-- mirror the operator's default max_bucket=1000 giant-bucket guard
+bkeep AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING COUNT(*) <= 1000)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
 FROM banded a
+JOIN bkeep k ON a.band = k.band AND a.bh = k.bh
 JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 ORDER BY id_a, id_b
@@ -187,9 +190,13 @@ def near_dup_ctes(threshold: float = 0.2) -> str:
 hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P} AS h FROM sh),
 m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS ({bands}),
+-- mirror the operator's default max_bucket=1000 giant-bucket guard
+bkeep AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING COUNT(*) <= 1000),
 cands AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  FROM banded a
+  JOIN bkeep k ON a.band = k.band AND a.bh = k.bh
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -420,12 +427,15 @@ def q32_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q32_SQL = """
 WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+-- mirror the operator's default max_bucket=1000 giant-cell guard
+keep AS (SELECT label FROM b GROUP BY label HAVING COUNT(*) <= 1000),
 p AS (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b,
          ROUND(list_sum(list_transform(list_zip(a.v, c.v), x -> x[1] * x[2]))
                / sqrt(list_sum(list_transform(a.v, x -> x * x))
                       * list_sum(list_transform(c.v, x -> x * x))), 4) AS cos_sim
-  FROM b a JOIN b c ON a.label = c.label AND a.vec_id < c.vec_id
+  FROM b a JOIN keep k ON a.label = k.label
+  JOIN b c ON a.label = c.label AND a.vec_id < c.vec_id
 )
 SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
 """

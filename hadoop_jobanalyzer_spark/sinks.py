@@ -108,15 +108,17 @@ def _png_bytes(width: int, height: int, rows: list[bytes]) -> bytes:
     )
 
 
-def _assert_single_job(df: DataFrame, what: str) -> None:
+def _job_key_cols(df: DataFrame) -> list[str]:
+    return [c for c in ("source_file", "jobid") if c in df.columns]
+
+
+def _assert_single_job_rows(rows, keys: list[str], what: str) -> None:
     """The PNG renderers draw ONE job's chart (the reference CGI serves one
     job per request, job_history.cgi:344-390). A multi-job frame would
-    silently interleave and average buckets across jobs — reject it."""
-    keys = [c for c in ("source_file", "jobid") if c in df.columns]
-    if not keys:
-        return
-    n = df.select(*keys).distinct().limit(2).count()
-    if n > 1:
+    silently interleave and average buckets across jobs — reject it.
+    Validated on the rows already collected for rendering, so the guard
+    costs no extra Spark action."""
+    if keys and len({tuple(r[k] for k in keys) for r in rows}) > 1:
         raise ValueError(
             f"{what} renders a single job but the input has multiple "
             f"({keys}) keys — filter to one job first"
@@ -141,14 +143,24 @@ def render_gantt_png(
     capped at ``max_rows`` tasks (sampled evenly beyond that) so the chart
     never pulls an unbounded table into the driver.
     """
-    _assert_single_job(table_df, "render_gantt_png")
+    keys = _job_key_cols(table_df)
     rows = (
-        table_df.select(start_col, end_col)
+        table_df.select(*keys, start_col, end_col)
         .filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
         .orderBy(start_col, end_col)
         .limit(max_rows)
         .collect()
     )
+    _assert_single_job_rows(rows, keys, "render_gantt_png")
+    if len(rows) == max_rows and keys:
+        # truncated collect can hide a later job: fall back to the cheap
+        # distinct probe for correctness in the capped case only
+        n = table_df.select(*keys).distinct().limit(2).count()
+        if n > 1:
+            raise ValueError(
+                "render_gantt_png renders a single job but the input has "
+                f"multiple ({keys}) keys — filter to one job first"
+            )
     pixels = [[_BG] * width for _ in range(height)]
     if rows:
         t_min = min(r[start_col] for r in rows)
@@ -185,10 +197,9 @@ def render_timeline_png(
     buckets into pixel columns, and stacks the series bottom-up in the
     reference's colors.
     """
-    _assert_single_job(timeline_df, "render_timeline_png")
-    rows = (
-        timeline_df.select("t", *series).orderBy("t").collect()
-    )
+    keys = _job_key_cols(timeline_df)
+    rows = timeline_df.select(*keys, "t", *series).orderBy("t").collect()
+    _assert_single_job_rows(rows, keys, "render_timeline_png")
     if not rows:
         data = [bytes(_BG) * width for _ in range(height)]
         png = _png_bytes(width, height, data)

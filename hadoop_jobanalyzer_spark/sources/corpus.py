@@ -66,6 +66,8 @@ def _parse_warc_stream(name: str, data: bytes) -> Iterator[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             continue  # unframeable record: resync on next WARC/ line
+        if length < 0:
+            continue  # malformed length: read(-1) would swallow the file
         payload = buf.read(length)
         if len(payload) < length:
             return  # truncated file: drop the partial record (crawl norm)

@@ -73,16 +73,21 @@ def compact_lake_view(
 
     Returns (files_before, files_after) for observability.
     """
-    import glob
-
     from pyspark.sql import functions as F
 
     view_path = os.path.join(path, view)
     tmp_path = view_path + ".compacting"
     old_path = view_path + ".old"
 
+    # Hadoop FileSystem globbing, not local glob — the counts must be
+    # correct for hdfs:///s3a:// paths too (the swap below already is)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    hpath = jvm.org.apache.hadoop.fs.Path
+
     def _count(p: str) -> int:
-        return len(glob.glob(os.path.join(p, "*", "*.parquet")))
+        statuses = fs.globStatus(hpath(os.path.join(p, "*", "*.parquet")))
+        return len(statuses) if statuses is not None else 0
 
     before = _count(view_path)
     df = spark.read.parquet(view_path)
@@ -103,10 +108,7 @@ def compact_lake_view(
     )
     if spark.read.parquet(tmp_path).count() != n_rows:  # pragma: no cover
         raise RuntimeError(f"compaction row-count mismatch for {view_path}; original left in place")
-    # atomic-ish swap via the Hadoop FileSystem API (works on HDFS/S3A/local)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
-    hpath = jvm.org.apache.hadoop.fs.Path
+    # atomic-ish swap via the same Hadoop FileSystem API
     fs.delete(hpath(old_path), True)
     if not fs.rename(hpath(view_path), hpath(old_path)):  # pragma: no cover
         raise RuntimeError(f"compaction swap failed renaming {view_path} aside")

@@ -320,13 +320,17 @@ def filter_success(views: HistoryViews) -> HistoryViews:
     non-SUCCESS job (bin/job_history:384-386); SURVEY.md §2.9 keeps that as
     an opt-in (``--require-success``) with compute-anyway as the default.
     The jobs view is tiny (one row per job), so the membership join is an
-    explicit broadcast semi-join — no shuffle of tasks/attempts.
+    explicit broadcast semi-join — no shuffle of tasks/attempts. The raw
+    ``records`` surface is dropped (None, as for lake-reopened views):
+    records carry jobids only inside free-form attrs, so they cannot be
+    filtered by the same key set — exposing them unfiltered would leak
+    non-SUCCESS jobs through ``jh_records``.
     """
     ok = views.jobs.filter(F.col("job_status") == "SUCCESS")
     keys = F.broadcast(ok.select("source_file", "jobid"))
     on = ["source_file", "jobid"]
     return HistoryViews(
-        records=views.records,
+        records=None,
         jobs=ok,
         tasks=views.tasks.join(keys, on, "left_semi"),
         attempts=views.attempts.join(keys, on, "left_semi"),

@@ -366,8 +366,12 @@ def enrich_attempts_stream(parsed: DataFrame, jobs_static: DataFrame) -> DataFra
     canonical pattern for joining a stream against slowly-changing
     dimensions without stateful stream-stream machinery.
     """
-    dims = jobs_static.select(
-        F.col("jobid").alias("_jobid"), "user", "jobname"
+    # the static side must be unique per jobid or the join fans attempts
+    # out (the same jobid can appear under two source files / duplicate
+    # lake ingests); min() is a deterministic pick
+    dims = (
+        jobs_static.groupBy(F.col("jobid").alias("_jobid"))
+        .agg(F.min("user").alias("user"), F.min("jobname").alias("jobname"))
     )
     ev = _attempt_events(parsed).withColumn(
         "jobid",

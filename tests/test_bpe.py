@@ -106,3 +106,13 @@ def test_learn_bpe_matches_reference_random(spark, words):
     text = " ".join(words)
     df = spark.createDataFrame([(text,)], ["text"])
     assert learn_bpe(df, "text", n_merges=4) == _reference_bpe(dict(counts), 4)
+
+
+def test_bpe_segment_ignores_extra_spaces(spark):
+    merges = [("l", "o", 2), ("lo", "w", 2)]
+    seg = bpe_segment(
+        spark.createDataFrame([(1, "  low   low ")], ["doc_id", "text"]),
+        "text",
+        merges,
+    ).collect()[0]["pieces"]
+    assert list(seg) == ["low", EOW, "low", EOW]

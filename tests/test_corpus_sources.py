@@ -84,3 +84,16 @@ def test_warc_format_registration(spark, tmp_path):
     assert bytes(rows[0]["payload"]).startswith(b"hello") or bytes(
         rows[1]["payload"]
     ).startswith(b"hello")
+
+
+def test_warc_negative_content_length_resyncs(spark, tmp_path):
+    """A corrupt 'Content-Length: -1' record must be skipped with resync on
+    the next WARC/ line, not swallow the remainder of the file."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:bad>\r\n"
+        b"Content-Length: -1\r\n\r\n"
+    )
+    body = bad + _warc_record("ok", "response", "http://x.example/ok", b"survivor")
+    (tmp_path / "neg.warc").write_bytes(body)
+    rows = read_warc(spark, str(tmp_path / "neg.warc")).collect()
+    assert [r["record_id"] for r in rows] == ["<urn:uuid:ok>"]
