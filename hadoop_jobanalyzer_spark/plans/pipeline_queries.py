@@ -613,6 +613,60 @@ GROUP BY cell ORDER BY cell
 """
 
 
+def q74_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup demonstrated in the registry: docs with
+    doc_id % 5 == 0 play the newly-arrived batch, the rest the existing
+    corpus whose signatures are already persisted. The operator computes
+    signatures for the new batch ONLY and bucket-joins against the store
+    (operators/dedup.lsh_candidate_pairs_incremental); the oracle is the
+    full-batch candidate set restricted to pairs involving a new doc —
+    the exact contract the incremental path must honor."""
+    from hadoop_jobanalyzer_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    old = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0")
+    store = minhash_signatures(old, "doc_id", "text", _N_HASHES).na.drop()
+    pairs, _ = lsh_candidate_pairs_incremental(
+        new, "doc_id", "text", stored_sigs=store, n_hashes=_N_HASHES, bands=_BANDS
+    )
+    return pairs
+
+
+def _q74_sql() -> str:
+    from hadoop_jobanalyzer_spark.operators.dedup import MINHASH_P, _minhash_params
+
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_minhash_params(_N_HASHES))
+    )
+    rows = _N_HASHES // _BANDS
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {concat} AS bh FROM m".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P} AS h FROM sh),
+m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS ({bands}),
+bkeep AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING COUNT(*) <= 1000)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+FROM banded a
+JOIN bkeep k ON a.band = k.band AND a.bh = k.bh
+JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
 # --- corpus quality / contamination / estimator diagnostics ------------------
 
 
@@ -846,6 +900,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q65_doclen_histogram": (q65_doclen_histogram, Q65_SQL),
     "q66_minhash_estimate": (q66_minhash_estimate, _q66_sql()),
     "q69_ivf_cell_stats": (q69_ivf_cell_stats, Q69_SQL),
+    "q74_incremental_dedup": (q74_incremental_dedup, _q74_sql()),
     "q30_payload_meta": (q30_payload_meta, Q30_SQL),
     "q31_winnow_fingerprints": (q31_winnow_fingerprints, Q31_SQL),
     "q32_embedding_near_dups": (q32_embedding_near_dups, Q32_SQL),
