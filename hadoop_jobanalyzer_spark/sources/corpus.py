@@ -185,3 +185,42 @@ try:  # the Data Source API needs pyspark >= 4
 
 except ImportError:  # pragma: no cover
     WarcDataSource = None  # type: ignore[assignment]
+
+
+def read_jsonl_corpus_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    id_field: str = "id",
+    text_field: str = "text",
+) -> DataFrame:
+    """Streaming form of :func:`read_jsonl_corpus`: watch a directory for
+    arriving JSONL shards (streaming sources require an explicit schema).
+    The (doc_id, text) contract is applied the same way, so every batch
+    operator that composes with streams runs unchanged."""
+    df = spark.readStream.schema(schema).json(path)
+    for src, dst in ((id_field, "doc_id"), (text_field, "text")):
+        if src in df.columns and src != dst:
+            df = df.withColumnRenamed(src, dst)
+    return df
+
+
+def dedup_docs_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once content dedup over an arriving document stream: drop
+    any document whose md5(text) was already seen within the watermark
+    window. State is one short hash per distinct document and is evicted
+    past the watermark — the bounded-state form of streaming exact dedup
+    (the batch equivalent is ``exact_duplicates``' keeper filter)."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs.withColumn("_content_hash", F.md5(F.col(text_col)))
+        .withColumn("_ingest_ts", F.current_timestamp())
+        .withWatermark("_ingest_ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop("_ingest_ts")
+    )

@@ -97,3 +97,42 @@ def test_warc_negative_content_length_resyncs(spark, tmp_path):
     (tmp_path / "neg.warc").write_bytes(body)
     rows = read_warc(spark, str(tmp_path / "neg.warc")).collect()
     assert [r["record_id"] for r in rows] == ["<urn:uuid:ok>"]
+
+
+def test_streaming_jsonl_dedup_matches_batch_distinct(spark, tmp_path):
+    """Stream two JSONL shards with overlapping documents; the streamed
+    dedup must emit exactly one row per distinct text, matching the batch
+    distinct count."""
+    import uuid
+
+    from hadoop_jobanalyzer_spark.sources.corpus import (
+        dedup_docs_stream,
+        read_jsonl_corpus_stream,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    texts = [f"document number {i % 7}" for i in range(20)]  # 7 distinct
+    half = len(texts) // 2
+    for shard, chunk in enumerate((texts[:half], texts[half:])):
+        with open(d / f"shard{shard}.jsonl", "w") as f:
+            for i, t in enumerate(chunk):
+                f.write(json.dumps({"id": shard * half + i, "text": t}) + "\n")
+
+    stream = read_jsonl_corpus_stream(
+        spark, str(d), schema="id long, text string"
+    )
+    name = f"docs_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_docs_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(name).collect()
+    assert len(rows) == 7
+    assert {r["text"] for r in rows} == set(texts)
+    assert len({r["_content_hash"] for r in rows}) == 7
