@@ -296,6 +296,91 @@ def minhash_est_vs_exact(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking + Hamming-distance verify.
+
+    The 32-bit SimHash (:func:`~hadoop_jobanalyzer_spark.functions.text.
+    simhash_table`, one codegen pass) splits into ``bands`` bit-slices; docs
+    are bucketed by (band, slice value) and pairs generated in-bucket, then
+    verified with ``bit_count(xor)``. By pigeonhole the blocking is EXACT
+    for ``max_hamming <= bands - 1``: a pair differing in at most
+    ``bands - 1`` bits must agree on at least one full band, so no
+    qualifying pair is missed (the default 4 bands / Hamming <= 3 keeps
+    that guarantee). ``max_bucket`` bounds the O(|bucket|^2) fan-out of
+    degenerate slices (ON by default, ``None`` opts out) — same contract
+    as :func:`lsh_candidate_pairs`.
+
+    One shuffle for the fingerprint, one for the bucket groupBy, one
+    bucket-key pair reduction — never a corpus-sized self-join. The
+    fingerprint rides the bucket rows (one extra long per row), so the
+    Hamming verify is a codegen filter *before* the pair-reduction shuffle
+    instead of two join-backs that would re-derive the fingerprint table.
+    Output: id_a < id_b, n_shared_bands, hamming.
+    """
+    from hadoop_jobanalyzer_spark.functions.text import simhash_table
+
+    if 32 % bands != 0:
+        raise ValueError(f"bands must divide 32, got {bands}")
+    width = 32 // bands
+    mask = (1 << width) - 1
+    sh = simhash_table(df, id_col, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = (
+        sh.select(
+            F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("_doc"),
+            F.explode(F.array(*band_cols)).alias("bb"),
+        )
+        # sort_array on an array<struct> orders by the first field (id), so
+        # pair generation below emits id_a < id_b
+        .groupBy("bb")
+        .agg(F.sort_array(F.collect_list("_doc")).alias("_docs"))
+        .filter(F.size("_docs") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_docs") <= max_bucket)
+    docs = F.col("_docs")
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sh"].alias("sha"),
+                    y["sh"].alias("shb"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.bit_count(F.col("p.sha").bitwiseXOR(F.col("p.shb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b", "hamming")
+        .agg(F.count("*").alias("n_shared_bands"))
+        .select("id_a", "id_b", "n_shared_bands", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def lsh_candidate_pairs_incremental(
     new_df: DataFrame,
     id_col: str,

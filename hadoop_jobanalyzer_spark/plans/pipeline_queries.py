@@ -36,6 +36,7 @@ from hadoop_jobanalyzer_spark.operators.dedup import (
     minhash_est_vs_exact,
     near_dup_pairs,
     ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
 )
 from hadoop_jobanalyzer_spark.operators.multimodal import attach_payload, payload_meta
 from hadoop_jobanalyzer_spark.operators.similarity import (
@@ -297,19 +298,25 @@ def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_table(t["documents"], "doc_id", "text").orderBy("doc_id")
 
 
-def _q26_sql() -> str:
+def _simhash_ctes() -> str:
+    """CTE chain ending in ``sim(doc_id, simhash)`` — the SQL restatement of
+    :func:`~hadoop_jobanalyzer_spark.functions.text.simhash_table`."""
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(h, v -> CASE WHEN ((v >> {k}) & 1) = 1 "
         f"THEN 1 ELSE -1 END)) >= 0 THEN CAST({2**k} AS BIGINT) ELSE 0 END)"
         for k in range(32)
     )
-    return f"""
-WITH words AS (SELECT doc_id, list_distinct({_WORDS}) AS w FROM documents),
+    return f"""words AS (SELECT doc_id, list_distinct({_WORDS}) AS w FROM documents),
 th AS (SELECT doc_id,
        list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
-       FROM words)
-SELECT doc_id, {terms} AS simhash
-FROM th ORDER BY doc_id
+       FROM words),
+sim AS (SELECT doc_id, {terms} AS simhash FROM th)"""
+
+
+def _q26_sql() -> str:
+    return f"""
+WITH {_simhash_ctes()}
+SELECT doc_id, simhash FROM sim ORDER BY doc_id
 """
 
 
@@ -667,6 +674,41 @@ ORDER BY id_a, id_b
 """
 
 
+def q75_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4-band blocking over the 32-bit fingerprint,
+    Hamming <= 3 verify (operators/dedup.simhash_near_dup_pairs). With 4
+    bands the blocking is pigeonhole-exact for Hamming <= 3 — no recall
+    loss vs an all-pairs scan, at bucket-join cost."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return simhash_near_dup_pairs(docs, "doc_id", "text")
+
+
+def _q75_sql() -> str:
+    return f"""
+WITH {_simhash_ctes()},
+bands AS (
+  SELECT doc_id, t.band, (simhash >> (t.band * 8)) & 255 AS bh
+  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band) t
+),
+bkeep AS (SELECT band, bh FROM bands GROUP BY band, bh
+          HAVING COUNT(*) BETWEEN 2 AND 1000),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+  FROM bands a
+  JOIN bkeep k ON a.band = k.band AND a.bh = k.bh
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared_bands,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN sim sa ON sa.doc_id = id_a
+JOIN sim sb ON sb.doc_id = id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 # --- corpus quality / contamination / estimator diagnostics ------------------
 
 
@@ -901,6 +943,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q66_minhash_estimate": (q66_minhash_estimate, _q66_sql()),
     "q69_ivf_cell_stats": (q69_ivf_cell_stats, Q69_SQL),
     "q74_incremental_dedup": (q74_incremental_dedup, _q74_sql()),
+    "q75_simhash_near_dups": (q75_simhash_near_dups, _q75_sql()),
     "q30_payload_meta": (q30_payload_meta, Q30_SQL),
     "q31_winnow_fingerprints": (q31_winnow_fingerprints, Q31_SQL),
     "q32_embedding_near_dups": (q32_embedding_near_dups, Q32_SQL),

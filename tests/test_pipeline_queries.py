@@ -69,6 +69,57 @@ def test_max_bucket_bounds_degenerate_corpus(spark):
     assert full.count() == n * (n - 1) // 2
 
 
+def test_simhash_banding_is_pigeonhole_exact(spark, sf_dir):
+    """With 4 bands over 32 bits, a pair at Hamming <= 3 must agree on at
+    least one band (pigeonhole), so uncapped banded blocking finds EXACTLY
+    the pairs a brute-force all-pairs Hamming scan finds."""
+    from hadoop_jobanalyzer_spark.functions.text import simhash_table
+    from hadoop_jobanalyzer_spark.operators.dedup import simhash_near_dup_pairs
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].filter("doc_id < 200")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_bucket=None
+        ).collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_table(docs, "doc_id", "text").collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == want
+    assert want, "expected planted near-dups within Hamming 3"
+
+
+def test_simhash_near_dup_pairs_validates_bands():
+    from hadoop_jobanalyzer_spark.operators.dedup import simhash_near_dup_pairs
+
+    with pytest.raises(ValueError, match="divide 32"):
+        simhash_near_dup_pairs(None, "doc_id", "text", bands=5)
+
+
+def test_simhash_max_bucket_bounds_degenerate_corpus(spark):
+    """Identical docs collapse every band slice into one giant bucket; the
+    default cap must drop it (bounded fan-out), opt-out restores all pairs."""
+    from hadoop_jobanalyzer_spark.operators.dedup import simhash_near_dup_pairs
+
+    n = 12
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    assert simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket=4).count() == 0
+    full = simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket=None)
+    rows = full.collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["hamming"] == 0 and r["n_shared_bands"] == 4 for r in rows)
+
+
 def test_knn_lsh_overlaps_brute_force(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     bf = [r["vec_id"] for r in knn_brute_force(t["embeddings"], "vec_id", "embedding", 0, k=10).collect()]
