@@ -1,4 +1,5 @@
-"""Structured Streaming ingest + stateful operators over arriving job logs."""
+"""Structured Streaming: arriving job logs (history_stream) and the
+star-schema event stream (event_stream)."""
 
 from hadoop_jobanalyzer_spark.streaming.history_stream import (
     attempt_finish_counts,
@@ -11,15 +12,23 @@ from hadoop_jobanalyzer_spark.streaming.history_stream import (
     read_history_stream,
     wasted_counts_stream,
 )
+from hadoop_jobanalyzer_spark.streaming.event_stream import (
+    event_window_counts_stream,
+    read_events_stream,
+    user_sessions_stream,
+)
 
 __all__ = [
     "attempt_finish_counts",
     "attempt_sessions",
     "dedup_attempts_stream",
     "enrich_attempts_stream",
+    "event_window_counts_stream",
     "job_status_stream",
     "error_counts_stream",
     "latest_success_attempts",
+    "read_events_stream",
     "read_history_stream",
+    "user_sessions_stream",
     "wasted_counts_stream",
 ]

@@ -1,0 +1,97 @@
+"""Structured Streaming over the analytics ``events`` table.
+
+The job-history streaming module (:mod:`.history_stream`) covers the
+reference's log surface; this module covers the star-schema side: the same
+windowed/sessionized aggregations the batch registry runs (q10 minute
+counts, q36 user sessions) expressed as incremental streaming plans with
+event-time watermarks, so late events are handled with bounded state
+instead of a full recompute.
+
+Scale notes: each operator is a single stateful aggregation keyed by
+(window, dim) — state is one row per open window per key, evicted when the
+watermark passes the window end. At 100 TB/day the same plans run against
+a Kafka/file source unchanged; the only sizing knobs are the watermark
+delay (state horizon) and ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """File-source stream of events rows (new parquet shards under ``path``).
+
+    Streaming sources need a schema up front; by default it is taken from
+    the files already present (a footer-only batch read). Pass ``schema``
+    (DDL string) when starting against an empty directory.
+    """
+    if schema is None:
+        sch = spark.read.parquet(path).schema
+    else:
+        sch = schema
+    return spark.readStream.schema(sch).parquet(path)
+
+
+def event_window_counts_stream(
+    events: DataFrame,
+    window_duration: str = "1 minute",
+    slide: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Windowed per-type event counts with an event-time watermark — the
+    incremental form of the batch q10 minute rollup (plus an optional
+    sliding window the batch form has no need for).
+
+    Append-mode safe: a (window, event_type) row is emitted exactly once,
+    when the watermark passes the window end; events arriving later than
+    ``watermark_delay`` past the window are dropped, which is the bounded
+    -state contract (batch recompute is the repair path for older data).
+    Output: win_start, win_end, event_type, n, total_value.
+    """
+    win = F.window("ts", window_duration, slide or window_duration)
+    # parquet NTZ timestamps are valid event time for batch windows but not
+    # for watermarks, which require the LTZ type
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def user_sessions_stream(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Per-user activity sessions under an inactivity ``gap`` — the
+    streaming form of q36's ``session_window`` aggregation. A session's
+    row is finalized (append mode) once the watermark passes its close;
+    state is one open session per active user.
+    Output: user_id, session_start, session_end, n_events.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

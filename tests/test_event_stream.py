@@ -1,0 +1,137 @@
+"""Streaming over the analytics events table: windowed/session aggregations
+differentially checked against their batch forms, plus watermark late-data
+semantics on a hand-built shard sequence."""
+
+import os
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.streaming import (
+    event_window_counts_stream,
+    read_events_stream,
+    user_sessions_stream,
+)
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    """The sf events table split into 3 arriving shards."""
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    d = tmp_path / "events_in"
+    d.mkdir()
+    n = len(df)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        # pandas defaults to ns-precision INT64, which Spark's streaming
+        # parquet reader refuses; the batch tables are us-precision
+        df.iloc[lo : lo + (n + 2) // 3].to_parquet(
+            d / f"shard{i}.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+    return str(d)
+
+
+def _run_to_memory(df, name, output_mode, checkpoint=None):
+    w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return q
+
+
+def test_event_window_counts_match_batch(spark, sf_dir, events_dir):
+    name = f"ewc_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, events_dir)
+    _run_to_memory(
+        event_window_counts_stream(stream, "1 minute"), name, "complete"
+    )
+    got = {
+        (str(r["win_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    )
+    want = {
+        (str(r["win"]["start"]), r["event_type"]): (r["n"], r["v"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_user_sessions_stream_matches_batch(spark, sf_dir, events_dir):
+    name = f"uss_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, events_dir)
+    _run_to_memory(user_sessions_stream(stream, gap="1 hour"), name, "complete")
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.table(name).collect()
+    }
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {
+        (r["user_id"], str(r["w"]["start"])): r["n"] for r in batch.collect()
+    }
+    assert got == want and len(got) > 50
+
+
+def test_late_event_dropped_after_watermark(spark, tmp_path):
+    """Append mode + watermark: once the watermark passes a window, a
+    late-arriving event for it is dropped, and the finalized row is emitted
+    exactly once. Shards are processed oldest-mtime-first one per trigger,
+    so the event-time order below is the processing order."""
+    d = tmp_path / "late_in"
+    d.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def shard(i, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(i * 10, i * 10 + len(rows)),
+                "ts": [base + pd.Timedelta(minutes=m) for m in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["view"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        p = d / f"shard{i}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+    shard(0, [0, 0, 1], 1_000)       # window 00:00 has 2 events, 00:01 has 1
+    shard(1, [200], 2_000)           # advances the watermark to 190min
+    shard(2, [210], 3_000)           # next batch flushes+evicts the 0/1min windows
+    shard(3, [0], 4_000)             # LATE: 00:00 state is gone -> dropped
+    shard(4, [400], 5_000)           # flushes the 200/210min windows
+
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    counts = event_window_counts_stream(stream, "1 minute", watermark_delay="10 minutes")
+    _run_to_memory(counts, name, "append", checkpoint=str(tmp_path / "ckpt"))
+    got = {
+        str(r["win_start"]): r["n"]
+        for r in spark.table(name).collect()
+    }
+    # the late event did NOT bump the 00:00 window, and no duplicate row
+    assert got[str(base)] == 2
+    assert got[str(base + pd.Timedelta(minutes=1))] == 1
+    assert spark.table(name).groupBy("win_start").count().filter("count > 1").count() == 0
