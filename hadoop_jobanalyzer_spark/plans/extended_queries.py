@@ -1056,6 +1056,56 @@ FROM csz
 """
 
 
+def q76_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout profile for orders clustered on (custkey, price):
+    each 8-bit Morton bucket's row count and per-dimension envelope. The
+    envelopes are what parquet footer pruning sees after
+    ``cluster_by_zorder`` — tight on BOTH dimensions at once (the
+    data-skipping property; file-level assertion in tests/test_zorder.py).
+    Money quantizes via exact integer cents, and the bucket profile is
+    integer-only, so the oracle hashes exactly."""
+    from hadoop_jobanalyzer_spark.operators.zorder import zorder_key
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    keyed = zorder_key(orders, ["o_custkey", "cents"], bits=8)
+    return (
+        keyed.groupBy(F.shiftright("_zvalue", 8).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _q76_sql() -> str:
+    interleave = " + ".join(
+        f"(((q{i + 1} >> {k}) & 1) << {k * 2 + i})"
+        for i in range(2)
+        for k in range(8)
+    )
+    return f"""
+WITH t AS (SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+s AS (SELECT MIN(o_custkey) AS lo1, MAX(o_custkey) AS hi1,
+             MIN(cents) AS lo2, MAX(cents) AS hi2 FROM t),
+q AS (SELECT o_custkey, cents,
+       LEAST(CAST(FLOOR(((o_custkey - lo1) * 256) / (hi1 - lo1 + 1)) AS BIGINT), 255) AS q1,
+       LEAST(CAST(FLOOR(((cents - lo2) * 256) / (hi2 - lo2 + 1)) AS BIGINT), 255) AS q2
+      FROM t, s),
+z AS (SELECT o_custkey, cents, {interleave} AS zvalue FROM q)
+SELECT zvalue >> 8 AS z_bucket, COUNT(*) AS n,
+       MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -1083,4 +1133,5 @@ EXTENDED_QUERIES = {
     "q71_clean_pipeline": (q71_clean_pipeline, _q71_sql()),
     "q72_source_profile": (q72_source_profile, Q72_SQL),
     "q73_bpe_merges": (q73_bpe_merges, None),
+    "q76_zorder_buckets": (q76_zorder_buckets, _q76_sql()),
 }

@@ -28,6 +28,8 @@ NESTED_LOOP_OK = {
     "q60_knn_multiprobe",
     "q61_knn_ivf_assigned",
     "q69_ivf_cell_stats",
+    # 1-row min/max stats broadcast for quantization ranges
+    "q76_zorder_buckets",
 }
 
 
