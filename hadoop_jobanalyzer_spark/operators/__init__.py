@@ -5,6 +5,7 @@ from hadoop_jobanalyzer_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
 )
 from hadoop_jobanalyzer_spark.operators.history_reports import (
     error_summary,
@@ -24,8 +25,10 @@ from hadoop_jobanalyzer_spark.operators.similarity import (
     lsh_buckets,
 )
 from hadoop_jobanalyzer_spark.operators.timeline import timeline
+from hadoop_jobanalyzer_spark.operators.zorder import cluster_by_zorder, zorder_key
 
 __all__ = [
+    "cluster_by_zorder",
     "embedding_near_dup_pairs",
     "error_summary",
     "exact_duplicates",
@@ -41,7 +44,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "reduce_bytes_table",
     "reduce_table",
+    "simhash_near_dup_pairs",
     "timeline",
+    "zorder_key",
     "wasted_attempts",
     "wasted_summary",
 ]

@@ -28,6 +28,47 @@ def hash_sample(df: DataFrame, key: Column, pct: int, mod: int = 100) -> DataFra
     return df.withColumn("bucket", hash_bucket(key, mod)).filter(F.col("bucket") < pct)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    expected_rows: int,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample with expected size
+    ``expected_rows``: row i is kept iff ``u_i < expected_rows * w_i / W``
+    where ``u_i`` is an md5-derived uniform in [0, 1) and ``W`` the total
+    weight — the standard Poisson/probability-proportional-to-size design
+    for corpus mixing (upweight rare sources, downweight boilerplate).
+
+    Same portability contract as :func:`hash_bucket`: membership is a pure
+    function of the key, so reruns, engine ports (the DuckDB oracle), and
+    corpus appends never reshuffle prior decisions. ``W`` comes from one
+    scalar aggregation (1-row broadcast); everything else is one md5 plus
+    codegen double math (IEEE division/multiplication round identically in
+    any engine — no ln/pow, whose libm rounding is engine-specific).
+    Adds ``_weight`` and ``_p`` (the inclusion probability, for
+    Horvitz-Thompson reweighting downstream).
+    """
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    tot = df.select(F.sum(weight.cast("double")).alias("_w_total"))
+    return (
+        df.withColumn("_weight", weight.cast("double"))
+        .join(F.broadcast(tot))
+        .withColumn(
+            "_p",
+            F.least(
+                F.lit(float(expected_rows)) * F.col("_weight") / F.col("_w_total"),
+                F.lit(1.0),
+            ),
+        )
+        .filter(u < F.col("_p"))
+        .drop("_w_total")
+    )
+
+
 def train_val_test(key: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
     """Deterministic split label ('train' | 'val' | 'test') from the key."""
     b = hash_bucket(key, 100)

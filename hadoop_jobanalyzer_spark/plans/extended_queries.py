@@ -23,7 +23,11 @@ from hadoop_jobanalyzer_spark.operators.graph import (
     component_sizes,
     connected_components,
 )
-from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket, train_val_test
+from hadoop_jobanalyzer_spark.operators.sampling import (
+    hash_bucket,
+    train_val_test,
+    weighted_sample,
+)
 from hadoop_jobanalyzer_spark.plans.pipeline_queries import (
     _BANDS,
     _N_HASHES,
@@ -1106,6 +1110,147 @@ FROM z GROUP BY 1 ORDER BY 1
 """
 
 
+def q77_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users counted
+    at stage k only if each event happened at-or-after the previous
+    stage's first event. Three partial-aggregating groupBys joined on the
+    (small) surviving user sets — AQE broadcasts each step."""
+    e = load_tables(spark, sf_dir)["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_view_click"))
+        .unionByName(stage(p, "3_view_click_purchase"))
+        .orderBy("stage")
+    )
+
+
+Q77_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts >= v.tv
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts >= c.tc
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_view_click', COUNT(*) FROM c
+UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p
+ORDER BY stage
+"""
+
+
+def q78_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample of documents, weight =
+    n_chars, expected 200 rows (operators/sampling.weighted_sample) — the
+    corpus-mixing primitive. No ln/pow anywhere, so the md5-uniform and
+    the inclusion threshold reproduce bit-exactly in any IEEE engine."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        weighted_sample(docs, F.col("doc_id"), F.col("n_chars"), expected_rows=200)
+        .select("doc_id", "n_chars", F.round("_p", 6).alias("p"))
+        .orderBy("doc_id")
+    )
+
+
+Q78_SQL = """
+WITH w AS (SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) AS wt FROM documents),
+t AS (SELECT SUM(wt) AS total FROM w),
+s AS (SELECT doc_id, n_chars,
+             LEAST(200 * wt / total, 1.0) AS p,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+      FROM w, t)
+SELECT doc_id, n_chars, ROUND(p, 6) AS p FROM s WHERE u < p ORDER BY doc_id
+"""
+
+
+def q79_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over lineitem: top 20 co-ordered part
+    pairs by support, with lift. The self-join is keyed on l_orderkey, so
+    fan-out is bounded by order size (C(lines,2) per order — never a
+    part x part product); per-part counts and the order total are partial
+    aggregations, the total a 1-row broadcast."""
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    pc = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    total = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.join(pc.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a")
+        .join(pc.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
+        .join(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+Q79_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+pc AS (SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY 1),
+t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT part_a, part_b, n_ab, pa.n AS n_a, pb.n AS n_b,
+       ROUND((n_ab * n_orders) / (pa.n * pb.n), 4) AS lift
+FROM pairs
+JOIN pc pa ON part_a = pa.l_partkey
+JOIN pc pb ON part_b = pb.l_partkey, t
+ORDER BY n_ab DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -1134,4 +1279,7 @@ EXTENDED_QUERIES = {
     "q72_source_profile": (q72_source_profile, Q72_SQL),
     "q73_bpe_merges": (q73_bpe_merges, None),
     "q76_zorder_buckets": (q76_zorder_buckets, _q76_sql()),
+    "q77_event_funnel": (q77_event_funnel, Q77_SQL),
+    "q78_weighted_sample": (q78_weighted_sample, Q78_SQL),
+    "q79_copurchase_lift": (q79_copurchase_lift, Q79_SQL),
 }

@@ -217,6 +217,34 @@ def test_hash_sample_disjoint_strata(spark):
     assert {r["id"] for r in kept.collect()} <= wide
 
 
+def test_weighted_sample_contracts(spark):
+    """weighted_sample: deterministic, ~expected size, zero-weight rows
+    never kept, saturated weights (p clamped to 1) always kept."""
+    from hadoop_jobanalyzer_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id"), F.when(F.col("id") < 900, F.lit(1.0)).otherwise(F.lit(0.0)).alias("w")
+    )
+    kept = weighted_sample(df, F.col("id"), F.col("w"), expected_rows=100)
+    ids = {r["id"] for r in kept.collect()}
+    # zero-weight rows (id >= 900) can never be sampled
+    assert all(i < 900 for i in ids)
+    assert 40 <= len(ids) <= 200  # ~100 expected, generous tolerance
+    # deterministic: identical membership on rerun
+    assert {r["id"] for r in kept.collect()} == ids
+    # p is a valid probability everywhere
+    ps = [r["_p"] for r in kept.collect()]
+    assert all(0.0 < p <= 1.0 for p in ps)
+
+    # one giant weight saturates (p==1) and is always kept
+    df2 = spark.range(10).select(
+        F.col("id"), F.when(F.col("id") == 3, F.lit(1e9)).otherwise(F.lit(1.0)).alias("w")
+    )
+    kept2 = weighted_sample(df2, F.col("id"), F.col("w"), expected_rows=5)
+    rows2 = {r["id"]: r["_p"] for r in kept2.collect()}
+    assert 3 in rows2 and rows2[3] == 1.0
+
+
 def test_source_balance_deterministic_and_monotone(spark):
     """Hash-mod sampling contracts: (1) re-running selects the same docs;
     (2) growing source B never changes which of source A's docs are kept

@@ -30,6 +30,9 @@ NESTED_LOOP_OK = {
     "q69_ivf_cell_stats",
     # 1-row min/max stats broadcast for quantization ranges
     "q76_zorder_buckets",
+    # 1-row scalar broadcast: total corpus weight / total order count
+    "q78_weighted_sample",
+    "q79_copurchase_lift",
 }
 
 
