@@ -1,6 +1,7 @@
 """Semantic views & report operators over the typed history views."""
 
 from hadoop_jobanalyzer_spark.operators.dedup import (
+    boilerplate_ngram_fraction,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -24,10 +25,13 @@ from hadoop_jobanalyzer_spark.operators.similarity import (
     knn_lsh,
     lsh_buckets,
 )
+from hadoop_jobanalyzer_spark.operators.retrieval import bm25_topk
 from hadoop_jobanalyzer_spark.operators.timeline import timeline
 from hadoop_jobanalyzer_spark.operators.zorder import cluster_by_zorder, zorder_key
 
 __all__ = [
+    "bm25_topk",
+    "boilerplate_ngram_fraction",
     "cluster_by_zorder",
     "embedding_near_dup_pairs",
     "error_summary",

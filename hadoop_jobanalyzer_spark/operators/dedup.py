@@ -447,3 +447,64 @@ def lsh_candidate_pairs_incremental(
         .orderBy("id_a", "id_b")
     )
     return pairs, new_sigs
+
+
+def boilerplate_ngram_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    min_df: int = 5,
+) -> DataFrame:
+    """Per-document fraction of n-gram occurrences that are corpus
+    boilerplate (the Gopher/RefinedWeb "duplicated n-grams across the
+    corpus" quality signal): an n-gram is boilerplate when it appears in
+    at least ``min_df`` distinct documents.
+
+    Distinct from :func:`ngram_jaccard_pairs` (pairwise overlap) and the
+    within-doc repetition signals: this measures cross-corpus template
+    mass per document, the filter that strips navigation chrome / license
+    headers from web crawls before training.
+
+    Plan shape: shingles explode once (generator-only select — an
+    expression carried next to a generator re-evaluates per output row);
+    document frequency is a two-phase partial aggregation; the boilerplate
+    set (df >= min_df) is broadcast — by Zipf it is tiny relative to the
+    shingle universe at any corpus size because high-df n-grams are rare.
+    Sizes ride a separate one-row-per-doc projection.
+
+    Returns (id, n_ngrams, n_boiler, boiler_frac) for every document with
+    at least one n-gram.
+    """
+    from hadoop_jobanalyzer_spark.functions.text import shingles_seq
+
+    sh_seq = shingles_seq(tokens(text_col), ngram)
+    exploded = df.select(F.col(id_col), F.explode(sh_seq).alias("_s"))
+    sizes = df.select(F.col(id_col), F.size(sh_seq).alias("n_ngrams")).filter(
+        F.col("n_ngrams") > 0
+    )
+    boiler = (
+        exploded.groupBy("_s")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_s")
+    )
+    hits = (
+        exploded.join(F.broadcast(boiler), "_s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_ngrams"),
+                4,
+            ).alias("boiler_frac"),
+        )
+        .orderBy(id_col)
+    )

@@ -1251,6 +1251,59 @@ LIMIT 20
 """
 
 
+_BM25_TERMS = ["dup", "key", "window"]  # rare + mid + common df at every sf
+
+
+def q80_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: top-10 documents for a 3-term query under
+    rational-idf BM25 (operators/retrieval.py — no explode, one corpus
+    scan, 1-row stats broadcast, TakeOrderedAndProject top-k)."""
+    from hadoop_jobanalyzer_spark.operators.retrieval import bm25_topk
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=10)
+
+
+def _q80_sql() -> str:
+    from hadoop_jobanalyzer_spark.operators.retrieval import bm25_sql
+
+    return bm25_sql("documents", "doc_id", "text", _BM25_TERMS, k=10)
+
+
+_BOILER_N = 3
+_BOILER_MIN_DF = 5
+
+
+def q81_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate mass per document: fraction of each doc's
+    3-gram occurrences whose 3-gram appears in >= 5 distinct docs (the
+    Gopher/RefinedWeb duplicated-ngram quality filter). Broadcast-joined
+    boilerplate set; shingles explode once, generator-only."""
+    from hadoop_jobanalyzer_spark.operators.dedup import boilerplate_ngram_fraction
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return boilerplate_ngram_fraction(
+        docs, "doc_id", "text", ngram=_BOILER_N, min_df=_BOILER_MIN_DF
+    )
+
+
+Q81_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+boiler AS (SELECT s FROM sh GROUP BY s
+           HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM sh GROUP BY 1),
+hits AS (SELECT doc_id, COUNT(*) AS n_boiler FROM sh
+         WHERE s IN (SELECT s FROM boiler) GROUP BY 1)
+SELECT doc_id, n_ngrams,
+       COALESCE(n_boiler, 0) AS n_boiler,
+       ROUND(COALESCE(n_boiler, 0) / n_ngrams, 4) AS boiler_frac
+FROM sizes LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -1282,4 +1335,6 @@ EXTENDED_QUERIES = {
     "q77_event_funnel": (q77_event_funnel, Q77_SQL),
     "q78_weighted_sample": (q78_weighted_sample, Q78_SQL),
     "q79_copurchase_lift": (q79_copurchase_lift, Q79_SQL),
+    "q80_bm25_search": (q80_bm25_search, _q80_sql()),
+    "q81_boilerplate_fraction": (q81_boilerplate_fraction, Q81_SQL),
 }

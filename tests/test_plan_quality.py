@@ -30,9 +30,11 @@ NESTED_LOOP_OK = {
     "q69_ivf_cell_stats",
     # 1-row min/max stats broadcast for quantization ranges
     "q76_zorder_buckets",
-    # 1-row scalar broadcast: total corpus weight / total order count
+    # 1-row scalar broadcast: total corpus weight / total order count /
+    # BM25 corpus stats (N, df, avgdl)
     "q78_weighted_sample",
     "q79_copurchase_lift",
+    "q80_bm25_search",
 }
 
 
@@ -98,6 +100,11 @@ def _n_exchanges(plan: str) -> int:
         ("q65_doclen_histogram", 2),
         ("q67_source_balance", 5),
         ("q69_ivf_cell_stats", 4),
+        ("q77_event_funnel", 8),  # 3 staged aggs + user_id joins + union sort
+        ("q78_weighted_sample", 2),  # 1-row total + final sort
+        ("q79_copurchase_lift", 9),  # distinct + order-key self-join + 3 aggs
+        ("q80_bm25_search", 1),  # ONLY the 1-row stats agg — scan stays codegen
+        ("q81_boilerplate_fraction", 4),  # df agg + hits agg + sizes join + sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
