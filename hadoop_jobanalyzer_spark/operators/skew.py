@@ -72,3 +72,36 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l_salted.join(r_salted, [*on, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Hot-key diagnostic: per-key row counts for the ``top_n`` heaviest
+    values of ``key``, with each key's share of the table and its ratio to
+    the mean per-key count. This is the report you run BEFORE choosing a
+    join/agg strategy at scale — it tells you whether a key needs salting
+    (``salted_join``), AQE skew splitting, or nothing.
+
+    One partial-aggregating groupBy produces per-key counts; totals reduce
+    to a 1-row broadcast; the top-N is a TakeOrdered, never a full sort.
+    Output: (key_value, n, share, x_mean) ordered by n desc with the key
+    as deterministic tiebreak.
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_n_keys")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "key_value",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("n") * F.col("_n_keys") / F.col("_total"), 3).alias(
+                "x_mean"
+            ),
+        )
+        .orderBy(F.desc("n"), "key_value")
+        .limit(top_n)
+    )

@@ -1304,6 +1304,113 @@ ORDER BY doc_id
 """
 
 
+_PER_SOURCE_M = 20
+
+
+def q82_bounded_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-m-per-source deterministic sample: rank docs inside each
+    source by (md5(doc_id), doc_id) and keep the first 20. The fixed-size
+    complement to q67's rate-based balancing — 'give me 10k docs from
+    every source for eval' — reproducible across engines and appends of
+    OTHER sources (a source's ranking depends only on its own members)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _PER_SOURCE_M)
+        .orderBy("source", "rank")
+    )
+
+
+Q82_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT source, doc_id, rank FROM ranked
+WHERE rank <= {_PER_SOURCE_M}
+ORDER BY source, rank
+"""
+
+
+def q83_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic over events.user_id (operators/skew.
+    key_skew_profile): top-10 heaviest keys with share and ratio-to-mean —
+    the pre-flight report that decides salting vs AQE vs nothing."""
+    from hadoop_jobanalyzer_spark.operators.skew import key_skew_profile
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return key_skew_profile(ev, "user_id", top_n=10)
+
+
+Q83_SQL = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key_value, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+totals AS (SELECT CAST(SUM(n) AS BIGINT) AS _total, COUNT(*) AS _n_keys FROM counts)
+SELECT key_value, n,
+       ROUND(n / _total, 6) AS share,
+       ROUND(n * _n_keys / _total, 3) AS x_mean
+FROM counts, totals
+ORDER BY n DESC, key_value
+LIMIT 10
+"""
+
+
+def q84_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source median quality gate: keep each source's top half of
+    documents by lexical diversity (distinct-token count — an integer
+    ranking key, so the cut is engine-exact with no float percentile).
+    Keeps rank <= ceil(count/2) by (n_distinct desc, doc_id asc): the
+    adaptive threshold form of quality filtering — each source is judged
+    against its own distribution, not one global constant."""
+    from hadoop_jobanalyzer_spark.functions.text import distinct_token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "source", "doc_id", distinct_token_count(tokens("text")).alias("n_distinct")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_distinct"), "doc_id")
+    cnt = Window.partitionBy("source")
+    return (
+        scored.select(
+            "source",
+            "doc_id",
+            "n_distinct",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(cnt).alias("_cnt"),
+        )
+        .filter(F.col("_rn") <= (F.col("_cnt") + 1) / 2)
+        .select("source", "doc_id", "n_distinct")
+        .orderBy("source", "doc_id")
+    )
+
+
+Q84_SQL = f"""
+WITH scored AS (
+  SELECT source, doc_id, LEN(list_distinct({_WORDS})) AS n_distinct
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_distinct,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_distinct DESC, doc_id
+         ) AS _rn,
+         COUNT(*) OVER (PARTITION BY source) AS _cnt
+  FROM scored
+)
+SELECT source, doc_id, n_distinct FROM ranked
+WHERE _rn <= (_cnt + 1) / 2
+ORDER BY source, doc_id
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -1337,4 +1444,7 @@ EXTENDED_QUERIES = {
     "q79_copurchase_lift": (q79_copurchase_lift, Q79_SQL),
     "q80_bm25_search": (q80_bm25_search, _q80_sql()),
     "q81_boilerplate_fraction": (q81_boilerplate_fraction, Q81_SQL),
+    "q82_bounded_source_sample": (q82_bounded_source_sample, Q82_SQL),
+    "q83_key_skew_profile": (q83_key_skew_profile, Q83_SQL),
+    "q84_quality_gate": (q84_quality_gate, Q84_SQL),
 }

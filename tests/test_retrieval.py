@@ -84,3 +84,17 @@ def test_boilerplate_short_docs_dropped(spark):
         _docs(spark, [(1, "a b"), (2, "a b c d")]), "doc_id", "text", ngram=3, min_df=2
     ).collect()
     assert {r["doc_id"] for r in out} == {2}
+
+
+def test_key_skew_profile_planted(spark):
+    from hadoop_jobanalyzer_spark.operators.skew import key_skew_profile
+
+    # 90 rows of key 7, 10 singletons (100..109) -> 11 keys, mean 100/11
+    rows = [(7,)] * 90 + [(i,) for i in range(100, 110)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = key_skew_profile(df, "user_id", top_n=3).collect()
+    assert out[0]["key_value"] == "7" and out[0]["n"] == 90
+    assert abs(out[0]["share"] - 0.9) < 1e-9
+    assert abs(out[0]["x_mean"] - round(90 * 11 / 100, 3)) < 1e-9
+    # singletons tie at n=1 -> deterministic key_value tiebreak
+    assert [r["key_value"] for r in out[1:]] == ["100", "101"]
