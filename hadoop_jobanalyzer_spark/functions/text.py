@@ -250,3 +250,16 @@ def redact_pii(text: Column | str) -> Column:
     for kind in ("email", "url", "phone"):
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for normalization-based exact dedup: lowercase,
+    strip every character outside [a-z0-9 ], collapse whitespace runs,
+    trim. Catches the near-exact duplicates raw-hash dedup misses
+    (casing, punctuation, spacing variants) while staying pure codegen —
+    the standard first pass before MinHash in a cleaning pipeline.
+    Character-class-only regexes so the Java and RE2-family engines agree.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(out, " +", " "))

@@ -1411,6 +1411,245 @@ ORDER BY source, doc_id
 """
 
 
+_N_SHARDS = 16
+
+
+def q85_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (operators/shards.shard_manifest): assign
+    every document to one of 16 shards by md5-mod of doc_id, then per-shard
+    row count, payload bytes, and key range — the balance report a
+    pipeline runs before materializing training shards. One tiny shuffle
+    (16 groups, partial-aggregated)."""
+    from hadoop_jobanalyzer_spark.operators.shards import shard_manifest
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return shard_manifest(docs, F.col("doc_id"), _N_SHARDS, F.col("n_chars"))
+
+
+Q85_SQL = f"""
+WITH s AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_N_SHARDS} AS shard,
+         doc_id, n_chars
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+       MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+def q86_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-based exact dedup (functions/text.normalize_text):
+    lowercase / strip punctuation / collapse whitespace, then group on the
+    canonical form — catches casing/punctuation/spacing variants that raw
+    exact dedup (q20) misses. Per-doc keeper verdict (the q20 shape, on
+    the canonical key): doc_id, canonical-form md5 + length, and
+    is_keeper = "first doc_id in my group". Pure codegen normalization +
+    one window over the md5 — the cheapest pass of a cleaning pipeline,
+    run before MinHash."""
+    from hadoop_jobanalyzer_spark.functions.text import normalize_text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("norm_key")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(normalize_text("text")).alias("norm_key"),
+            F.length(normalize_text("text")).alias("norm_len"),
+        )
+        .select(
+            "doc_id",
+            "norm_key",
+            "norm_len",
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q86_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS norm_key, LEN(norm) AS norm_len,
+       doc_id = MIN(doc_id) OVER (PARTITION BY md5(norm)) AS is_keeper
+FROM n ORDER BY doc_id
+"""
+
+
+def q87_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their first-event week,
+    counted distinct in each subsequent week offset — the activation/
+    retention triangle. Cohort label is the Monday of the user's first
+    event week (date_trunc 'week' — ISO Monday in both engines); offsets
+    are integer floor(day-diff / 7), so the whole key is exact integer
+    arithmetic. Two shuffles: min-per-user, then the cohort x offset
+    distinct count."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            F.date_format(F.date_trunc("week", "first_d"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(F.datediff("d", "first_d") / 7).alias("week_off"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_off")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_off")
+    )
+
+
+Q87_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT user_id, MIN(d) AS first_d FROM ev GROUP BY user_id)
+SELECT strftime(date_trunc('week', first_d), '%Y-%m-%d') AS cohort_week,
+       CAST(floor(date_diff('day', first_d, d) / 7.0) AS BIGINT) AS week_off,
+       COUNT(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN firsts USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+def q88_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI over the corpus: adjacent word pairs scored
+    by how much more often they co-occur than their unigram frequencies
+    predict. Score is the PMI ratio ((c_xy * N_uni) * N_uni) /
+    ((N_bi * c_x) * c_y) — log-free (rank-equivalent, and ln's libm
+    rounding is engine-specific), left-associated double math so both
+    engines round identically. Unigram counts join back to bigrams twice;
+    the vocabulary is Zipf-small, so both joins broadcast. Totals are a
+    1-row broadcast."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(tokens("text").alias("w"))
+    uni = (
+        words.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    length = F.greatest(F.size("w") - 1, F.lit(0))
+    bi = (
+        words.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, length).alias("w1"),
+                    F.slice("w", 2, length).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        words.select(F.sum(length).alias("n_bi"))
+    )
+    ux = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        bi.join(F.broadcast(ux), "w1")
+        .join(F.broadcast(uy), "w2")
+        .join(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                / (F.col("n_bi").cast("double") * F.col("c_x") * F.col("c_y")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ratio"), "w1", "w2").limit(_PMI_TOP)
+
+
+Q88_SQL = f"""
+WITH words AS (SELECT {_WORDS} AS w FROM documents),
+uni AS (
+  SELECT u.tok, COUNT(*) AS c
+  FROM words, unnest(w) AS u(tok) GROUP BY u.tok
+),
+bi AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS c_xy
+  FROM words, unnest(range(1, len(w))) AS r(i)
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+totals AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(SUM(greatest(len(w) - 1, 0)) AS BIGINT) FROM words) AS n_bi
+)
+SELECT w1, w2, c_xy,
+       ROUND((CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+             / (CAST(n_bi AS DOUBLE) * ux.c * uy.c), 6) AS pmi_ratio
+FROM bi
+JOIN uni ux ON bi.w1 = ux.tok
+JOIN uni uy ON bi.w2 = uy.tok
+CROSS JOIN totals
+ORDER BY pmi_ratio DESC, w1, w2 LIMIT {_PMI_TOP}
+"""
+
+
+def q89_embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: histogram of L2 norms at 0.1 resolution, with
+    per-bucket vector count and distinct labels — the sanity report before
+    any cosine-similarity stage (unnormalized or degenerate embeddings
+    poison ANN). The squared-norm fold runs left-to-right over the array
+    in both engines (identical IEEE rounding), no shuffle until the
+    16-ish-bucket groupBy."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(
+            F.floor(F.sqrt(sq) * 10).alias("bucket"),
+            "vec_id",
+            "label",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .select(
+            (F.col("bucket") / 10.0).alias("norm_lo"),
+            "n_vecs",
+            "n_labels",
+        )
+        .orderBy("norm_lo")
+    )
+
+
+Q89_SQL = """
+WITH n AS (
+  SELECT vec_id, label,
+         CAST(floor(sqrt(list_reduce(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (acc, x) -> acc + x)) * 10) AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT bucket / 10.0 AS norm_lo, COUNT(*) AS n_vecs,
+       COUNT(DISTINCT label) AS n_labels
+FROM n GROUP BY bucket ORDER BY norm_lo
+"""
+
+
 EXTENDED_QUERIES = {
     "q40_dedup_clusters": (q40_dedup_clusters, _q40_sql()),
     "q41_vocabulary": (q41_vocabulary, Q41_SQL),
@@ -1447,4 +1686,9 @@ EXTENDED_QUERIES = {
     "q82_bounded_source_sample": (q82_bounded_source_sample, Q82_SQL),
     "q83_key_skew_profile": (q83_key_skew_profile, Q83_SQL),
     "q84_quality_gate": (q84_quality_gate, Q84_SQL),
+    "q85_shard_manifest": (q85_shard_manifest, Q85_SQL),
+    "q86_normalized_dedup": (q86_normalized_dedup, Q86_SQL),
+    "q87_retention_cohorts": (q87_retention_cohorts, Q87_SQL),
+    "q88_pmi_collocations": (q88_pmi_collocations, Q88_SQL),
+    "q89_embedding_norm_histogram": (q89_embedding_norm_histogram, Q89_SQL),
 }

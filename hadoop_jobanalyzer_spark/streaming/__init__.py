@@ -13,6 +13,7 @@ from hadoop_jobanalyzer_spark.streaming.history_stream import (
     wasted_counts_stream,
 )
 from hadoop_jobanalyzer_spark.streaming.event_stream import (
+    dedup_events_stream,
     event_window_counts_stream,
     read_events_stream,
     user_sessions_stream,
@@ -22,6 +23,7 @@ __all__ = [
     "attempt_finish_counts",
     "attempt_sessions",
     "dedup_attempts_stream",
+    "dedup_events_stream",
     "enrich_attempts_stream",
     "event_window_counts_stream",
     "job_status_stream",

@@ -95,3 +95,24 @@ def user_sessions_stream(
             "n_events",
         )
     )
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: emit each event_id once, with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per event_id and
+    evicts it once the watermark passes the event's time plus the delay —
+    the streaming form of the batch q20-style exact dedup. Duplicates
+    arriving within ``watermark_delay`` of the original are suppressed;
+    anything later is outside the state horizon by contract (batch dedup
+    is the repair path, same as the windowed aggregations above). At
+    ingest scale this is the front gate that stops replayed/duplicated
+    messages from a source (e.g. at-least-once delivery) reaching the
+    corpus.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

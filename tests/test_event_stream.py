@@ -135,3 +135,25 @@ def test_late_event_dropped_after_watermark(spark, tmp_path):
     assert got[str(base)] == 2
     assert got[str(base + pd.Timedelta(minutes=1))] == 1
     assert spark.table(name).groupBy("win_start").count().filter("count > 1").count() == 0
+
+
+def test_dedup_events_stream_suppresses_replays(spark, sf_dir, tmp_path):
+    from hadoop_jobanalyzer_spark.streaming import dedup_events_stream
+
+    df = pd.read_parquet(f"{sf_dir}/events.parquet").head(200)
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    df.to_parquet(d / "shard0.parquet", **kw)
+    df.head(50).to_parquet(d / "shard1.parquet", **kw)  # replayed batch
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, str(d))
+    _run_to_memory(
+        dedup_events_stream(stream, "365 days"),
+        name,
+        "append",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    got = [r["event_id"] for r in spark.table(name).collect()]
+    assert len(got) == len(set(got)) == 200
+    assert set(got) == set(df["event_id"])

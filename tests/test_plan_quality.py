@@ -35,6 +35,9 @@ NESTED_LOOP_OK = {
     "q78_weighted_sample",
     "q79_copurchase_lift",
     "q80_bm25_search",
+    # 1-row totals broadcast (table total + key count / corpus totals)
+    "q83_key_skew_profile",
+    "q88_pmi_collocations",
 }
 
 
