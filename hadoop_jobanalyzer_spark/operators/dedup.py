@@ -96,6 +96,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     ngram: int = 3,
     max_bucket: int | None = 1000,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on at least one band.
 
@@ -106,10 +107,15 @@ def lsh_candidate_pairs(
     degenerate giant buckets (near-identical clusters better handled by the
     exact-dedup path) to bound the O(|bucket|^2) fan-out at corpus scale;
     ON by default (1000), pass ``None`` to opt out.
+    ``sigs`` accepts a precomputed (ideally persisted) signature table so
+    multi-consumer reports don't re-execute the corpus-sized signature
+    subtree (Spark recomputes unpersisted subtrees per consumer).
     Output: id_a < id_b, n_shared_bands.
     """
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram).na.drop()
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram)
+    sigs = sigs.na.drop()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -142,6 +148,7 @@ def near_dup_pairs(
     ngram: int = 3,
     threshold: float = 0.2,
     max_bucket: int | None = 1000,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The production dedup pipeline: MinHash-LSH candidate generation,
     then exact n-gram Jaccard verification on candidates only.
@@ -151,11 +158,12 @@ def near_dup_pairs(
     the exact verification joins shingles against *candidate pairs* — at
     corpus scale the verify stage touches a vanishing fraction of the
     inverted index that :func:`ngram_jaccard_pairs` (the ground-truth
-    all-pairs form) must expand.
+    all-pairs form) must expand. ``sigs`` passes a precomputed signature
+    table through to :func:`lsh_candidate_pairs`.
     Output: id_a < id_b, n_shared_bands, n_common, n_a, n_b, jaccard.
     """
     cands = lsh_candidate_pairs(
-        df, id_col, text_col, n_hashes, bands, ngram, max_bucket
+        df, id_col, text_col, n_hashes, bands, ngram, max_bucket, sigs=sigs
     )
     df = spread(df)
     sh = df.select(
@@ -263,15 +271,17 @@ def minhash_est_vs_exact(
 
     This is the knob-tuning query for the dedup pipeline: it quantifies,
     on live data, how far b bands x r rows of signature drift from truth —
-    the input for choosing n_hashes/bands at corpus scale. Production
-    would persist the signature table once (Spark recomputes unpersisted
-    subtrees); at report scale the recompute is two codegen passes.
+    the input for choosing n_hashes/bands at corpus scale. The signature
+    table is computed ONCE and persisted for the report's three consumers
+    (the LSH buckets and the sa/sb estimate joins) — without it, Spark
+    re-executes the corpus-sized explode->md5->min-agg subtree per
+    consumer, which at 100 TB is two extra full corpus passes.
     Output: id_a < id_b, est_jaccard, jaccard, abs_err.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram).persist()
     pairs = near_dup_pairs(
         df, id_col, text_col, n_hashes, bands, ngram,
-        threshold=0.0, max_bucket=max_bucket,
+        threshold=0.0, max_bucket=max_bucket, sigs=sigs,
     )
     sa = sigs.select(
         F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(n_hashes)]

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
+from hadoop_jobanalyzer_spark.util import epoch_s
 
 
 def _dec(col: str | Column, scale: int = 4) -> Column:
@@ -348,7 +349,7 @@ def q11_event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrent events per minute bucket — the timeline operator's semantics
     (end-inclusive buckets) applied to the synthetic stream."""
     t = load_tables(spark, sf_dir)
-    s0 = F.unix_timestamp("ts")
+    s0 = epoch_s("ts")
     m0 = F.floor(s0 / 60)
     m1 = F.floor((s0 + F.floor("value").cast("long")) / 60)
     return (
@@ -523,7 +524,7 @@ GROUP BY event_type ORDER BY event_type
 
 def q18_hourly_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    hour = F.floor(F.unix_timestamp("ts") / 3600)
+    hour = F.floor(epoch_s("ts") / 3600)
     return (
         t["events"]
         .groupBy(hour.alias("hour"))

@@ -35,7 +35,7 @@ from hadoop_jobanalyzer_spark.plans.pipeline_queries import (
     near_dup_ctes,
 )
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
-from hadoop_jobanalyzer_spark.util import spread
+from hadoop_jobanalyzer_spark.util import epoch_ms, spread
 
 
 def _dec(col: str, scale: int = 2) -> F.Column:
@@ -485,8 +485,8 @@ def q52_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
         t["events"]
-        .withColumn("prev_ms", F.lag(F.unix_millis("ts")).over(w))
-        .withColumn("gap_ms", F.unix_millis("ts") - F.col("prev_ms"))
+        .withColumn("prev_ms", F.lag(epoch_ms("ts")).over(w))
+        .withColumn("gap_ms", epoch_ms("ts") - F.col("prev_ms"))
         .filter(F.col("gap_ms").isNotNull())
     )
     return (
@@ -759,24 +759,62 @@ FROM per_doc GROUP BY source, lang ORDER BY source, lang
 """
 
 
-def q73_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 8 BPE merges learned from the corpus (operators/bpe.py).
-
-    Iterative argmax over a weighted vocabulary — genuinely non-SQL-
-    expressible (per-round driver argmax), so this entry registers with
-    NO DuckDB oracle and takes the driver's rows-only check; the exact
-    semantics are differential-tested against an independent pure-Python
+def q73_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed core of BPE merge learning (operators/bpe.py): the
+    top-8 weighted adjacent symbol pairs of the initial character
+    vocabulary. Row 1 IS the first BPE merge (same argmax + lexicographic
+    tie-break as ``learn_bpe``), so the driver oracle pins the corpus-sized
+    pass of the trainer exactly; the bounded driver-side merge *loop* stays
+    library-side, differential-tested against an independent pure-Python
     classic-BPE implementation in tests/test_bpe.py (example-based +
     property-based).
+
+    Scale shape: one corpus pass (word counts), then all pair work runs
+    over the Zipf-bounded vocabulary — pairs are built in-row (zip_with of
+    two slices) and exploded once, weighted by the word count.
     """
-    from hadoop_jobanalyzer_spark.operators.bpe import learn_bpe
+    from hadoop_jobanalyzer_spark.operators.bpe import EOW
 
     t = load_tables(spark, sf_dir)
-    merges = learn_bpe(t["documents"], "text", n_merges=8)
-    return spark.createDataFrame(
-        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
-        "merge_idx long, left string, right string, weighted_count long",
+    vocab = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
     )
+    s = F.concat(F.split("w", ""), F.array(F.lit(EOW)))
+    pair = F.zip_with(
+        F.slice(s, 1, F.size(s) - 1),
+        F.slice(s, 2, F.size(s) - 1),
+        lambda l, r: F.struct(l.alias("lsym"), r.alias("rsym")),
+    )
+    return (
+        vocab.select("n", F.explode(pair).alias("p"))
+        .groupBy(F.col("p.lsym").alias("lsym"), F.col("p.rsym").alias("rsym"))
+        .agg(F.sum("n").alias("weighted_count"))
+        .orderBy(F.desc("weighted_count"), "lsym", "rsym")
+        .limit(8)
+    )
+
+
+Q73_SQL = """
+WITH v AS (
+  SELECT w, COUNT(*) AS n
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+syms AS (
+  SELECT n, list_append(string_split_regex(w, ''), '</w>') AS s FROM v
+),
+pairs AS (
+  SELECT s[i] AS lsym, s[i + 1] AS rsym, n
+  FROM syms, UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+)
+SELECT lsym, rsym, CAST(SUM(n) AS BIGINT) AS weighted_count
+FROM pairs GROUP BY lsym, rsym
+ORDER BY weighted_count DESC, lsym, rsym LIMIT 8
+"""
 
 
 # --- q55: document chunking (training-context windows) -----------------------
@@ -1411,7 +1449,7 @@ ORDER BY source, doc_id
 """
 
 
-_N_SHARDS = 16
+_MANIFEST_SHARDS = 16
 
 
 def q85_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,13 +1461,13 @@ def q85_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_jobanalyzer_spark.operators.shards import shard_manifest
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return shard_manifest(docs, F.col("doc_id"), _N_SHARDS, F.col("n_chars"))
+    return shard_manifest(docs, F.col("doc_id"), _MANIFEST_SHARDS, F.col("n_chars"))
 
 
 Q85_SQL = f"""
 WITH s AS (
   SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-           % {_N_SHARDS} AS shard,
+           % {_MANIFEST_SHARDS} AS shard,
          doc_id, n_chars
   FROM documents
 )
@@ -1676,7 +1714,7 @@ EXTENDED_QUERIES = {
     "q70_frame_dedup": (q70_frame_dedup, Q70_SQL),
     "q71_clean_pipeline": (q71_clean_pipeline, _q71_sql()),
     "q72_source_profile": (q72_source_profile, Q72_SQL),
-    "q73_bpe_merges": (q73_bpe_merges, None),
+    "q73_bpe_pair_stats": (q73_bpe_pair_stats, Q73_SQL),
     "q76_zorder_buckets": (q76_zorder_buckets, _q76_sql()),
     "q77_event_funnel": (q77_event_funnel, Q77_SQL),
     "q78_weighted_sample": (q78_weighted_sample, Q78_SQL),

@@ -35,20 +35,45 @@ except ImportError:  # pragma: no cover
 
 # The driver's correctness gate records at most 50 queries per round, in
 # registry iteration order (CORRECTNESS_r01.json stopped at exactly the
-# first 50 of 59).  Queries already verified green in round 1 are listed
-# here; everything else — round-1 hash-fix queries, q51+, and any query
-# added later — is emitted FIRST so each round's CORRECTNESS file covers
-# what earlier rounds could not.  Union of rounds = full verification.
-_VERIFIED_GREEN_R01 = frozenset(
-    f"q{i:02d}" for i in range(1, 51) if i not in (17, 36, 37, 49)
-)
+# first 50 of 59).  To make the union of rounds cover everything AND keep
+# re-checking old greens against environment drift, order the registry:
+#   1. never-verified or red queries (new work + known breakage) first,
+#   2. then greens by ascending last-verified round (stalest first).
+# The history is read from the driver's own CORRECTNESS_r*.json artifacts
+# at the repo root, so each round's ordering rotates automatically.
+import json as _json
+from pathlib import Path as _Path
+
+_REPO_ROOT = _Path(__file__).resolve().parents[2]
+
+
+def _last_green_round() -> dict[str, int]:
+    """query name -> latest round the driver verified it fully green
+    (no error, rows+schema match, hash not a recorded mismatch)."""
+    out: dict[str, int] = {}
+    for p in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(p.stem.rsplit("_r", 1)[1])
+            data = _json.loads(p.read_text())
+        except (ValueError, IndexError, OSError, _json.JSONDecodeError):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            green = (
+                rec.get("err") is None
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is True
+                and rec.get("hash_match") is not False
+            )
+            if green:
+                out[name] = max(rnd, out.get(name, 0))
+    return out
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    def verified(name: str) -> bool:
-        return name.split("_", 1)[0] in _VERIFIED_GREEN_R01
-
-    return [n for n in names if not verified(n)] + [n for n in names if verified(n)]
+    greens = _last_green_round()
+    return sorted(names, key=lambda n: (greens.get(n, 0), n))
 
 
 def queries() -> dict[str, QueryFn]:

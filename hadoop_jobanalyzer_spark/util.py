@@ -21,6 +21,26 @@ def pair_structs(ids: Column) -> Column:
     )
 
 
+def epoch_ms(col: Column | str) -> Column:
+    """Epoch milliseconds from any timestamp flavor.
+
+    Parquet written by different writers surfaces as TIMESTAMP or
+    TIMESTAMP_NTZ depending on the writer and Spark version, and
+    ``F.unix_millis`` is strict about NTZ. The session timezone is pinned
+    UTC (session.py), so NTZ->LTZ via an explicit cast is value-preserving
+    and matches DuckDB's ``epoch_ms``. Every epoch-math consumer in the
+    engine goes through this helper so a writer-side type drift can never
+    break a plan again.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+
+
+def epoch_s(col: Column | str) -> Column:
+    """Epoch seconds (floor) from any timestamp flavor; see ``epoch_ms``."""
+    return (epoch_ms(col) / 1000).cast("long")
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Fan a narrow scan out to the session's parallelism before CPU-heavy
     per-row work.
