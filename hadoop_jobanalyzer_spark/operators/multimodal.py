@@ -81,13 +81,66 @@ IMAGE_FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Decode an image payload to pixels. STUB: image codecs are not
-    available in this environment; a real deployment plugs Pillow/libvips in
-    here and keeps everything around it unchanged."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this environment"
-    )
+# --- pluggable image codec ---------------------------------------------------
+#
+# The decode/resize entry points consult a registered codec so an environment
+# WITH image libraries lights them up without code changes: Pillow is picked
+# up automatically when importable (import-try only — never a hard dep), and
+# any deployment can register its own (libvips, turbojpeg, a GPU decoder)
+# via ``set_image_codec``. Without a codec the stubs raise
+# NotImplementedError, exactly as before.
+
+_image_decoder = None  # Callable[[bytes], ndarray-like HxWxC uint8]
+_image_resizer = None  # Callable[[bytes, int, int], bytes]
+
+
+def set_image_codec(decoder=None, resizer=None) -> None:
+    """Register (or clear, with None) the image decode/resize callables.
+    Callables must be picklable — they are shipped to executors inside the
+    Arrow-stage closures."""
+    global _image_decoder, _image_resizer
+    _image_decoder, _image_resizer = decoder, resizer
+
+
+def _pillow_codec():  # pragma: no cover - environment-dependent
+    """(decoder, resizer) built on Pillow when importable, else None."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(payload: bytes):
+        return np.asarray(Image.open(io.BytesIO(payload)))
+
+    def resize(payload: bytes, width: int, height: int) -> bytes:
+        out = io.BytesIO()
+        Image.open(io.BytesIO(payload)).resize((width, height)).save(out, "PNG")
+        return out.getvalue()
+
+    return decode, resize
+
+
+def _codec():
+    """The active codec: explicitly registered first, then auto-Pillow."""
+    if _image_decoder is not None or _image_resizer is not None:
+        return _image_decoder, _image_resizer
+    return _pillow_codec() or (None, None)
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to a pixel array via the registered codec
+    (``set_image_codec``; Pillow auto-detected). Raises NotImplementedError
+    when no codec is available — this environment ships none."""
+    decoder, _ = _codec()
+    if decoder is None:
+        raise NotImplementedError(
+            "image decode requires a codec: none registered via "
+            "set_image_codec() and Pillow is not importable"
+        )
+    return decoder(payload)
 
 
 FRAME_SCHEMA = StructType(
@@ -133,13 +186,60 @@ def frame_sample(payloads: DataFrame, frame_len: int = 64, stride: int = 32) -> 
     return payloads.mapInPandas(sample, FRAME_SCHEMA)
 
 
-def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
-    """Resize an image payload. STUB: requires a codec library (Pillow/
-    libvips) not present in this environment; `fake_thumbnail` exercises
-    the identical binary->binary batch path."""
-    raise NotImplementedError(
-        "image resize requires a codec library not present in this environment"
-    )
+def resize_image(payload: bytes, width: int, height: int):
+    """Resize an image payload via the registered codec (``set_image_codec``;
+    Pillow auto-detected). Raises NotImplementedError when no codec is
+    available; `fake_thumbnail` exercises the identical binary->binary
+    batch path without one."""
+    _, resizer = _codec()
+    if resizer is None:
+        raise NotImplementedError(
+            "image resize requires a codec: none registered via "
+            "set_image_codec() and Pillow is not importable"
+        )
+    return resizer(payload, width, height)
+
+
+DECODED_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("height", LongType()),
+        StructField("width", LongType()),
+        StructField("mean_px_x100", LongType()),
+    ]
+)
+
+
+def decoded_image_features(payloads: DataFrame) -> DataFrame:
+    """Decode every payload with the active codec and emit per-image shape +
+    mean-pixel stats — the real-decoder counterpart of
+    :func:`fake_image_features`, same Arrow-batched partition contract.
+
+    The codec is resolved at PLAN time and captured into the stage closure,
+    so executors never consult driver-side globals; with no codec this
+    raises immediately rather than at runtime on the cluster.
+    """
+    decoder, _ = _codec()
+    if decoder is None:
+        raise NotImplementedError(
+            "decoded_image_features requires an image codec "
+            "(set_image_codec() or Pillow)"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "height": [], "width": [], "mean_px_x100": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decoder(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(int(px.shape[0]))
+                rows["width"].append(int(px.shape[1]) if px.ndim > 1 else 1)
+                rows["mean_px_x100"].append(int(px.mean() * 100))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return payloads.mapInPandas(extract, DECODED_FEATURE_SCHEMA)
 
 
 THUMBNAIL_SCHEMA = StructType(

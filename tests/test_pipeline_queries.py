@@ -178,6 +178,41 @@ def test_multimodal_decode_is_stubbed():
         decode_image(b"\x89PNG")
 
 
+def test_multimodal_pluggable_codec_end_to_end(spark, sf_dir):
+    """Registering a codec via set_image_codec lights up decode_image /
+    resize_image / decoded_image_features without any other code change —
+    the fake decoder treats the payload bytes as a Wx1 grayscale image."""
+    import numpy as np
+
+    from hadoop_jobanalyzer_spark.operators import multimodal as mm
+
+    def fake_decode(payload: bytes):
+        return np.frombuffer(payload, dtype=np.uint8).reshape(1, -1)
+
+    def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+        return bytes(payload)[: width * height]
+
+    mm.set_image_codec(decoder=fake_decode, resizer=fake_resize)
+    try:
+        px = mm.decode_image(b"abc")
+        assert px.shape == (1, 3) and int(px[0, 0]) == ord("a")
+        assert mm.resize_image(b"abcdefgh", 2, 2) == b"abcd"
+
+        t = load_tables(spark, sf_dir)
+        payloads = attach_payload(t["documents"].limit(10), "doc_id", "text")
+        feats = {r["doc_id"]: r for r in mm.decoded_image_features(payloads).collect()}
+        texts = {r["doc_id"]: r["text"] for r in t["documents"].limit(10).collect()}
+        assert set(feats) == set(texts)
+        for doc_id, r in feats.items():
+            b = texts[doc_id].encode()
+            assert r["height"] == 1 and r["width"] == len(b)
+            assert r["mean_px_x100"] == int(np.frombuffer(b, np.uint8).mean() * 100)
+    finally:
+        mm.set_image_codec(None, None)
+    with pytest.raises(NotImplementedError):
+        mm.decoded_image_features(spark.range(1))
+
+
 def test_winnow_shared_run_produces_shared_fingerprint(spark):
     """Winnowing guarantee: a shared run of window+ngram-1 words yields at
     least one shared fingerprint between the two docs."""
