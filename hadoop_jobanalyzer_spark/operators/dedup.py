@@ -459,6 +459,71 @@ def lsh_candidate_pairs_incremental(
     return pairs, new_sigs
 
 
+def duplicated_span_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 16,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document fraction of ``span``-token windows that are duplicated
+    anywhere in the corpus (>= ``min_count`` total occurrences, within- or
+    cross-document) — the exact-substring dedup audit from "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022, public):
+    long repeated spans are memorization fuel that MinHash-style whole-doc
+    dedup does not see.
+
+    Distinct from :func:`boilerplate_ngram_fraction`: long windows
+    (default 16 vs 3), occurrence-count criterion (catches within-doc
+    repetition), and positional windows, so a doc pasted twice into
+    another is flagged even when every individual 3-gram is common.
+
+    Plan shape — built for ONE evaluation of the corpus-sized work: spans
+    are hashed in-row (slice + concat_ws + md5 per position — direct
+    construction, not the n-pass incremental zip `_ngrams` uses, which is
+    quadratic in span length) and exploded once; the span-hash groupBy
+    carries the doc ids of each hash, so duplicate detection and the
+    per-doc hit counts come out of the SAME shuffle — no join-back that
+    would re-execute the explode subtree. Span counts are pure arithmetic
+    (``len - span + 1``), never a second span materialization. A
+    degenerate mega-duplicated span concentrates its occurrence list on
+    one reducer — the same skew exposure as any groupBy, handled by AQE.
+    Output: (id, n_spans, n_dup, dup_frac) for docs with >= 1 window.
+    """
+    w = tokens(text_col)
+    n_spans = F.greatest(F.size(w) - (span - 1), F.lit(0))
+    span_hashes = F.when(n_spans > 0, F.transform(
+        F.sequence(F.lit(1), n_spans),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, span))),
+    )).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(span_hashes).alias("_s"))
+    sizes = df.select(F.col(id_col), n_spans.alias("n_spans")).filter(
+        F.col("n_spans") > 0
+    )
+    hits = (
+        exploded.groupBy("_s")
+        .agg(F.count("*").alias("_c"), F.collect_list(id_col).alias("_ids"))
+        .filter(F.col("_c") >= min_count)
+        .select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                / F.col("n_spans"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def boilerplate_ngram_fraction(
     df: DataFrame,
     id_col: str,

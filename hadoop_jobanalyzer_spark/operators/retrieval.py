@@ -97,6 +97,88 @@ def bm25_topk(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+    w_cap: int = 1000,
+) -> DataFrame:
+    """Sparse tf-idf cosine similarity between document pairs sharing at
+    least one term — the embedding-free near-dup/related-docs signal.
+
+    Weights are the *quantized* idf ``w(t) = min(floor(N / df_t), w_cap)``
+    — integer, so numerators and norms are exact longs and the only float
+    op is the final single-division cosine (cross-engine deterministic;
+    same rationale as the rational BM25 idf above). ``w_cap`` also bounds
+    the magnitude so sums stay far from long overflow at any corpus size.
+
+    Scale shape: terms explode once; posting lists build per term and the
+    pair fan-out happens *within* posting lists capped at ``max_posting``
+    (stop-terms with huge df carry weight 1 and are exactly the ones the
+    cap drops — the same bounded-bucket contract as the dedup operators).
+    Norms reuse the posting-list table (no second corpus pass).
+    Output: id_a < id_b, num, na, nb, cos_sim (rounded 4).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("t")
+    ).filter(F.col("t") != "")
+    tf = toks.groupBy("_id", "t").agg(F.count("*").alias("tf"))
+    n_docs = df.agg(F.count("*").alias("_n"))
+    term = (
+        tf.groupBy("t")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id").alias("id"), F.col("tf").alias("tf")))
+            ).alias("_post"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.least(F.floor(F.col("_n") / F.col("df")).cast("long"), F.lit(w_cap)),
+        )
+    )
+    posted = term.select("w", F.explode("_post").alias("p"))
+    norms = posted.groupBy(F.col("p.id").alias("_id")).agg(
+        F.sum(F.col("p.tf") * F.col("p.tf") * F.col("w") * F.col("w")).alias("n2")
+    )
+    post = F.col("_post")
+    pair = F.flatten(
+        F.transform(
+            post,
+            lambda x, i: F.transform(
+                F.slice(post, i + F.lit(2), F.size(post)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    (x["tf"] * y["tf"]).alias("tt"),
+                ),
+            ),
+        )
+    )
+    contrib = (
+        term.filter((F.col("df") >= 2) & (F.col("df") <= max_posting))
+        .select((F.col("w") * F.col("w")).alias("_w2"), F.explode(pair).alias("p"))
+    )
+    num = contrib.groupBy(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    ).agg(F.sum(F.col("p.tt") * F.col("_w2")).alias("num"))
+    cos = F.round(
+        F.col("num").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        4,
+    )
+    return (
+        num.join(norms.select(F.col("_id").alias("id_a"), F.col("n2").alias("na")), "id_a")
+        .join(norms.select(F.col("_id").alias("id_b"), F.col("n2").alias("nb")), "id_b")
+        .select("id_a", "id_b", "num", "na", "nb", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def bm25_sql(
     table: str,
     id_col: str,

@@ -1,0 +1,364 @@
+"""Analytics queries q90-q96: embedding quantization QA, a k-means step,
+sparse tf-idf cosine pairs, the Lee-et-al duplicated-span audit, and three
+relational additions (revenue share, inactive-rich anti-join, value
+outliers).
+
+Same contract as the other plan modules: each query is a (DataFrame
+builder, DuckDB oracle SQL) pair; determinism rules are the repo-wide ones
+— exact decimal money math, integer fixed-point for anything accumulated
+across rows, single-chain double ops only at the very end (identical
+parenthesization in both engines), unique-key tiebreaks on every ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --- q90: int8 scalar-quantization reconstruction error ----------------------
+
+_SQ8_BUCKET = 8192
+
+
+def q90_sq8_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit for int8 scalar quantization of the
+    embedding corpus (operators/quantize.sq8_error_histogram): per-dim
+    min/max reduce to one broadcast row, per-vector error is an integer
+    in-row fold, only the ~dozen-bucket histogram shuffles."""
+    from hadoop_jobanalyzer_spark.operators.quantize import sq8_error_histogram
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return sq8_error_histogram(emb, "vec_id", "embedding", _SQ8_BUCKET)
+
+
+Q90_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+e AS (
+  SELECT vec_id,
+         CASE WHEN mx > mn THEN
+           CAST(FLOOR(ABS(x - (mn + (CAST(LEAST(255, FLOOR((x - mn) / (mx - mn) * 256)) AS BIGINT)
+                 + 0.5) * (mx - mn) / 256)) * 1048576) AS BIGINT)
+         ELSE 0 END AS ierr
+  FROM ex JOIN stats USING (dim)
+),
+v AS (SELECT vec_id, SUM(ierr) AS total FROM e GROUP BY vec_id)
+SELECT total // {_SQ8_BUCKET} AS err_bucket, COUNT(*) AS n_vecs,
+       CAST(SUM(total) AS BIGINT) AS sum_err_fixed
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q91: one k-means (Lloyd) refinement step --------------------------------
+
+_KMEANS_K = 8
+
+
+def q91_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embeddings (operators/quantize.
+    kmeans_step): broadcast-centroid in-row argmin assignment (integer
+    fixed-point distances), partial-aggregated per-(cell, dim) sums, exact
+    integer centroid-movement numerators."""
+    from hadoop_jobanalyzer_spark.operators.quantize import kmeans_step
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return kmeans_step(emb, "vec_id", "embedding", _KMEANS_K)
+
+
+Q91_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KMEANS_K}),
+d AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(generate_series(1, len(qv)),
+                                 i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS dist
+  FROM q CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+),
+ex AS (
+  SELECT a.cid AS cell, generate_subscripts(q.qv, 1) AS dim, UNNEST(q.qv) AS xi
+  FROM q JOIN (SELECT vec_id, cid FROM a WHERE rn = 1) a USING (vec_id)
+),
+sums AS (SELECT cell, dim, SUM(xi) AS s, COUNT(*) AS n FROM ex GROUP BY cell, dim),
+cd AS (SELECT cid AS cell, generate_subscripts(cv, 1) AS dim, UNNEST(cv) AS ci FROM c)
+SELECT cell, MAX(n) AS n_assigned,
+       CAST(SUM(ABS(s - ci * n)) AS BIGINT) AS l1_move_num,
+       ROUND(CAST(SUM(ABS(s - ci * n)) AS DOUBLE) / (MAX(n) * 1000) / COUNT(*), 6) AS avg_dim_move
+FROM sums JOIN cd USING (cell, dim)
+GROUP BY cell ORDER BY cell
+"""
+
+
+# --- q92: supplier-nation revenue share --------------------------------------
+
+
+def q92_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per supplier nation with a share floor — the market-
+    share report shape (grouped agg + total-over-window + ratio filter).
+    Supplier and nation broadcast; the total is a window over the 25-row
+    aggregate, never a second corpus scan."""
+    t = load_tables(spark, sf_dir)
+    rev = _dec("l_extendedprice", 2) * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    nation_rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    total = F.sum("_rev").over(Window.partitionBy())
+    share = F.round(F.col("_rev").cast("double") / F.col("_total").cast("double") * 100, 4)
+    return (
+        nation_rev.withColumn("_total", total)
+        .select(
+            "n_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+            share.alias("share_pct"),
+        )
+        .filter(F.col("share_pct") >= 2.0)
+        .orderBy(F.desc("share_pct"), "n_name")
+    )
+
+
+Q92_SQL = """
+WITH nr AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+),
+w AS (SELECT n_name, rev, SUM(rev) OVER () AS total FROM nr)
+SELECT n_name, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) * 100, 4) AS share_pct
+FROM w
+WHERE ROUND(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) * 100, 4) >= 2.0
+ORDER BY share_pct DESC, n_name
+"""
+
+
+# --- q93: above-average-balance customers with no orders ---------------------
+
+
+_CHURN_CUTOFF = "2001-01-01"
+
+
+def q93_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churned high-value customers: above-average account balance and NO
+    order since the cutoff, grouped by nation (the TPC-H Q22 shape on this
+    schema): anti join against a date-filtered order set + scalar aggregate
+    subquery. The average comparison is the exact cross-multiplied form
+    ``bal * n > total`` — no decimal division anywhere; the anti join's
+    build side is pre-filtered so the shuffle carries only recent orders."""
+    t = load_tables(spark, sf_dir)
+    stats = t["customer"].agg(
+        F.count("*").alias("_n"), F.sum(_dec("c_acctbal", 2)).alias("_total")
+    )
+    rich = (
+        t["customer"]
+        .crossJoin(F.broadcast(stats))
+        .filter(_dec("c_acctbal", 2) * F.col("_n") > F.col("_total"))
+    )
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit(_CHURN_CUTOFF))
+    inactive = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        inactive.join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal", 2)), 2).cast("double").alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q93_SQL = """
+WITH stats AS (
+  SELECT COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+  FROM customer
+),
+rich AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer, stats
+  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > total
+),
+inactive AS (
+  SELECT * FROM rich
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-01-01')
+)
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM inactive JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --- q94: duplicated-span audit (exact substring dedup signal) ---------------
+
+_SPAN_LEN = 16
+
+
+def q94_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span mass (operators/dedup.
+    duplicated_span_fraction): fraction of 16-token windows occurring >= 2
+    times corpus-wide — the Lee-et-al exact-substring dedup audit."""
+    from hadoop_jobanalyzer_spark.operators.dedup import duplicated_span_fraction
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return duplicated_span_fraction(docs, "doc_id", "text", span=_SPAN_LEN)
+
+
+_SPAN_EXPR = " || ' ' || ".join(f"w[i+{j}]" for j in range(_SPAN_LEN))
+
+Q94_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, md5({_SPAN_EXPR}) AS s
+  FROM words, UNNEST(generate_series(1, len(w) - {_SPAN_LEN - 1})) AS t(i)
+),
+dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY 1),
+hits AS (SELECT doc_id, COUNT(*) AS n_dup FROM sh
+         WHERE s IN (SELECT s FROM dup) GROUP BY 1)
+SELECT doc_id, n_spans, COALESCE(n_dup, 0) AS n_dup,
+       ROUND(COALESCE(n_dup, 0) / n_spans, 4) AS dup_frac
+FROM sizes LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --- q95: sparse tf-idf cosine pairs -----------------------------------------
+
+_TFIDF_THRESHOLD = 0.5
+
+
+def q95_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free related-document pairs by sparse tf-idf cosine
+    (operators/retrieval.tfidf_cosine_pairs): integer quantized-idf
+    weights, posting-list-bounded pair generation, one final double
+    division per pair."""
+    from hadoop_jobanalyzer_spark.operators.retrieval import tfidf_cosine_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return tfidf_cosine_pairs(docs, "doc_id", "text", threshold=_TFIDF_THRESHOLD)
+
+
+Q95_SQL = f"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks WHERE t <> '' GROUP BY doc_id, t),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+tw AS (
+  SELECT t, COUNT(*) AS df,
+         LEAST(CAST(FLOOR((SELECT n FROM nd) / COUNT(*)) AS BIGINT), 1000) AS w
+  FROM tf GROUP BY t
+),
+norms AS (
+  SELECT doc_id, SUM(tf.tf * tf.tf * w * w) AS n2
+  FROM tf JOIN tw USING (t) GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.tf * b.tf * w * w) AS BIGINT) AS num
+  FROM tf a JOIN tf b USING (t) JOIN tw USING (t)
+  WHERE a.doc_id < b.doc_id AND tw.df BETWEEN 2 AND 1000
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, num,
+       CAST(na.n2 AS BIGINT) AS na, CAST(nb.n2 AS BIGINT) AS nb,
+       ROUND(CAST(num AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos_sim
+FROM pairs
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE ROUND(CAST(num AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) >= {_TFIDF_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- q96: per-type event-value outliers --------------------------------------
+
+
+def q96_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers (|z| > 3) of event values within each event type —
+    the anomaly-detection pass over a metrics stream. Moments are exact
+    decimal sums; z is the cross-multiplied integer-exact form
+    ``(v*n - S) / sqrt(n*Q - S^2)`` evaluated in doubles only at the end,
+    so no cross-row float accumulation exists."""
+    t = load_tables(spark, sf_dir)
+    v = _dec("value", 2)
+    stats = t["events"].groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_q"),
+    )
+    vd = v.cast("double")
+    nd = F.col("_n").cast("double")
+    sd = F.col("_s").cast("double")
+    qd = F.col("_q").cast("double")
+    den = nd * qd - sd * sd
+    z = F.round((vd * nd - sd) / F.sqrt(den), 3)
+    return (
+        t["events"]
+        .join(F.broadcast(stats), "event_type")
+        .filter(den > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", F.round(v, 2).cast("double").alias("value"), "z")
+        .orderBy("event_id")
+    )
+
+
+Q96_SQL = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s,
+         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT event_id, e.event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value,
+         ROUND((CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+               / SQRT(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 3) AS z
+  FROM events e JOIN stats USING (event_type)
+  WHERE CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
+)
+SELECT event_id, event_type, value, z FROM z
+WHERE ABS(z) > 3.0 ORDER BY event_id
+"""
+
+
+ANALYTICS_QUERIES = {
+    "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
+    "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
+    "q92_nation_revenue_share": (q92_nation_revenue_share, Q92_SQL),
+    "q93_rich_inactive_customers": (q93_rich_inactive_customers, Q93_SQL),
+    "q94_duplicated_spans": (q94_duplicated_spans, Q94_SQL),
+    "q95_tfidf_cosine_pairs": (q95_tfidf_cosine_pairs, Q95_SQL),
+    "q96_event_value_outliers": (q96_event_value_outliers, Q96_SQL),
+}

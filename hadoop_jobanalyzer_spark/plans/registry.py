@@ -33,6 +33,13 @@ try:  # extended queries (clustering, sampling, pivots, windows)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # analytics queries (quantization, k-means, tf-idf, span dedup)
+    from hadoop_jobanalyzer_spark.plans.analytics_queries import ANALYTICS_QUERIES
+
+    QUERIES.update(ANALYTICS_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 # The driver's correctness gate records at most 50 queries per round, in
 # registry iteration order (CORRECTNESS_r01.json stopped at exactly the
 # first 50 of 59).  To make the union of rounds cover everything AND keep

@@ -38,6 +38,12 @@ NESTED_LOOP_OK = {
     # 1-row totals broadcast (table total + key count / corpus totals)
     "q83_key_skew_profile",
     "q88_pmi_collocations",
+    # 1-row broadcast: per-dim min/max arrays / k-centroid array /
+    # customer-count stats / corpus doc count
+    "q90_sq8_error_histogram",
+    "q91_kmeans_step",
+    "q93_rich_inactive_customers",
+    "q95_tfidf_cosine_pairs",
 }
 
 
