@@ -49,6 +49,35 @@ def write_delimited(
     lines.write.mode("overwrite").text(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write — the layout that turns equality
+    predicates on the partition columns into directory pruning at read time
+    (zero I/O for excluded partitions; the complement of the z-order
+    row-group clustering in operators/zorder.py, which prunes *within*
+    files on non-partition columns).
+
+    Rows are repartitioned by the partition columns first so each output
+    directory is written by the partitions that own its keys — without
+    this, every task writes a file into every directory (the small-files
+    explosion: tasks x partitions files). ``max_records_per_file`` caps
+    file size for downstream split parallelism.
+    """
+    writer = (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
 def format_nice(value: Any, indent: int = 0, key: str | None = None) -> str:
     """Recursive indented key=value dump (the reference's ``printNice``),
     expanding maps, struct Rows, and the parsed counters array."""

@@ -16,6 +16,7 @@ from hadoop_jobanalyzer_spark.streaming.event_stream import (
     dedup_events_stream,
     event_window_counts_stream,
     read_events_stream,
+    running_totals_stream,
     user_sessions_stream,
 )
 
@@ -31,6 +32,7 @@ __all__ = [
     "latest_success_attempts",
     "read_events_stream",
     "read_history_stream",
+    "running_totals_stream",
     "user_sessions_stream",
     "wasted_counts_stream",
 ]

@@ -97,6 +97,44 @@ def user_sessions_stream(
     )
 
 
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per event
+    type, exact running totals maintained across micro-batches — the shape
+    for any accumulator the built-in windowed aggregations cannot express
+    (monotone counters over the whole stream, CUSUM-style drift state,
+    per-key model state).
+
+    State per key is three longs (n, sum_cents, max_cents) — integer cents
+    so the accumulation is exact and replay-deterministic, never a float
+    running sum. Each micro-batch emits the key's updated totals, so the
+    sink sees a monotone snapshot series per key (downstream takes the
+    latest). State size is O(active keys), independent of stream length.
+
+    Output: event_type, n_total, sum_cents, max_cents.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "event_type string, n_total long, sum_cents long, max_cents long"
+    state_schema = "n long, s long, m long"
+
+    def update(key, pdfs, state):
+        n, s, m = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            cents = (pdf["value"] * 100).round().astype("int64")
+            n += len(pdf)
+            s += int(cents.sum())
+            m = max(m, int(cents.max()) if len(cents) else 0)
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_total": [n], "sum_cents": [s], "max_cents": [m]}
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def dedup_events_stream(
     events: DataFrame, watermark_delay: str = "10 minutes"
 ) -> DataFrame:

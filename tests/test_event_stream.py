@@ -137,6 +137,49 @@ def test_late_event_dropped_after_watermark(spark, tmp_path):
     assert spark.table(name).groupBy("win_start").count().filter("count > 1").count() == 0
 
 
+def test_running_totals_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Custom applyInPandasWithState accumulator: after the stream drains,
+    the latest snapshot per key equals the batch aggregate exactly (integer
+    cents — no float accumulation), and the snapshots are monotone across
+    micro-batches (state survived between triggers)."""
+    from hadoop_jobanalyzer_spark.streaming import running_totals_stream
+
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 1)  # force >= 3 micro-batches
+        .parquet(events_dir)
+    )
+    _run_to_memory(
+        running_totals_stream(stream),
+        name,
+        "update",
+        checkpoint=str(tmp_path / "ckpt_rt"),
+    )
+    snaps = spark.table(name).collect()
+    latest = {}
+    for r in snaps:
+        k = r["event_type"]
+        if k not in latest or r["n_total"] > latest[k]["n_total"]:
+            latest[k] = r
+    assert len(snaps) > len(latest), "expected snapshots from multiple batches"
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("m"),
+        )
+    )
+    want = {r["event_type"]: (r["n"], r["s"], r["m"]) for r in batch.collect()}
+    got = {k: (r["n_total"], r["sum_cents"], r["max_cents"]) for k, r in latest.items()}
+    assert got == want
+
+
 def test_dedup_events_stream_suppresses_replays(spark, sf_dir, tmp_path):
     from hadoop_jobanalyzer_spark.streaming import dedup_events_stream
 

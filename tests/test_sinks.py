@@ -108,3 +108,38 @@ def test_render_gantt_png(spark, fixture_log1, tmp_path):
     stride = 1 + 3 * w
     # first task starts at the job's start: top-left pixel is a bar
     assert (raw[1], raw[2], raw[3]) == (0, 0, 255)
+
+
+def test_write_partitioned_prunes_at_read(spark, sf_dir, tmp_path):
+    """The hive layout must (a) round-trip values, (b) produce one
+    directory per key written only by its owning task (no small-files
+    explosion), and (c) turn a partition-column equality filter into
+    directory pruning in the scan plan."""
+    import contextlib
+    import io
+    import os
+
+    from hadoop_jobanalyzer_spark.sinks import write_partitioned
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    write_partitioned(docs, out, ["lang"])
+
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    dirs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert sorted(dirs) == sorted(f"lang={v}" for v in langs)
+    # repartition-by-key first => one file per directory, not one per task
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files"
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    one = back.filter(F.col("lang") == langs[0])
+    assert one.count() == docs.filter(F.col("lang") == langs[0]).count()
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
