@@ -353,6 +353,210 @@ WHERE ABS(z) > 3.0 ORDER BY event_id
 """
 
 
+# --- q97: vocabulary coverage curve (Zipf / tokenizer sizing) ----------------
+
+_VOCAB_CUTOFFS = [1, 2, 4, 8, 16, 32, 64]
+_VOCAB_TOPK = 100_000
+
+
+def q97_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-mass coverage of the top-k vocabulary at power-of-
+    two cutoffs — the Zipf curve a tokenizer/vocab-size decision reads.
+
+    Scale shape: one explode + term count (the only corpus-sized work),
+    then a TakeOrdered top-``_VOCAB_TOPK`` bound BEFORE the only ordered
+    prefix-sum window, so the single-partition window ever sees at most
+    ``_VOCAB_TOPK`` rows regardless of corpus size. Total token mass is a
+    1-row broadcast. Coverage is an exact-integer ratio with one final
+    double division.
+    Output: (cutoff, n_terms, covered_tokens, coverage_pct).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from hadoop_jobanalyzer_spark.functions.text import tokens
+
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "t").limit(_VOCAB_TOPK)
+    w = Window.orderBy(F.desc("n"), "t").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = top.select(
+        F.row_number().over(Window.orderBy(F.desc("n"), F.col("t"))).alias("rank"),
+        F.sum("n").over(w).alias("cum"),
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    cuts = F.array(*[F.lit(c) for c in _VOCAB_CUTOFFS])
+    return (
+        ranked.select(F.explode(cuts).alias("cutoff"), "rank", "cum")
+        .filter(F.col("rank") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.max("rank").alias("n_terms"), F.max("cum").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cutoff",
+            "n_terms",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("_total").cast("double") * 100,
+                4,
+            ).alias("coverage_pct"),
+        )
+        .orderBy("cutoff")
+    )
+
+
+Q97_SQL = f"""
+WITH counts AS (
+  SELECT t, COUNT(*) AS n
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY t
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rank,
+         SUM(n) OVER (ORDER BY n DESC, t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts ORDER BY n DESC, t LIMIT {_VOCAB_TOPK}
+),
+total AS (SELECT SUM(n) AS total FROM counts)
+SELECT cutoff, MAX(rank) AS n_terms,
+       CAST(MAX(cum) AS BIGINT) AS covered_tokens,
+       ROUND(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) * 100, 4) AS coverage_pct
+FROM ranked, UNNEST({_VOCAB_CUTOFFS}) AS c(cutoff), total
+WHERE rank <= cutoff
+GROUP BY cutoff ORDER BY cutoff
+"""
+
+
+# --- q98: label-centroid separation ------------------------------------------
+
+
+def q98_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distances between per-label embedding centroids — the
+    class-separation QA before trusting ``label`` as an IVF partition or a
+    classifier target.
+
+    Exact-integer core: vectors quantize to 1/1000 fixed point, per-(label,
+    dim) sums are exact longs, and the centroid difference uses the
+    cross-multiplied form ``s_a * n_b - s_b * n_a`` so no division happens
+    before the final per-pair sqrt. The per-dim squared terms sum as longs
+    (magnitude bound documented in operators/quantize.py — at extreme
+    corpus sizes divide counts by their gcd first). Everything after the
+    one posexplode aggregation is label-pair-sized.
+    Output: label_a < label_b, n_a, n_b, dist (rounded 6).
+    """
+    from hadoop_jobanalyzer_spark.functions.vectors import quantized
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sums = (
+        emb.select(F.col("label"), F.posexplode(quantized(F.col("embedding"))).alias("dim", "xi"))
+        .groupBy("label", "dim")
+        .agg(F.sum("xi").alias("s"), F.count("*").alias("n"))
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "dim",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "dim",
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    num = F.sum(
+        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+        * (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            num.alias("_num"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.sqrt(F.col("_num").cast("double")) / (F.col("n_a") * F.col("n_b")) / 1000,
+                6,
+            ).alias("dist"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+Q98_SQL = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sums AS (
+  SELECT label, dim, SUM(xi) AS s, COUNT(*) AS n
+  FROM (SELECT label, generate_subscripts(qv, 1) AS dim, UNNEST(qv) AS xi FROM q)
+  GROUP BY label, dim
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+       ROUND(SQRT(CAST(SUM((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)) AS DOUBLE))
+             / (MAX(a.n) * MAX(b.n)) / 1000, 6) AS dist
+FROM sums a JOIN sums b USING (dim)
+WHERE a.label < b.label
+GROUP BY a.label, b.label
+ORDER BY label_a, label_b
+"""
+
+
+# --- q99: order-to-ship fulfillment lag --------------------------------------
+
+
+def q99_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-to-ship lag stats (datediff over the order join).
+    Day lags are exact integers; the mean is one final double division."""
+    t = load_tables(spark, sf_dir)
+    lag_days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(lag_days).alias("_sum_days"),
+            F.min(lag_days).alias("min_days"),
+            F.max(lag_days).alias("max_days"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            F.round(
+                F.col("_sum_days").cast("double") / F.col("n_lines").cast("double"), 2
+            ).alias("avg_days"),
+            "min_days",
+            "max_days",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q99_SQL = """
+WITH j AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(lag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_days,
+       MIN(lag) AS min_days, MAX(lag) AS max_days
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -361,4 +565,7 @@ ANALYTICS_QUERIES = {
     "q94_duplicated_spans": (q94_duplicated_spans, Q94_SQL),
     "q95_tfidf_cosine_pairs": (q95_tfidf_cosine_pairs, Q95_SQL),
     "q96_event_value_outliers": (q96_event_value_outliers, Q96_SQL),
+    "q97_vocab_coverage_curve": (q97_vocab_coverage_curve, Q97_SQL),
+    "q98_label_centroid_distances": (q98_label_centroid_distances, Q98_SQL),
+    "q99_fulfillment_lag": (q99_fulfillment_lag, Q99_SQL),
 }

@@ -44,6 +44,7 @@ NESTED_LOOP_OK = {
     "q91_kmeans_step",
     "q93_rich_inactive_customers",
     "q95_tfidf_cosine_pairs",
+    "q97_vocab_coverage_curve",
 }
 
 
