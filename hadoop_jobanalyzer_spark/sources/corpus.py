@@ -128,6 +128,63 @@ def read_jsonl_corpus(
     return df
 
 
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    id_field: str = "id",
+    text_field: str = "text",
+    delimiter: str = ",",
+) -> DataFrame:
+    """Read a CSV/TSV document corpus with *quarantine* semantics for
+    malformed rows: PERMISSIVE mode keeps every line, parse failures land
+    with their raw text in ``_corrupt_record`` and nulls elsewhere, so the
+    pipeline can count/inspect/sideline bad rows instead of silently
+    dropping them (FAILFAST would kill a 100 TB job on one bad line;
+    DROPMALFORMED silently changes corpus statistics).
+
+    ``schema`` is required — inference would scan the corpus twice and
+    pin types on whatever the sample happened to contain. The
+    ``_corrupt_record`` column is appended to the caller's schema here.
+    Multi-line quoted fields are enabled; at scale multiLine CSV files
+    are not splittable, so parallelism comes from file count (same
+    contract as the WARC source).
+    """
+    full_schema = schema.rstrip().rstrip(",") + ", _corrupt_record string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", "true")
+        .option("sep", delimiter)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    for src, dst in ((id_field, "doc_id"), (text_field, "text")):
+        if src in df.columns and src != dst:
+            df = df.withColumnRenamed(src, dst)
+    return df
+
+
+def corrupt_row_report(df: DataFrame) -> DataFrame:
+    """(n_rows, n_corrupt, corrupt_frac) for a PERMISSIVE-read corpus —
+    the ingest QA gate: alert when a source's corrupt fraction jumps.
+    Spark requires caching/materializing before filtering on
+    ``_corrupt_record`` alone, so the report references it alongside
+    another column via the standard count-aggregate form instead."""
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.round(
+            F.count("_corrupt_record") / F.count(F.lit(1)), 6
+        ).alias("corrupt_frac"),
+    )
+
+
 # --- `warc` as a first-class Spark data source (Python Data Source API) ------
 
 try:  # the Data Source API needs pyspark >= 4

@@ -136,3 +136,36 @@ def test_streaming_jsonl_dedup_matches_batch_distinct(spark, tmp_path):
     assert len(rows) == 7
     assert {r["text"] for r in rows} == set(texts)
     assert len({r["_content_hash"] for r in rows}) == 7
+
+
+def test_csv_corpus_quarantines_malformed_rows(spark, tmp_path):
+    """PERMISSIVE CSV read: good rows parse, malformed rows survive with
+    their raw line in _corrupt_record (never silently dropped), and the
+    corrupt-row report counts them."""
+    from hadoop_jobanalyzer_spark.sources.corpus import (
+        corrupt_row_report,
+        read_csv_corpus,
+    )
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        'id,text,n\n'
+        '1,"hello world",5\n'
+        '2,"multi\nline quoted",9\n'
+        '3,not-a-number-in-n,oops\n'
+        '4,"fine again",2\n'
+    )
+    df = read_csv_corpus(
+        spark, str(p), schema="id long, text string, n long"
+    ).cache()
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["text"] == "hello world" and rows[1]["n"] == 5
+    assert rows[2]["text"] == "multi\nline quoted"  # multiLine quoted field
+    assert rows[4]["n"] == 2
+    bad = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "oops" in bad[0]["_corrupt_record"]
+
+    rep = corrupt_row_report(df).collect()[0]
+    assert (rep["n_rows"], rep["n_corrupt"]) == (4, 1)
+    assert rep["corrupt_frac"] == 0.25
+    df.unpersist()
