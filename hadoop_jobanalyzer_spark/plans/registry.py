@@ -56,8 +56,12 @@ _REPO_ROOT = _Path(__file__).resolve().parents[2]
 
 def _last_green_round() -> dict[str, int]:
     """query name -> latest round the driver verified it fully green
-    (no error, rows+schema match, hash not a recorded mismatch)."""
-    out: dict[str, int] = {}
+    (no error, rows+schema match, hash not a recorded mismatch). A RED
+    result in a round at or after the last green resets the query to
+    rank 0 — a fixed regression must re-verify immediately, not queue
+    behind the stale-green rotation."""
+    greens: dict[str, int] = {}
+    reds: dict[str, int] = {}
     for p in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
         try:
             rnd = int(p.stem.rsplit("_r", 1)[1])
@@ -74,8 +78,14 @@ def _last_green_round() -> dict[str, int]:
                 and rec.get("hash_match") is not False
             )
             if green:
-                out[name] = max(rnd, out.get(name, 0))
-    return out
+                greens[name] = max(rnd, greens.get(name, 0))
+            else:
+                reds[name] = max(rnd, reds.get(name, 0))
+    return {
+        name: rnd
+        for name, rnd in greens.items()
+        if reds.get(name, -1) < rnd
+    }
 
 
 def _priority_order(names: list[str]) -> list[str]:
