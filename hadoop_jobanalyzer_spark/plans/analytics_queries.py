@@ -557,6 +557,197 @@ FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- q100: embedding covariance / correlation (exact integer core) -----------
+
+_COV_DIMS = 16  # leading dims profiled; upper triangle = 136 pairs
+
+
+def q100_embedding_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation of the leading embedding dimensions — the
+    redundancy/whitening QA before PCA or product quantization (highly
+    correlated dims waste codebook bits).
+
+    Exact core: vectors quantize to 1/1000 fixed point; per-pair sums
+    (sum_x, sum_y, sum_xy, and per-dim sum_x2) are exact longs; the
+    centered covariance uses the cross-multiplied form
+    ``n*sum_xy - sum_x*sum_y`` and correlation divides by the matching
+    exact variance numerators — a single composed double expression at
+    the end. In-row upper-triangle pair construction (one explode of
+    ~dims^2/2 integer structs per row, straight into a partial-aggregating
+    groupBy: the shuffle carries 136 rows per partition). At true corpus
+    scale the documented knob is a deterministic md5-mod row sample ahead
+    of this operator (covariance estimation needs no full pass; sampling
+    also keeps the int64 headroom).
+    Output: (dim_i < dim_j, n, cov_num, corr).
+    """
+    from hadoop_jobanalyzer_spark.functions.vectors import quantized
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = quantized(F.slice(F.col("embedding"), 1, _COV_DIMS))
+    pairs = F.flatten(
+        F.transform(
+            q,
+            lambda x, i: F.transform(
+                F.slice(q, i + F.lit(1), F.size(q) - i),
+                lambda y, j: F.struct(
+                    i.alias("i"),
+                    (i + j).alias("j"),
+                    x.alias("x"),
+                    y.alias("y"),
+                ),
+            ),
+        )
+    )
+    sums = (
+        emb.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("dim_i"), F.col("p.j").alias("dim_j"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.x").alias("sx"),
+            F.sum("p.y").alias("sy"),
+            F.sum(F.col("p.x") * F.col("p.y")).alias("sxy"),
+            F.sum(F.col("p.x") * F.col("p.x")).alias("sxx"),
+            F.sum(F.col("p.y") * F.col("p.y")).alias("syy"),
+        )
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.filter(F.col("dim_i") < F.col("dim_j"))
+        .select(
+            "dim_i",
+            "dim_j",
+            "n",
+            cov_num.alias("cov_num"),
+            F.round(
+                cov_num.cast("double")
+                / F.sqrt(var_x.cast("double") * var_y.cast("double")),
+                6,
+            ).alias("corr"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+Q100_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding[1:{_COV_DIMS}],
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ex AS (
+  SELECT i.i AS dim_i, j.j AS dim_j, qv[i.i + 1] AS x, qv[j.j + 1] AS y
+  FROM q,
+       UNNEST(generate_series(0, {_COV_DIMS - 1})) AS i(i),
+       UNNEST(generate_series(0, {_COV_DIMS - 1})) AS j(j)
+  WHERE i.i < j.j
+),
+sums AS (
+  SELECT dim_i, dim_j, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM ex GROUP BY dim_i, dim_j
+)
+SELECT dim_i, dim_j, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+FROM sums ORDER BY dim_i, dim_j
+"""
+
+
+# --- q101: calendar gap detection --------------------------------------------
+
+
+def q101_missing_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minutes inside the stream's [min, max] range with ZERO events — the
+    pipeline-outage detector (a time-series monitor reads absence, which
+    no groupBy over present rows can produce). The minute spine is a
+    ``sequence`` explode off the 1-row min/max aggregate; observed minutes
+    anti-join it. All-integer epoch-minute arithmetic; the spine size is
+    the time range, not the corpus size.
+    Output: (missing_minute_epoch, minute_utc)."""
+    from hadoop_jobanalyzer_spark.util import epoch_s
+
+    events = load_tables(spark, sf_dir)["events"]
+    minute = F.floor(epoch_s("ts") / 60).cast("long")
+    bounds = events.agg(
+        F.min(minute).alias("_lo"), F.max(minute).alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("m")
+    )
+    observed = events.select(minute.alias("m")).distinct()
+    return (
+        spine.join(observed, "m", "left_anti")
+        .select(
+            F.col("m").alias("missing_minute_epoch"),
+            F.from_unixtime(F.col("m") * 60, "yyyy-MM-dd HH:mm").alias("minute_utc"),
+        )
+        .orderBy("missing_minute_epoch")
+    )
+
+
+Q101_SQL = """
+WITH mins AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 AS m FROM events
+),
+bounds AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM mins),
+spine AS (SELECT UNNEST(generate_series(lo, hi)) AS m FROM bounds)
+SELECT m AS missing_minute_epoch,
+       strftime(to_timestamp(m * 60), '%Y-%m-%d %H:%M') AS minute_utc
+FROM spine
+WHERE m NOT IN (SELECT DISTINCT m FROM mins)
+ORDER BY missing_minute_epoch
+"""
+
+
+# --- q102: table profiler (data-quality report) ------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def q102_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct profile of the orders table — the
+    data-quality report every ingest runs first. ONE aggregate row
+    computes every per-column statistic in a single scan (count + null
+    count + exact distinct per column), then unpivots in-row to the
+    (column, stats) long form; no per-column scans, no shuffle beyond the
+    aggregate's partials.
+    Output: (col_name, n_rows, n_null, n_distinct)."""
+    t = load_tables(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
+    one = t["orders"].agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.col_name", "r.n_rows", "r.n_null", "r.n_distinct")
+        .orderBy("col_name")
+    )
+
+
+Q102_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) FILTER ({c} IS NULL) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -568,4 +759,7 @@ ANALYTICS_QUERIES = {
     "q97_vocab_coverage_curve": (q97_vocab_coverage_curve, Q97_SQL),
     "q98_label_centroid_distances": (q98_label_centroid_distances, Q98_SQL),
     "q99_fulfillment_lag": (q99_fulfillment_lag, Q99_SQL),
+    "q100_embedding_correlations": (q100_embedding_correlations, Q100_SQL),
+    "q101_missing_minutes": (q101_missing_minutes, Q101_SQL),
+    "q102_orders_profile": (q102_orders_profile, Q102_SQL),
 }
