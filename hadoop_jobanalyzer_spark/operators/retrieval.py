@@ -118,7 +118,9 @@ def tfidf_cosine_pairs(
     pair fan-out happens *within* posting lists capped at ``max_posting``
     (stop-terms with huge df carry weight 1 and are exactly the ones the
     cap drops — the same bounded-bucket contract as the dedup operators).
-    Norms reuse the posting-list table (no second corpus pass).
+    Norms reuse the posting-list table (no second corpus pass), and the
+    term table (vocab-sized — Zipf-bounded at any corpus scale) is
+    persisted for its two consumers so the corpus explode runs once.
     Output: id_a < id_b, num, na, nb, cos_sim (rounded 4).
     """
     toks = df.select(
@@ -139,6 +141,7 @@ def tfidf_cosine_pairs(
             "w",
             F.least(F.floor(F.col("_n") / F.col("df")).cast("long"), F.lit(w_cap)),
         )
+        .persist()
     )
     posted = term.select("w", F.explode("_post").alias("p"))
     norms = posted.groupBy(F.col("p.id").alias("_id")).agg(

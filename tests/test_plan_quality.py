@@ -115,6 +115,17 @@ def _n_exchanges(plan: str) -> int:
         ("q79_copurchase_lift", 9),  # distinct + order-key self-join + 3 aggs
         ("q80_bm25_search", 1),  # ONLY the 1-row stats agg — scan stays codegen
         ("q81_boilerplate_fraction", 4),  # df agg + hits agg + sizes join + sort
+        ("q90_sq8_error_histogram", 4),  # dim stats + 1-row collect + histogram + sort
+        ("q91_kmeans_step", 3),   # centroid collect + (cell,dim) agg + final
+        ("q92_nation_revenue_share", 2),  # nation agg + 25-row window
+        ("q94_duplicated_spans", 3),  # span-hash agg + doc agg + sizes join
+        ("q95_tfidf_cosine_pairs", 7),  # tf/term cached + norms + pairs + 2 joins
+        ("q96_event_value_outliers", 2),  # per-type moments + final sort
+        ("q97_vocab_coverage_curve", 3),  # term count + bounded top-k + cutoffs
+        ("q98_label_centroid_distances", 4),  # (label,dim) agg + pair join
+        ("q100_embedding_correlations", 2),  # pair agg (partial) + final sort
+        ("q101_missing_minutes", 2),   # bounds agg + distinct anti-join
+        ("q102_orders_profile", 2),    # one aggregate + in-row unpivot
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
