@@ -18,6 +18,7 @@ from hadoop_jobanalyzer_spark.streaming.event_stream import (
     read_events_stream,
     running_totals_stream,
     user_sessions_stream,
+    view_purchase_join_stream,
 )
 
 __all__ = [
@@ -34,5 +35,6 @@ __all__ = [
     "read_history_stream",
     "running_totals_stream",
     "user_sessions_stream",
+    "view_purchase_join_stream",
     "wasted_counts_stream",
 ]

@@ -135,6 +135,59 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def view_purchase_join_stream(
+    events: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to every view by the
+    same user within ``max_gap`` BEFORE it — the streaming attribution
+    form of the batch as-of join family (q19).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    the event-time range, so Spark can size the state store exactly: a
+    view is held for ``max_gap + watermark_delay`` and evicted once no
+    future purchase can match it. Without the time-range condition a
+    stream-stream join would need unbounded state — this is the canonical
+    shape that scales.
+
+    Output: user_id, view_id, purchase_id, view_ts, purchase_ts, gap_sec.
+    """
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark_delay)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark_delay)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).cast("long").alias("gap_ms"),
+    )
+
+
 def dedup_events_stream(
     events: DataFrame, watermark_delay: str = "10 minutes"
 ) -> DataFrame:

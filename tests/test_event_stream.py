@@ -180,6 +180,49 @@ def test_running_totals_stream_matches_batch(spark, sf_dir, events_dir, tmp_path
     assert got == want
 
 
+def test_view_purchase_join_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Stream-stream join with time-range condition: every (view, purchase)
+    pair by the same user within the gap must match the batch inner join
+    exactly. Long watermark so nothing is dropped across the 3 shards."""
+    from hadoop_jobanalyzer_spark.streaming import view_purchase_join_stream
+
+    name = f"vpj_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, events_dir)
+    _run_to_memory(
+        view_purchase_join_stream(stream, max_gap="2 days", watermark_delay="400 days"),
+        name,
+        "append",
+        checkpoint=str(tmp_path / "ckpt_vpj"),
+    )
+    got = {
+        (r["view_id"], r["purchase_id"]): r["gap_ms"]
+        for r in spark.table(name).collect()
+    }
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("vid"), F.col("ts").alias("vts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    batch = v.join(
+        p,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 2 days")),
+    ).select(
+        "vid", "pid",
+        (F.unix_millis("pts") - F.unix_millis("vts")).cast("long").alias("gap_ms"),
+    )
+    want = {(r["vid"], r["pid"]): r["gap_ms"] for r in batch.collect()}
+    assert got == want and len(got) > 10
+
+
 def test_dedup_events_stream_suppresses_replays(spark, sf_dir, tmp_path):
     from hadoop_jobanalyzer_spark.streaming import dedup_events_stream
 
