@@ -130,7 +130,13 @@ def _n_exchanges(plan: str) -> int:
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
     """Shuffle budgets for representative new queries: regressions that add
-    an Exchange (lost partial agg, accidental repartition) fail here."""
+    an Exchange (lost partial agg, accidental repartition) fail here.
+
+    Cache is cleared first: a query whose operator persists an internal
+    table (q66, q95) explains differently once another test materialized
+    that cache (the InMemoryRelation's stored plan prints its own
+    exchanges), which would make the count order-dependent."""
+    spark.catalog.clearCache()
     fn, _ = QUERIES[name]
     plan = _plan(fn(spark, sf_dir))
     n = _n_exchanges(plan)
