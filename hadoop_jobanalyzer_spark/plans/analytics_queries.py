@@ -748,6 +748,149 @@ Q102_SQL = "\nUNION ALL\n".join(
 ) + "\nORDER BY col_name"
 
 
+# --- q103: winsorized robust stats (exact order-statistic selection) ---------
+
+
+def q103_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust value stats: exact p05/p95 order statistics selected
+    by rank (no interpolation — engine-independent), then the winsorized
+    mean over values clamped into [p05, p95].
+
+    Exact everywhere: values are integer cents; the percentile INDEX is
+    ``floor(p * (n-1)) + 1`` (identical float-on-int expression both
+    engines); selection is a rank equality, not quantile interpolation
+    (interpolation formulas differ subtly across engines). One sort window
+    per group + a tiny stats join-back; the winsorized mean divides once
+    at the end.
+    Output: (event_type, n, p05, p95, winsorized_mean).
+    """
+    t = load_tables(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("_c", "event_id")
+    ranked = (
+        t["events"]
+        .select("event_type", "event_id", cents.alias("_c"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("event_type")))
+    )
+    idx05 = (F.floor(F.lit(0.05) * (F.col("_n") - 1)) + 1).cast("long")
+    idx95 = (F.floor(F.lit(0.95) * (F.col("_n") - 1)) + 1).cast("long")
+    stats = ranked.groupBy("event_type").agg(
+        F.max("_n").alias("n"),
+        F.max(F.when(F.col("_rn") == idx05, F.col("_c"))).alias("p05"),
+        F.max(F.when(F.col("_rn") == idx95, F.col("_c"))).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("_c"), F.col("p05")), F.col("p95"))
+    return (
+        ranked.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+            F.round(
+                F.sum(clamped).cast("double") / F.max("n").cast("double") / 100, 4
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q103_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+stats AS (
+  SELECT event_type, MAX(n) AS n,
+         MAX(CASE WHEN rn = CAST(FLOOR(0.05 * (n - 1)) AS BIGINT) + 1 THEN c END) AS p05,
+         MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (n - 1)) AS BIGINT) + 1 THEN c END) AS p95
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type, MAX(s.n) AS n, MAX(s.p05) AS p05, MAX(s.p95) AS p95,
+       ROUND(CAST(SUM(LEAST(GREATEST(r.c, s.p05), s.p95)) AS DOUBLE)
+             / CAST(MAX(s.n) AS DOUBLE) / 100, 4) AS winsorized_mean
+FROM ranked r JOIN stats s USING (event_type)
+GROUP BY r.event_type ORDER BY r.event_type
+"""
+
+
+# --- q105-shape: per-type value trend (exact least-squares slope) ------------
+
+
+def q104_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of event value over time, per event type — the
+    drift/trend detector. The regression moments are exact longs (x =
+    hours since the global minimum hour, bounded by the time RANGE, so
+    ``n*sum_xy`` stays far inside int64 at any row count; y = integer
+    cents) and the slope is the cross-multiplied closed form
+    ``(n*sxy - sx*sy) / (n*sxx - sx^2)`` — a single composed double
+    expression at the end.
+    Output: (event_type, n, slope_cents_per_hour).
+    """
+    from hadoop_jobanalyzer_spark.util import epoch_s
+
+    t = load_tables(spark, sf_dir)
+    hour = F.floor(epoch_s("ts") / 3600).cast("long")
+    base = t["events"].agg(F.min(hour).alias("_h0"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    prepped = (
+        t["events"]
+        .crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            (hour - F.col("_h0")).alias("x"),
+            cents.alias("y"),
+        )
+    )
+    sums = prepped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        sums.filter(den > 0)
+        .select(
+            "event_type",
+            "n",
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "slope_cents_per_hour"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q104_SQL = """
+WITH base AS (
+  SELECT MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS h0 FROM events
+),
+p AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 - h0 AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events, base
+),
+sums AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+         AS slope_cents_per_hour
+FROM sums WHERE n * sxx - sx * sx > 0 ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -762,4 +905,6 @@ ANALYTICS_QUERIES = {
     "q100_embedding_correlations": (q100_embedding_correlations, Q100_SQL),
     "q101_missing_minutes": (q101_missing_minutes, Q101_SQL),
     "q102_orders_profile": (q102_orders_profile, Q102_SQL),
+    "q103_winsorized_value_stats": (q103_winsorized_value_stats, Q103_SQL),
+    "q104_value_trends": (q104_value_trends, Q104_SQL),
 }

@@ -45,6 +45,8 @@ NESTED_LOOP_OK = {
     "q93_rich_inactive_customers",
     "q95_tfidf_cosine_pairs",
     "q97_vocab_coverage_curve",
+    # 1-row global-min-hour broadcast
+    "q104_value_trends",
 }
 
 
