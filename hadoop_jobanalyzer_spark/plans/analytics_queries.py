@@ -891,6 +891,103 @@ FROM sums WHERE n * sxx - sx * sx > 0 ORDER BY event_type
 """
 
 
+# --- q105: event-type transition matrix (first-order Markov) -----------------
+
+
+def q105_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive event-type transition counts and probabilities
+    — the first-order Markov profile of the event stream (session-flow
+    analytics; also the sanity check before sequence-model training data
+    is extracted). One lead window per user, a tiny (k x k) aggregate, and
+    the row-normalizing total is a window over that aggregate, never a
+    second scan. The probability is one final double division.
+    Output: (from_type, to_type, n, prob)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t["events"]
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    return (
+        counts.withColumn("_row_total", total)
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_row_total").cast("double"), 4).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+Q105_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS prob
+FROM counts ORDER BY from_type, to_type
+"""
+
+
+# --- q106: inter-arrival time histogram (log2 buckets, exact) ----------------
+
+
+def q106_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed inter-arrival gaps per user — the burstiness profile
+    of the stream (capacity planning reads the tail buckets; a uniform
+    synthetic stream shows a tight band). The bucket is the BIT LENGTH of
+    the millisecond gap via base-2 string conversion — exact integer
+    bucketing, immune to the ``floor(log2(2^k))`` float-boundary hazard
+    that differs across libm implementations.
+    Output: (gap_bits, n, min_gap_ms, max_gap_ms)."""
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        t["events"]
+        .select((epoch_ms("ts") - F.lag(epoch_ms("ts")).over(w)).alias("gap_ms"))
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    bits = F.length(F.conv(F.col("gap_ms").cast("string"), 10, 2))
+    return (
+        gaps.groupBy(bits.alias("gap_bits"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("gap_ms").alias("min_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+        )
+        .orderBy("gap_bits")
+    )
+
+
+Q106_SQL = """
+WITH g AS (
+  SELECT epoch_ms(ts) - LAG(epoch_ms(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+)
+SELECT CAST(LENGTH(format('{:b}', gap_ms)) AS INTEGER) AS gap_bits,
+       COUNT(*) AS n, MIN(gap_ms) AS min_gap_ms, MAX(gap_ms) AS max_gap_ms
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -907,4 +1004,6 @@ ANALYTICS_QUERIES = {
     "q102_orders_profile": (q102_orders_profile, Q102_SQL),
     "q103_winsorized_value_stats": (q103_winsorized_value_stats, Q103_SQL),
     "q104_value_trends": (q104_value_trends, Q104_SQL),
+    "q105_event_transitions": (q105_event_transitions, Q105_SQL),
+    "q106_interarrival_histogram": (q106_interarrival_histogram, Q106_SQL),
 }
