@@ -988,6 +988,95 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- q107: per-source doc-length deciles (distribution drift) ----------------
+
+
+def q107_source_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length deciles by exact order-statistic
+    selection — the distribution-shift detector between corpus sources
+    (a new crawl whose decile profile diverges from its source's history
+    gets quarantined before training). Same rank-equality selection as
+    q103 (no interpolation); the decile index expression is identical
+    float-on-int in both engines. One sort window per source over a
+    (source, n_chars) projection.
+    Output: (source, decile, n_chars_at)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("source")))
+    )
+    deciles = F.array(*[F.lit(d) for d in range(1, 10)])
+    idx = (F.floor(F.col("decile") / 10.0 * (F.col("_n") - 1)) + 1).cast("long")
+    return (
+        ranked.select("source", "n_chars", "_rn", "_n", F.explode(deciles).alias("decile"))
+        .filter(F.col("_rn") == idx)
+        .select("source", "decile", F.col("n_chars").alias("n_chars_at"))
+        .orderBy("source", "decile")
+    )
+
+
+Q107_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, decile, n_chars AS n_chars_at
+FROM ranked, UNNEST(generate_series(1, 9)) AS d(decile)
+WHERE rn = CAST(FLOOR(decile / 10.0 * (n - 1)) AS BIGINT) + 1
+ORDER BY source, decile
+"""
+
+
+# --- q108: year-over-year revenue growth -------------------------------------
+
+
+def q108_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue per order priority with year-over-year growth — the
+    lag-over-aggregate reporting shape. Revenue sums are exact decimals;
+    growth is one final double division against the lagged exact value.
+    Output: (o_orderpriority, year, revenue, yoy_pct)."""
+    t = load_tables(spark, sf_dir)
+    yearly = (
+        t["orders"]
+        .groupBy(
+            "o_orderpriority",
+            F.year(F.col("o_orderdate").cast("date")).alias("year"),
+        )
+        .agg(F.sum(_dec("o_totalprice", 2)).alias("_rev"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("year")
+    prev = F.lag("_rev").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "year",
+        F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            (F.col("_rev").cast("double") - prev.cast("double"))
+            / prev.cast("double") * 100,
+            4,
+        ).alias("yoy_pct"),
+    ).orderBy("o_orderpriority", "year")
+
+
+Q108_SQL = """
+WITH yearly AS (
+  SELECT o_orderpriority, YEAR(CAST(o_orderdate AS DATE)) AS year,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, year,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+       ROUND((CAST(rev AS DOUBLE)
+              - CAST(LAG(rev) OVER (PARTITION BY o_orderpriority ORDER BY year) AS DOUBLE))
+             / CAST(LAG(rev) OVER (PARTITION BY o_orderpriority ORDER BY year) AS DOUBLE) * 100, 4) AS yoy_pct
+FROM yearly ORDER BY o_orderpriority, year
+"""
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -1006,4 +1095,6 @@ ANALYTICS_QUERIES = {
     "q104_value_trends": (q104_value_trends, Q104_SQL),
     "q105_event_transitions": (q105_event_transitions, Q105_SQL),
     "q106_interarrival_histogram": (q106_interarrival_histogram, Q106_SQL),
+    "q107_source_length_deciles": (q107_source_length_deciles, Q107_SQL),
+    "q108_yoy_revenue_growth": (q108_yoy_revenue_growth, Q108_SQL),
 }
