@@ -1077,6 +1077,126 @@ FROM yearly ORDER BY o_orderpriority, year
 """
 
 
+# --- q109: cross-source contamination matrix ---------------------------------
+
+
+def q109_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts between corpus SOURCES — the
+    contamination/licensing matrix (which feeds duplicate which; a high
+    off-diagonal cell means one source republishes another, and a dedup
+    policy should keep only one). Rides the production LSH+verify pipeline
+    (q34) and joins the per-doc source labels onto the verified pairs —
+    pair volume, not corpus volume, so the source join is tiny.
+    Output: (source_a <= source_b, n_pairs, avg_jaccard)."""
+    from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")), "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            # round-to-nearest, not cast-truncation: 0.287*1000 is
+            # 286.99999... in IEEE and the two engines truncate/round
+            # casts differently
+            F.round(F.sum(F.round(F.col("jaccard") * 1000).cast("long")) / F.count("*") / 1000, 4).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _q109_sql() -> str:
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import near_dup_ctes
+
+    return f"""
+WITH {near_dup_ctes()},
+labeled AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         v.jaccard
+  FROM verified v
+  JOIN documents da ON v.id_a = da.doc_id
+  JOIN documents db ON v.id_b = db.doc_id
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       ROUND(SUM(CAST(ROUND(jaccard * 1000) AS BIGINT)) / COUNT(*) / 1000, 4) AS avg_jaccard
+FROM labeled GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+# --- q110: quantized-surprisal quality score ---------------------------------
+
+
+def q110_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token surprisal under the corpus unigram model,
+    QUANTIZED to integer bits — the CCNet-style LM quality filter with the
+    log made engine-exact: a token's surprisal is the bit length of
+    ``N_total // n_token`` (monotone in -log p, computed by base-2 string
+    conversion — no libm). Low scores = boilerplate-heavy/common-token
+    docs; high = rare-token (or noisy) docs; both tails get reviewed.
+
+    One explode for counts, one explode joined against the Zipf-bounded
+    term table, integer per-doc sums, one final division.
+    Output: (doc_id, n_tokens, avg_surprisal_bits)."""
+    from hadoop_jobanalyzer_spark.functions.text import tokens
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    counts = toks.groupBy("t").agg(F.count("*").alias("n_t"))
+    total = counts.agg(F.sum("n_t").alias("_n"))
+    # FLOOR, not cast: Spark's double->long cast truncates while DuckDB's
+    # rounds — floor is the same in both
+    bits = F.length(
+        F.conv(F.floor(F.col("_n") / F.col("n_t")).cast("long").cast("string"), 10, 2)
+    ).cast("long")
+    term_bits = counts.crossJoin(F.broadcast(total)).select("t", bits.alias("bits"))
+    return (
+        toks.join(term_bits, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("bits").cast("double") / F.count("*").cast("double"), 4
+            ).alias("avg_surprisal_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q110_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+filt AS (SELECT * FROM toks WHERE t <> ''),
+counts AS (SELECT t, COUNT(*) AS n_t FROM filt GROUP BY t),
+total AS (SELECT SUM(n_t) AS n FROM counts),
+term_bits AS (
+  SELECT t, CAST(LENGTH(format('{:b}', CAST(FLOOR(n / n_t) AS BIGINT))) AS BIGINT) AS bits
+  FROM counts, total
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_surprisal_bits
+FROM filt JOIN term_bits USING (t)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -1097,4 +1217,6 @@ ANALYTICS_QUERIES = {
     "q106_interarrival_histogram": (q106_interarrival_histogram, Q106_SQL),
     "q107_source_length_deciles": (q107_source_length_deciles, Q107_SQL),
     "q108_yoy_revenue_growth": (q108_yoy_revenue_growth, Q108_SQL),
+    "q109_source_contamination": (q109_source_contamination, _q109_sql()),
+    "q110_doc_surprisal": (q110_doc_surprisal, Q110_SQL),
 }

@@ -47,6 +47,8 @@ NESTED_LOOP_OK = {
     "q97_vocab_coverage_curve",
     # 1-row global-min-hour broadcast
     "q104_value_trends",
+    # 1-row total-token-count broadcast
+    "q110_doc_surprisal",
 }
 
 
