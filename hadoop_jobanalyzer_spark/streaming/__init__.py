@@ -12,6 +12,10 @@ from hadoop_jobanalyzer_spark.streaming.history_stream import (
     read_history_stream,
     wasted_counts_stream,
 )
+from hadoop_jobanalyzer_spark.streaming.sinks import (
+    idempotent_batch_writer,
+    write_stream_partitioned,
+)
 from hadoop_jobanalyzer_spark.streaming.event_stream import (
     dedup_events_stream,
     event_window_counts_stream,
@@ -28,6 +32,7 @@ __all__ = [
     "dedup_events_stream",
     "enrich_attempts_stream",
     "event_window_counts_stream",
+    "idempotent_batch_writer",
     "job_status_stream",
     "error_counts_stream",
     "latest_success_attempts",
@@ -37,4 +42,5 @@ __all__ = [
     "user_sessions_stream",
     "view_purchase_join_stream",
     "wasted_counts_stream",
+    "write_stream_partitioned",
 ]

@@ -223,6 +223,47 @@ def test_view_purchase_join_stream_matches_batch(spark, sf_dir, events_dir, tmp_
     assert got == want and len(got) > 10
 
 
+def test_stream_partitioned_sink_idempotent(spark, sf_dir, events_dir, tmp_path):
+    """foreachBatch hive-partitioned sink: (a) the drained stream's output
+    equals the batch table, (b) replaying a batch with the same batch_id
+    overwrites its own partitions instead of duplicating rows."""
+    from hadoop_jobanalyzer_spark.streaming import (
+        idempotent_batch_writer,
+        write_stream_partitioned,
+    )
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = write_stream_partitioned(
+        stream, out, ["event_type"], str(tmp_path / "ckpt_sink")
+    )
+    q.awaitTermination(300)
+
+    back = spark.read.parquet(out)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert back.count() == batch.count()
+    assert back.select("_batch_id").distinct().count() >= 3  # one per shard
+    got = {r["event_id"] for r in back.select("event_id").collect()}
+    want = {r["event_id"] for r in batch.select("event_id").collect()}
+    assert got == want
+
+    # replay batch 0: same data, same id -> same files, no duplication
+    first = spark.read.parquet(events_dir).limit(50)
+    writer = idempotent_batch_writer(out, ["event_type"])
+    before = back.count()
+    n_b0 = spark.read.parquet(out).filter(F.col("_batch_id") == 999).count()
+    assert n_b0 == 0
+    writer(first, 999)
+    mid = spark.read.parquet(out).count()
+    writer(first, 999)  # the replay
+    after = spark.read.parquet(out).count()
+    assert mid == before + 50 and after == mid
+
+
 def test_dedup_events_stream_suppresses_replays(spark, sf_dir, tmp_path):
     from hadoop_jobanalyzer_spark.streaming import dedup_events_stream
 
