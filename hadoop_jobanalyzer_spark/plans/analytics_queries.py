@@ -1197,6 +1197,52 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- q111: last-observation-carried-forward ----------------------------------
+
+
+def q111_last_purchase_carried_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF imputation: at every event, the user's most recent purchase
+    amount so far (null until their first purchase) — the gap-filling
+    window shape (``last(..., ignorenulls=True)`` over an unbounded
+    preceding frame) that time-series feature pipelines run everywhere.
+    Output: (event_id, user_id, event_type, last_purchase_value), capped
+    to the first 2000 events by id to keep the driver payload bounded."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    locf = F.last(
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)")).cast("double"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        t["events"]
+        .select("event_id", "user_id", "event_type", "ts", locf.alias("last_purchase_value"))
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "last_purchase_value")
+        .orderBy("event_id")
+    )
+
+
+Q111_SQL = """
+SELECT event_id, user_id, event_type, last_purchase_value
+FROM (
+  SELECT event_id, user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'purchase'
+                         THEN CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+  FROM events
+)
+WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -1219,4 +1265,5 @@ ANALYTICS_QUERIES = {
     "q108_yoy_revenue_growth": (q108_yoy_revenue_growth, Q108_SQL),
     "q109_source_contamination": (q109_source_contamination, _q109_sql()),
     "q110_doc_surprisal": (q110_doc_surprisal, Q110_SQL),
+    "q111_last_purchase_carried_forward": (q111_last_purchase_carried_forward, Q111_SQL),
 }
