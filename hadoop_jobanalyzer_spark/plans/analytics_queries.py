@@ -1243,6 +1243,107 @@ WHERE event_id < 2000 ORDER BY event_id
 """
 
 
+# --- q112: keep-best dedup policy --------------------------------------------
+
+
+def q112_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a KEEP-BEST policy: within each normalized-content
+    group, keep the LONGEST document (ties -> lowest doc_id) instead of
+    the minimum id — the production-realistic policy ("keep the fullest
+    copy") layered on the q86 canonicalization. One window over the
+    canonical hash; rank keys are integers so the verdict is
+    engine-exact.
+    Output: (doc_id, canon_md5, n_chars, is_keeper)."""
+    from hadoop_jobanalyzer_spark.functions.text import normalize_text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    canon = F.md5(normalize_text(F.col("text")))
+    w = Window.partitionBy("canon_md5").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.select("doc_id", canon.alias("canon_md5"), "n_chars")
+        .withColumn("is_keeper", F.row_number().over(w) == 1)
+        .orderBy("doc_id")
+    )
+
+
+Q112_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g'))) AS canon_md5,
+         n_chars
+  FROM documents
+)
+SELECT doc_id, canon_md5, n_chars,
+       ROW_NUMBER() OVER (PARTITION BY canon_md5
+                          ORDER BY n_chars DESC, doc_id) = 1 AS is_keeper
+FROM c ORDER BY doc_id
+"""
+
+
+# --- q113: audience overlap between event types ------------------------------
+
+
+def q113_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of the distinct-user audiences of every event-type
+    pair — the segmentation report behind "do purchasers also click?".
+    The corpus-sized work is ONE distinct over (type, user); the pairwise
+    intersection is a self-join of that reduced table and the union sizes
+    come from exact integer counts (|A|+|B|-|A∩B|), so the only float op
+    is the final division.
+    Output: (type_a < type_b, n_a, n_b, n_both, jaccard)."""
+    t = load_tables(spark, sf_dir)
+    tu = t["events"].select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    both = (
+        tu.alias("a")
+        .join(
+            tu.select(F.col("event_type").alias("_bt"), "user_id").alias("b"),
+            "user_id",
+        )
+        .filter(F.col("event_type") < F.col("_bt"))
+        .groupBy(F.col("event_type").alias("type_a"), F.col("_bt").alias("type_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+Q113_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+       ROUND(CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -1266,4 +1367,6 @@ ANALYTICS_QUERIES = {
     "q109_source_contamination": (q109_source_contamination, _q109_sql()),
     "q110_doc_surprisal": (q110_doc_surprisal, Q110_SQL),
     "q111_last_purchase_carried_forward": (q111_last_purchase_carried_forward, Q111_SQL),
+    "q112_dedup_keep_best": (q112_dedup_keep_best, Q112_SQL),
+    "q113_audience_overlap": (q113_audience_overlap, Q113_SQL),
 }
