@@ -1344,6 +1344,104 @@ ORDER BY type_a, type_b
 """
 
 
+# --- q114: shingle document-frequency spectrum -------------------------------
+
+
+def q114_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed spectrum of 3-gram document frequencies — the tuning
+    input for every df-thresholded knob in the dedup layer (boilerplate
+    min_df, stop-shingle caps): the analyst reads where the mass sits
+    before picking a cutoff. Distinct shingles explode once; df is a
+    two-phase count-distinct; the bucket is the exact base-2 bit length
+    (the q106 technique). Output: (df_bits, n_shingles, max_df)."""
+    from hadoop_jobanalyzer_spark.functions.text import shingles, tokens
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select(F.col("doc_id"), F.explode(shingles(tokens("text"), 3)).alias("s"))
+    df_tab = sh.groupBy("s").agg(F.count_distinct("doc_id").alias("df"))
+    bits = F.length(F.conv(F.col("df").cast("string"), 10, 2)).cast("long")
+    return (
+        df_tab.groupBy(bits.alias("df_bits"))
+        .agg(F.count("*").alias("n_shingles"), F.max("df").alias("max_df"))
+        .orderBy("df_bits")
+    )
+
+
+Q114_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+dfs AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+SELECT CAST(LENGTH(format('{:b}', df)) AS BIGINT) AS df_bits,
+       COUNT(*) AS n_shingles, MAX(df) AS max_df
+FROM dfs GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q115: user value concentration (Pareto curve) ---------------------------
+
+_PARETO_CUTOFFS = [10, 100, 1000]
+_PARETO_TOPK = 100_000
+
+
+def q115_user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of total event value contributed by the top-k users — the
+    Pareto/whale-concentration report. Same scale discipline as q97: the
+    TakeOrdered top-``_PARETO_TOPK`` bound runs BEFORE the only ordered
+    prefix-sum window, and per-user totals are exact integer cents so the
+    running sum is order-safe; the share is one final double division
+    against the 1-row exact total.
+    Output: (cutoff, n_users, value_share_pct)."""
+    t = load_tables(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = t["events"].groupBy("user_id").agg(F.sum(cents).alias("v"))
+    top = per_user.orderBy(F.desc("v"), "user_id").limit(_PARETO_TOPK)
+    w = Window.orderBy(F.desc("v"), "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = top.select(
+        F.row_number().over(Window.orderBy(F.desc("v"), F.col("user_id"))).alias("rank"),
+        F.sum("v").over(w).alias("cum"),
+    )
+    total = per_user.agg(F.sum("v").alias("_total"))
+    cuts = F.array(*[F.lit(c) for c in _PARETO_CUTOFFS])
+    return (
+        ranked.select(F.explode(cuts).alias("cutoff"), "rank", "cum")
+        .filter(F.col("rank") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.max("rank").alias("n_users"), F.max("cum").alias("_cum"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cutoff",
+            "n_users",
+            F.round(
+                F.col("_cum").cast("double") / F.col("_total").cast("double") * 100, 4
+            ).alias("value_share_pct"),
+        )
+        .orderBy("cutoff")
+    )
+
+
+Q115_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY v DESC, user_id) AS rank,
+         SUM(v) OVER (ORDER BY v DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_user ORDER BY v DESC, user_id LIMIT {_PARETO_TOPK}
+),
+total AS (SELECT SUM(v) AS total FROM per_user)
+SELECT cutoff, MAX(rank) AS n_users,
+       ROUND(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) * 100, 4) AS value_share_pct
+FROM ranked, UNNEST({_PARETO_CUTOFFS}) AS c(cutoff), total
+WHERE rank <= cutoff
+GROUP BY cutoff ORDER BY cutoff
+"""
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -1369,4 +1467,6 @@ ANALYTICS_QUERIES = {
     "q111_last_purchase_carried_forward": (q111_last_purchase_carried_forward, Q111_SQL),
     "q112_dedup_keep_best": (q112_dedup_keep_best, Q112_SQL),
     "q113_audience_overlap": (q113_audience_overlap, Q113_SQL),
+    "q114_shingle_df_spectrum": (q114_shingle_df_spectrum, Q114_SQL),
+    "q115_user_value_concentration": (q115_user_value_concentration, Q115_SQL),
 }

@@ -49,6 +49,8 @@ NESTED_LOOP_OK = {
     "q104_value_trends",
     # 1-row total-token-count broadcast
     "q110_doc_surprisal",
+    # 1-row total-value broadcast
+    "q115_user_value_concentration",
 }
 
 
