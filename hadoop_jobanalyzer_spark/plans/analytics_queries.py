@@ -1442,6 +1442,101 @@ GROUP BY cutoff ORDER BY cutoff
 """
 
 
+# --- q116: per-source id-density (ingest QA) ---------------------------------
+
+
+def q116_source_id_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc_id span vs count — the ingest-QA check that catches
+    silent drops: a source whose id range holds many more ids than rows
+    lost documents somewhere upstream (or was filtered — either way the
+    density says how much). One partial-aggregated pass; the density is a
+    single final division over exact integers.
+    Output: (source, n_docs, min_id, max_id, id_density)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "min_id",
+            "max_id",
+            F.round(
+                F.col("n_docs").cast("double")
+                / (F.col("max_id") - F.col("min_id") + 1).cast("double"),
+                4,
+            ).alias("id_density"),
+        )
+        .orderBy("source")
+    )
+
+
+Q116_SQL = """
+SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(doc_id) - MIN(doc_id) + 1 AS DOUBLE), 4) AS id_density
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --- q117: event-props key-presence matrix -----------------------------------
+
+_PROPS_KEYS = ["k", "src", "tag"]
+
+
+def q117_props_key_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of events per type carrying each JSON props key — the
+    semi-structured schema-drift report (a key whose presence drops for
+    one event type flags a producer change). Presence probes are pure
+    codegen get_json_object null checks in ONE aggregate pass; the long
+    form unpivots in-row (the q102 technique).
+    Output: (event_type, key, n_events, n_present, present_frac)."""
+    t = load_tables(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for k in _PROPS_KEYS:
+        aggs.append(
+            F.count(F.get_json_object("props", f"$.{k}")).alias(f"_p_{k}")
+        )
+    one = t["events"].groupBy("event_type").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.col("_n").alias("n_events"),
+                F.col(f"_p_{k}").alias("n_present"),
+            )
+            for k in _PROPS_KEYS
+        ]
+    )
+    return (
+        one.select("event_type", F.explode(rows).alias("r"))
+        .select(
+            "event_type",
+            "r.key",
+            "r.n_events",
+            "r.n_present",
+            F.round(
+                F.col("r.n_present").cast("double") / F.col("r.n_events").cast("double"),
+                4,
+            ).alias("present_frac"),
+        )
+        .orderBy("event_type", "key")
+    )
+
+
+Q117_SQL = "\nUNION ALL\n".join(
+    f"""SELECT event_type, '{k}' AS key, COUNT(*) AS n_events,
+       COUNT(json_extract_string(props, '$.{k}')) AS n_present,
+       ROUND(CAST(COUNT(json_extract_string(props, '$.{k}')) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS present_frac
+FROM events GROUP BY event_type"""
+    for k in _PROPS_KEYS
+) + "\nORDER BY event_type, key"
+
+
 ANALYTICS_QUERIES = {
     "q90_sq8_error_histogram": (q90_sq8_error_histogram, Q90_SQL),
     "q91_kmeans_step": (q91_kmeans_step, Q91_SQL),
@@ -1469,4 +1564,6 @@ ANALYTICS_QUERIES = {
     "q113_audience_overlap": (q113_audience_overlap, Q113_SQL),
     "q114_shingle_df_spectrum": (q114_shingle_df_spectrum, Q114_SQL),
     "q115_user_value_concentration": (q115_user_value_concentration, Q115_SQL),
+    "q116_source_id_density": (q116_source_id_density, Q116_SQL),
+    "q117_props_key_presence": (q117_props_key_presence, Q117_SQL),
 }
