@@ -225,3 +225,41 @@ WHERE ROUND({score_terms}, 6) > 0
 ORDER BY score DESC, {id_col}
 LIMIT {k}
 """
+
+
+def phrase_hits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact phrase-occurrence counts per document: (id, n_hits), hits > 0.
+
+    The phrase ("w1 w2 ... wn" on the corpus's single-space tokenization)
+    is matched at *word* granularity: per document, count the positions
+    whose n-word window equals the phrase. Two layers:
+
+    1. a substring ``contains`` prefilter that pushes into the parquet
+       scan — a cheap SUPERSET test ("stable scan" contains the substring
+       "table scan"), so data skipping drops non-matching row groups;
+    2. the exact check as an in-row zip over the token array (the same
+       shifted-slice n-gram builder the shingle family uses) — no
+       explode, no join, no shuffle; the only exchange is the final sort.
+
+    A standing search service would instead materialize the positional
+    inverted index once (posexplode -> (term, doc, pos) table, bucketed by
+    term) and answer phrases with a pos+1 self-join; this operator is the
+    single-query plan, which at 100 TB is strictly cheaper than building
+    that index for one phrase.
+    """
+    from hadoop_jobanalyzer_spark.functions.text import shingles_seq, tokens
+
+    n = len(phrase.split(" "))
+    grams = shingles_seq(tokens(F.col(text_col)), n)
+    hits = F.size(F.filter(grams, lambda s: s == F.lit(phrase)))
+    return (
+        df.filter(F.col(text_col).contains(phrase))
+        .select(F.col(id_col), hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("n_hits"), id_col)
+    )

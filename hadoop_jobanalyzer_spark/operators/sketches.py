@@ -1,0 +1,133 @@
+"""Distributed cardinality sketches: HyperLogLog register tables and
+KMV (k-minimum-values) distinct-count estimates.
+
+Both sketches are built from the repo's portable 60-bit md5 hash (the
+same ``conv(substr(md5(x),1,15),16,10)`` idiom the sampling/shard
+operators use), so any engine — Spark, DuckDB, Trino — derives identical
+registers from the same rows and the outputs are bit-exact oracle-able.
+
+Scale: the whole point of these sketches is what they DON'T shuffle.
+The HLL register table reduces an arbitrarily large key column to
+``m`` rows per group via a partial-aggregated max — map-side combine
+collapses each input partition to at most ``groups x m`` rows before the
+exchange. KMV's rank filter is rewritten by Spark's WindowGroupLimit
+optimization into a per-partition top-k, so only ~k rows per partition
+per group reach the shuffle. Merging two register tables (e.g. daily
+sketches into a monthly one) is the same ``max``/``min-k`` aggregate —
+associative, re-aggregable, no raw-data reread.
+
+Flink's and Trino's approx_distinct follow the same register layout
+(public: Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm", AofA 2007; Bar-Yossef et al. 2002 for
+KMV). This implementation keeps the registers *exact and inspectable*
+instead of hiding them in an opaque binary sketch, which is what makes
+the estimator auditable by the differential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Total hash space: 15 md5 hex chars = 60 bits.
+HASH_BITS = 60
+HASH_SPACE = 1 << HASH_BITS
+
+
+def portable_hash60(key: Column) -> Column:
+    """60-bit uniform hash from md5 — identical in any engine as
+    ``('0x' || substr(md5(CAST(k AS VARCHAR)),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hll_register_table(
+    df: DataFrame, group_col: str, key_col: str, p: int = 6
+) -> DataFrame:
+    """Per-group HyperLogLog register table: (group, register, max_rho).
+
+    ``register`` is the low ``p`` bits of the 60-bit hash; ``rho`` is the
+    1-based position of the leftmost 1-bit in the remaining ``60 - p``
+    bits (``60 - p + 1`` when they are all zero). Registers never touched
+    by any key are absent from the relation (sparse form) — the estimator
+    treats missing registers as zero.
+
+    One partial-aggregated ``max`` pass: at 100 TB each input partition
+    emits at most ``n_groups * 2^p`` rows into the single exchange.
+    """
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = portable_hash60(F.col(key_col))
+    # h >> p: the upper 60-p bits. Bit shift, not `/` — a 60-bit value
+    # through double division would lose low bits past 2^53.
+    w = F.shiftright(h, p)
+    rho = F.when(w > 0, F.lit(w_bits + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(w_bits + 1)
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            (h % m).alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Collapse a (grp, register, max_rho) table to per-group cardinality
+    estimates: the raw HLL harmonic mean ``alpha_m * m^2 / sum(2^-M_j)``
+    with the standard small-range (linear counting) correction.
+
+    Float math happens once per *group* (m is tiny), after all cross-row
+    accumulation — acceptable driver-of-truth is the register table
+    itself, which stays integer-exact.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    agg = registers.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_sum_inv"),
+        F.count("*").alias("_n_nonzero"),
+    )
+    n_zero = F.lit(m) - F.col("_n_nonzero")
+    raw = F.lit(alpha * m * m) / (F.col("_sum_inv") + n_zero)
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero)
+    est = F.when((raw <= 2.5 * m) & (n_zero > 0), linear).otherwise(raw)
+    return agg.select("grp", est.alias("estimate"))
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, key_col: str, k: int = 32
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group.
+
+    Keeps the ``k`` smallest distinct hash values per group; the k-th
+    smallest ``h_k`` estimates cardinality as ``(k-1) * SPACE / h_k``
+    (Bar-Yossef et al. 2002). Output: (grp, kth_min_hash, est_distinct) —
+    est is exact integer division, so it is engine-portable.
+
+    Plan shape: distinct on (grp, hash) — one shuffle that any exact
+    distinct also pays — then a rank-filter window that Spark's
+    WindowGroupLimit rewrites into per-partition top-k, so only ~k rows
+    per partition survive to the final per-group sort.
+
+    Determinism of ``est_distinct``: ``(k-1) * 2^60`` has a 5-bit
+    significand, so its double form is EXACT, and the single IEEE
+    division by ``h_k`` is correctly rounded — any engine computing
+    ``CAST((k-1) * 2^60 AS DOUBLE) / h`` produces the identical bits.
+    No cross-row float accumulation anywhere.
+    """
+    h = portable_hash60(F.col(key_col))
+    hashed = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = hashed.withColumn("_rk", F.row_number().over(w))
+    numer = float((k - 1) * HASH_SPACE)  # exact: 5 significand bits
+    return (
+        ranked.filter(F.col("_rk") == k)
+        .select(
+            "grp",
+            F.col("h").alias("kth_min_hash"),
+            (F.lit(numer) / F.col("h").cast("double")).alias("est_distinct"),
+        )
+    )

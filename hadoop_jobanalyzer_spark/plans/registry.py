@@ -40,6 +40,13 @@ try:  # analytics queries (quantization, k-means, tf-idf, span dedup)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # sketch/graph/search queries (HLL, KMV, triangles, phrase, setsim)
+    from hadoop_jobanalyzer_spark.plans.sketch_queries import SKETCH_QUERIES
+
+    QUERIES.update(SKETCH_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 # The driver's correctness gate records at most 50 queries per round, in
 # registry iteration order (CORRECTNESS_r01.json stopped at exactly the
 # first 50 of 59).  To make the union of rounds cover everything AND keep

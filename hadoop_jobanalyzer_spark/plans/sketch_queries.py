@@ -1,0 +1,298 @@
+"""Sketch / graph / search queries q118-q123: HyperLogLog register
+tables, KMV distinct estimates, a triangle census, positional phrase
+search, a market-share star join, and the exact prefix-filtered
+set-similarity join.
+
+Same contract as the other plan modules: each query is a (DataFrame
+builder, DuckDB oracle SQL) pair. Determinism rules are the repo-wide
+ones — the portable md5 hash for anything randomized, integer
+cross-multiplication for thresholds, exact decimals for money, float
+division only once at the very end with identical parenthesization in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+# portable 60-bit md5 hash, SQL form (the Spark form is
+# operators.sketches.portable_hash60)
+_H60 = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+# --- q118: HyperLogLog register table ----------------------------------------
+
+_HLL_P = 6  # m = 64 registers
+
+
+def q118_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL register table over user_id (operators/
+    sketches.hll_register_table): the distributed-sketch building block —
+    one partial-aggregated max collapses any volume of events to at most
+    types x 64 rows before the only exchange. The register relation (not
+    a float estimate) is the query output, so it is bit-exact across
+    engines and re-aggregable (daily -> monthly merge is the same MAX)."""
+    from hadoop_jobanalyzer_spark.operators.sketches import hll_register_table
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        hll_register_table(ev, "event_type", "user_id", p=_HLL_P)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type", "register")
+    )
+
+
+Q118_SQL = f"""
+WITH h AS (
+  SELECT event_type, {_H60.format(col="user_id")} AS h FROM events
+),
+r AS (
+  SELECT event_type, h % 64 AS register,
+         CASE WHEN h // 64 > 0
+              THEN 55 - LENGTH(FORMAT('{{:b}}', h // 64))
+              ELSE 55 END AS rho
+  FROM h
+)
+SELECT event_type, register, CAST(MAX(rho) AS INTEGER) AS max_rho
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- q119: KMV distinct-count sketch -----------------------------------------
+
+_KMV_K = 8
+
+
+def q119_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-user estimate per event type
+    (operators/sketches.kmv_distinct). The rank<=k filter is rewritten by
+    Spark's WindowGroupLimit into per-partition top-k, so only ~k rows
+    per partition reach the per-group sort. est_distinct is a single
+    IEEE division of an exactly-representable numerator — bit-identical
+    in any engine."""
+    from hadoop_jobanalyzer_spark.operators.sketches import kmv_distinct
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        kmv_distinct(ev, "event_type", "user_id", k=_KMV_K)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    )
+
+
+Q119_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_H60.format(col="user_id")} AS h FROM events
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM h
+)
+SELECT event_type, h AS kth_min_hash,
+       ({_KMV_K - 1}.0 * 1152921504606846976.0) / h AS est_distinct
+FROM r WHERE rk = {_KMV_K} ORDER BY event_type
+"""
+
+
+# --- q120: co-purchase triangle census ---------------------------------------
+
+
+def q120_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts joined by
+    appearing in the same order). Pair generation is bounded by order
+    size; triangles use degree orientation (operators/graph.
+    triangle_stats) so hub parts cannot blow up the wedge join. Output is
+    one row (n_edges, n_wedges, n_triangles) — the clustering-coefficient
+    numerators, exactly. Degree orientation and the oracle's id
+    orientation count identical triangles (any consistent total order
+    counts each exactly once)."""
+    from hadoop_jobanalyzer_spark.operators.graph import triangle_stats
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_stats(edges)
+
+
+Q120_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY v
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.pb = e2.pa
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       n_triangles
+FROM tri
+"""
+
+
+# --- q121: positional phrase search ------------------------------------------
+
+_PHRASE = "table scan"
+
+
+def q121_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-level phrase-occurrence counts (operators/retrieval.
+    phrase_hits): a pushdown-able substring prefilter (superset — the
+    in-row verify rejects e.g. 'stable scan'), then an in-row shifted-zip
+    window compare. Zero joins, zero explode; the only exchange is the
+    final sort."""
+    from hadoop_jobanalyzer_spark.operators.retrieval import phrase_hits
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return phrase_hits(docs, "doc_id", "text", _PHRASE)
+
+
+Q121_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits
+FROM grams WHERE g = '{_PHRASE}'
+GROUP BY doc_id
+ORDER BY n_hits DESC, doc_id
+"""
+
+
+# --- q122: supplier-nation market share per order-year -----------------------
+
+
+def q122_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of each supplier nation within each order year, for
+    orders placed by AMERICA-region customers — the TPC-H Q8 shape
+    re-expressed: fact scan joins broadcast dimension chains (supplier ->
+    nation; customer -> nation -> region), per-(year, nation) exact
+    decimal revenue, share via a window total per year (25-row window,
+    never a second fact scan)."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    cust_dim = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_dim = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    per = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"), "supp_nation")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    total = F.sum("_rev").over(Window.partitionBy("o_year"))
+    return (
+        per.withColumn("_total", total)
+        .select(
+            "o_year",
+            "supp_nation",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_total").cast("double") * 100, 4
+            ).alias("share_pct"),
+        )
+        .orderBy("o_year", F.desc("share_pct"), "supp_nation")
+    )
+
+
+Q122_SQL = """
+WITH per AS (
+  SELECT YEAR(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  GROUP BY 1, 2
+),
+w AS (SELECT o_year, supp_nation, rev, SUM(rev) OVER (PARTITION BY o_year) AS total FROM per)
+SELECT o_year, supp_nation, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) * 100, 4) AS share_pct
+FROM w
+ORDER BY o_year, share_pct DESC, supp_nation
+"""
+
+
+# --- q123: exact prefix-filtered Jaccard self-join ---------------------------
+
+_SETSIM_NGRAM = 3
+_SETSIM_T = (7, 10)
+
+
+def q123_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= 0.7 over word
+    3-shingles via prefix filtering (operators/setsim.
+    prefix_filter_jaccard_pairs) — every qualifying pair, no LSH recall
+    loss, no all-pairs stage. The oracle computes the naive exhaustive
+    join; equality of the result sets is precisely the prefix-filter
+    losslessness theorem."""
+    from hadoop_jobanalyzer_spark.operators.setsim import prefix_filter_jaccard_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", ngram=_SETSIM_NGRAM, threshold=_SETSIM_T
+    )
+
+
+Q123_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 3) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE {_SETSIM_T[1]} * n_common >= {_SETSIM_T[0]} * (sa.n + sb.n - n_common)
+ORDER BY id_a, id_b
+"""
+
+
+SKETCH_QUERIES = {
+    "q118_hll_registers": (q118_hll_registers, Q118_SQL),
+    "q119_kmv_distinct": (q119_kmv_distinct, Q119_SQL),
+    "q120_copurchase_triangles": (q120_copurchase_triangles, Q120_SQL),
+    "q121_phrase_search": (q121_phrase_search, Q121_SQL),
+    "q122_market_share": (q122_market_share, Q122_SQL),
+    "q123_setsim_prefix_join": (q123_setsim_prefix_join, Q123_SQL),
+}

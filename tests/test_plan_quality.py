@@ -51,6 +51,9 @@ NESTED_LOOP_OK = {
     "q110_doc_surprisal",
     # 1-row total-value broadcast
     "q115_user_value_concentration",
+    # three 1-row census aggregates (edges/wedges/triangles) combined by
+    # broadcast join
+    "q120_copurchase_triangles",
 }
 
 
@@ -132,6 +135,12 @@ def _n_exchanges(plan: str) -> int:
         ("q100_embedding_correlations", 2),  # pair agg (partial) + final sort
         ("q101_missing_minutes", 2),   # bounds agg + distinct anti-join
         ("q102_orders_profile", 2),    # one aggregate + in-row unpivot
+        ("q118_hll_registers", 2),     # register max agg + final sort
+        ("q119_kmv_distinct", 3),      # distinct + group-limit window + sort
+        ("q120_copurchase_triangles", 12),  # census branches (each equi-join)
+        ("q121_phrase_search", 1),     # in-row verify: ONLY the final sort
+        ("q122_market_share", 3),      # fact agg + per-year window + sort
+        ("q123_setsim_prefix_join", 7),  # df/size aggs + prefix join + verify
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

@@ -1,0 +1,183 @@
+"""Differential tests for the sketch/graph/search query set (q118-q123)
+and the operators behind it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.plans.sketch_queries import SKETCH_QUERIES
+
+from tests.oracle_utils import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(SKETCH_QUERIES))
+def test_sketch_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = SKETCH_QUERIES[name]
+    problems = compare(fn(spark, sf_dir), duck, sql)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(SKETCH_QUERIES))
+def test_sketch_query_nonempty(spark, sf_dir, name):
+    fn, _ = SKETCH_QUERIES[name]
+    assert fn(spark, sf_dir).count() > 0, f"{name} returned no rows at {sf_dir}"
+
+
+# --- operator-level unit tests ----------------------------------------------
+
+
+def test_hll_estimate_within_expected_error(spark, sf_dir):
+    """HLL with m=64 registers has ~13% standard error; the estimate over
+    the per-type register tables must land within 3 sigma of the exact
+    distinct count."""
+    from hadoop_jobanalyzer_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_table,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = hll_register_table(ev, "event_type", "user_id", p=6)
+    est = {r["grp"]: r["estimate"] for r in hll_estimate(regs, p=6).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for grp, n in exact.items():
+        assert abs(est[grp] - n) <= max(3, 3 * 0.13 * n), (grp, est[grp], n)
+
+
+def test_kmv_estimate_sane(spark, sf_dir):
+    """KMV k=8 is a noisy estimator, but it must stay within an order of
+    magnitude of truth on every group (and be exactly reproducible)."""
+    from hadoop_jobanalyzer_spark.operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = {r["grp"]: r["est_distinct"] for r in kmv_distinct(ev, "event_type", "user_id", k=8).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for grp, n in exact.items():
+        assert n / 10 <= est[grp] <= n * 10, (grp, est[grp], n)
+
+
+def test_hll_registers_merge_associative(spark, sf_dir):
+    """Merging two half-corpus register tables by MAX equals the
+    whole-corpus register table — the re-aggregation property that lets
+    daily sketches roll up without raw-data rereads."""
+    from hadoop_jobanalyzer_spark.operators.sketches import hll_register_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo = hll_register_table(ev.filter(F.col("user_id") % 2 == 0), "event_type", "user_id")
+    hi = hll_register_table(ev.filter(F.col("user_id") % 2 == 1), "event_type", "user_id")
+    merged = (
+        lo.unionAll(hi)
+        .groupBy("grp", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    full = hll_register_table(ev, "event_type", "user_id")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_triangle_stats_known_graph(spark):
+    """4-cycle plus one diagonal: 5 edges, two triangles sharing the
+    diagonal, wedge count from degrees (2,3,2,3) = 1+3+1+3 = 8."""
+    from hadoop_jobanalyzer_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)], "src long, dst long"
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row["n_edges"] == 5
+    assert row["n_wedges"] == 8
+    assert row["n_triangles"] == 2
+
+
+def test_triangle_stats_dedups_and_canonizes(spark):
+    """Duplicate edges, reversed orientation, and self-loops must not
+    change the census."""
+    from hadoop_jobanalyzer_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 2)], "src long, dst long"
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_triangles"] == 1
+
+
+def test_phrase_hits_word_boundaries(spark):
+    """The substring prefilter alone would match 'stable scan'; the
+    word-level verify must reject it and count true occurrences."""
+    from hadoop_jobanalyzer_spark.operators.retrieval import phrase_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "full table scan then table scan again"),
+            (2, "stable scan is not a match"),
+            (3, "no phrase here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n_hits"] for r in phrase_hits(df, "doc_id", "text", "table scan").collect()}
+    assert rows == {1: 2}
+
+
+def test_prefix_filter_matches_naive(spark):
+    """Prefix-filtered exact join == brute-force exact join on a corpus
+    with planted near-dups (the losslessness theorem, end to end)."""
+    from itertools import combinations
+
+    from hadoop_jobanalyzer_spark.operators.setsim import prefix_filter_jaccard_pairs
+
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",   # near-dup of 0
+        "a b c d e f g h",   # exact dup of 0
+        "z y x w v u t s",
+        "p q r s t u v w",
+        "m n o p q r",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", ngram=2, threshold=(1, 2)).collect()
+    }
+
+    def sh2(t):
+        w = t.split()
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    want = set()
+    for i, j in combinations(range(len(texts)), 2):
+        a, b = sh2(texts[i]), sh2(texts[j])
+        inter = len(a & b)
+        if 2 * inter >= 1 * len(a | b):
+            want.add((i, j))
+    assert got == want
+
+
+def test_kmv_plan_uses_window_group_limit(spark, sf_dir):
+    """The rank filter must be rewritten to per-partition top-k
+    (WindowGroupLimit) — the property that keeps the sketch cheap at
+    scale."""
+    import contextlib
+    import io
+
+    fn, _ = SKETCH_QUERIES["q119_kmv_distinct"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, sf_dir).explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
