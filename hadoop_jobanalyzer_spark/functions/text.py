@@ -263,3 +263,43 @@ def normalize_text(text: Column | str) -> Column:
     text = F.col(text) if isinstance(text, str) else text
     out = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
     return F.trim(F.regexp_replace(out, " +", " "))
+
+
+def cdc_boundaries(text_col: str, window: int = 8) -> Column:
+    """Content-defined chunk boundary positions (the FastCDC/rolling-hash
+    family, public: Muthitacharoen et al. LBFS SOSP'01): every position
+    whose trailing ``window``-char hash starts with hex '0' (expected
+    chunk length 16 chars). Boundaries depend only on LOCAL content, so
+    an insertion early in a document shifts at most one chunk — unlike
+    fixed-width spans, where every later span changes — which is what
+    makes chunk-hash dedup robust to edits.
+
+    Pure in-row lambda expression, one md5 per position. Compute this
+    into its own column, then derive chunks with ``cdc_chunks_from`` —
+    keeping the hash scan in one place instead of re-evaluating it per
+    consumer.
+    """
+    w = window
+    return F.expr(
+        f"""
+        CASE WHEN length({text_col}) < {w} THEN cast(array() as array<int>)
+             ELSE filter(sequence({w}, length({text_col})),
+                         i -> substring(md5(substring({text_col}, i - {w - 1}, {w})), 1, 1) = '0')
+        END
+        """
+    )
+
+
+def cdc_chunks_from(text_col: str, bpos_col: str) -> Column:
+    """Chunk substrings from precomputed boundary positions: chunk k runs
+    from (previous boundary + 1) to the next boundary (the final chunk
+    ends at the document end). Engine-portable — any engine applying the
+    same boundary rule produces identical chunk arrays."""
+    return F.expr(
+        f"""
+        zip_with(
+          concat(array(1), transform({bpos_col}, p -> p + 1)),
+          concat({bpos_col}, array(length({text_col}))),
+          (s, e) -> substring({text_col}, s, e - s + 1))
+        """
+    )

@@ -288,6 +288,144 @@ ORDER BY id_a, id_b
 """
 
 
+# --- q124: content-defined chunk dedup (per source) --------------------------
+
+_CDC_WINDOW = 8
+
+
+def q124_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup profile per source using content-defined
+    chunking (functions/text.cdc_boundaries/cdc_chunks_from): documents
+    are split at rolling-hash boundaries (local-content-dependent, so
+    edits shift at most one chunk), chunk hashes are counted globally,
+    and each source reports how much of its character mass sits in
+    duplicated chunks — the SlimPajama/LBFS-style dedup signal at
+    sub-document granularity, robust to insertions where fixed spans
+    (q94) are not.
+
+    Plan: one in-row chunking pass (one md5 per char position), explode
+    to a chunk table (persisted — it feeds the global hash count and the
+    per-source rollup), one groupBy on the chunk hash, one join back,
+    one per-source agg. Everything between is codegen; the chunk table
+    is a fraction of corpus size.
+    Output: (source, n_docs, n_chunks, n_dup_chunks, dup_char_frac)."""
+    from hadoop_jobanalyzer_spark.functions.text import cdc_boundaries, cdc_chunks_from
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    chunks = (
+        docs.withColumn("_bpos", cdc_boundaries("text", _CDC_WINDOW))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(cdc_chunks_from("text", "_bpos")).alias("chunk"),
+        )
+        .select(
+            "doc_id", "source", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
+        )
+        .persist()
+    )
+    counts = chunks.groupBy("h").agg(F.count("*").alias("n_h"))
+    dup = F.col("n_h") > 1
+    return (
+        chunks.join(counts, "h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.when(dup, F.col("clen")).otherwise(0)).cast("double")
+                / F.sum("clen").cast("double"),
+                4,
+            ).alias("dup_char_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q124_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source, text,
+         CASE WHEN len(text) < {_CDC_WINDOW} THEN []
+              ELSE list_filter(generate_series({_CDC_WINDOW}, len(text)),
+                   i -> substr(md5(substr(text, i - {_CDC_WINDOW - 1}, {_CDC_WINDOW})), 1, 1) = '0')
+         END AS bpos
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         UNNEST(list_transform(
+           list_zip(list_prepend(1, list_transform(bpos, p -> p + 1)),
+                    list_append(bpos, len(text))),
+           z -> substr(text, z[1], z[2] - z[1] + 1))) AS chunk
+  FROM b
+),
+h AS (SELECT doc_id, source, md5(chunk) AS h, len(chunk) AS clen FROM c),
+n AS (SELECT h, COUNT(*) AS n_h FROM h GROUP BY h)
+SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(CAST(SUM(CASE WHEN n_h > 1 THEN clen ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(clen) AS DOUBLE), 4) AS dup_char_frac
+FROM h JOIN n USING (h)
+GROUP BY source ORDER BY source
+"""
+
+
+# --- q125: co-purchase degree distribution -----------------------------------
+
+
+def q125_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the part co-purchase graph —
+    the skew diagnostic that sizes q120's census (and any graph job) at
+    scale: a heavy tail here is what degree orientation defends against.
+    One self-join on the order key, one distinct, one degree agg, one
+    ~dozen-row histogram agg.
+    Output: (deg_bucket, n_parts, min_deg, max_deg)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    bucket = F.length(F.conv(F.col("d").cast("string"), 10, 2)).cast("int")
+    return (
+        deg.groupBy(bucket.alias("deg_bucket"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .orderBy("deg_bucket")
+    )
+
+
+Q125_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY v
+)
+SELECT CAST(LENGTH(FORMAT('{:b}', d)) AS INTEGER) AS deg_bucket,
+       COUNT(*) AS n_parts, MIN(d) AS min_deg, MAX(d) AS max_deg
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
 SKETCH_QUERIES = {
     "q118_hll_registers": (q118_hll_registers, Q118_SQL),
     "q119_kmv_distinct": (q119_kmv_distinct, Q119_SQL),
@@ -295,4 +433,6 @@ SKETCH_QUERIES = {
     "q121_phrase_search": (q121_phrase_search, Q121_SQL),
     "q122_market_share": (q122_market_share, Q122_SQL),
     "q123_setsim_prefix_join": (q123_setsim_prefix_join, Q123_SQL),
+    "q124_cdc_chunk_dedup": (q124_cdc_chunk_dedup, Q124_SQL),
+    "q125_degree_distribution": (q125_degree_distribution, Q125_SQL),
 }

@@ -141,6 +141,8 @@ def _n_exchanges(plan: str) -> int:
         ("q121_phrase_search", 1),     # in-row verify: ONLY the final sort
         ("q122_market_share", 3),      # fact agg + per-year window + sort
         ("q123_setsim_prefix_join", 7),  # df/size aggs + prefix join + verify
+        ("q124_cdc_chunk_dedup", 4),   # chunk-hash agg + join back + source agg
+        ("q125_degree_distribution", 5),  # self-join + distinct + deg + histogram
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

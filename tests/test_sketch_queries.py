@@ -181,3 +181,43 @@ def test_kmv_plan_uses_window_group_limit(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         fn(spark, sf_dir).explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """An insertion near the start of a document must leave the chunk
+    sequence identical past the edited region — the content-defined
+    property fixed-width spans lack."""
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.functions.text import cdc_boundaries, cdc_chunks_from
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    edited = "XYZ " + base
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r["chunks"]
+        for r in df.withColumn("_b", cdc_boundaries("text"))
+        .select("doc_id", cdc_chunks_from("text", "_b").alias("chunks"))
+        .collect()
+    }
+    a, b = rows[1], rows[2]
+    assert len(a) > 3  # the rule actually chunks this text
+    # all but the first chunk(s) of the edited doc reappear verbatim
+    assert a[1:] == b[len(b) - len(a) + 1 :]
+
+
+def test_cdc_chunks_cover_text(spark):
+    """Chunks concatenate back to the original text (no loss, no
+    overlap), including the sub-window short-document case."""
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.functions.text import cdc_boundaries, cdc_chunks_from
+
+    texts = ["tiny", "", "a bit longer than the window for sure " * 5]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for r in (
+        df.withColumn("_b", cdc_boundaries("text"))
+        .select("doc_id", "text", cdc_chunks_from("text", "_b").alias("chunks"))
+        .collect()
+    ):
+        assert "".join(r["chunks"]) == r["text"]
