@@ -19,6 +19,7 @@ from hadoop_jobanalyzer_spark.streaming.sinks import (
 from hadoop_jobanalyzer_spark.streaming.event_stream import (
     dedup_events_stream,
     event_window_counts_stream,
+    hll_register_stream,
     read_events_stream,
     running_totals_stream,
     user_sessions_stream,
@@ -32,6 +33,7 @@ __all__ = [
     "dedup_events_stream",
     "enrich_attempts_stream",
     "event_window_counts_stream",
+    "hll_register_stream",
     "idempotent_batch_writer",
     "job_status_stream",
     "error_counts_stream",

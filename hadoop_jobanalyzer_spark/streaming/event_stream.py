@@ -207,3 +207,50 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def hll_register_stream(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    p: int = 6,
+) -> DataFrame:
+    """Windowed distinct-user HLL sketch as a streaming register table:
+    (win_start, win_end, event_type, register, max_rho).
+
+    The register MAX is an associative, monotone aggregate, so it
+    streams with ordinary bounded state — one row per (window, type,
+    register), at most ``2^p`` rows per group-window regardless of event
+    volume, evicted when the watermark passes the window end. This is
+    the streaming form of the batch q118 sketch: approximate distinct
+    counts over unbounded streams with O(2^p) memory per window, where
+    exact streaming distinct would hold one state row per *user*.
+    Downstream, windows roll up without raw data (same MAX merge —
+    operators/sketches.hll_estimate turns any rollup into counts).
+    """
+    from hadoop_jobanalyzer_spark.operators.sketches import HASH_BITS, portable_hash60
+
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = portable_hash60(F.col("user_id"))
+    w = F.shiftright(h, p)
+    rho = F.when(w > 0, F.lit(w_bits + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(w_bits + 1)
+    )
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withColumn("register", (h % m))
+        .withColumn("rho", rho.cast("int"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window("ts", window_duration).alias("win"), "event_type", "register"
+        )
+        .agg(F.max("rho").alias("max_rho"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "register",
+            "max_rho",
+        )
+    )

@@ -284,3 +284,45 @@ def test_dedup_events_stream_suppresses_replays(spark, sf_dir, tmp_path):
     got = [r["event_id"] for r in spark.table(name).collect()]
     assert len(got) == len(set(got)) == 200
     assert set(got) == set(df["event_id"])
+
+
+def test_hll_register_stream_matches_batch(spark, sf_dir, events_dir):
+    """The streaming windowed HLL register table (complete mode over the
+    3-shard replay) equals the batch register table computed over the
+    same windows — the MAX aggregate is order/batching-insensitive, so
+    the sketch is exactly reproducible from a stream."""
+    from hadoop_jobanalyzer_spark.streaming import hll_register_stream, read_events_stream
+
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, events_dir)
+    _run_to_memory(hll_register_stream(stream, "1 hour"), name, "complete")
+    got = {
+        (str(r["win_start"]), r["event_type"], r["register"]): r["max_rho"]
+        for r in spark.table(name).collect()
+    }
+
+    from hadoop_jobanalyzer_spark.operators.sketches import portable_hash60, HASH_BITS
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    h = portable_hash60(F.col("user_id"))
+    w = F.shiftright(h, 6)
+    rho = F.when(w > 0, F.lit(HASH_BITS - 6 + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(HASH_BITS - 6 + 1)
+    )
+    batch = (
+        ev.withColumn("register", h % 64)
+        .withColumn("rho", rho.cast("int"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type", "register")
+        .agg(F.max("rho").alias("max_rho"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "register", "max_rho"
+        )
+    )
+    want = {
+        (str(r["win_start"]), r["event_type"], r["register"]): r["max_rho"]
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
