@@ -426,6 +426,293 @@ FROM deg GROUP BY 1 ORDER BY 1
 """
 
 
+# --- q126: product-quantization code histogram -------------------------------
+
+_PQ_M = 4       # subspaces
+_PQ_K = 8       # codes per subspace
+_PQ_SUBDIM = 16  # 64-dim embeddings / 4
+
+
+def q126_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook audit (Jegou et al. TPAMI'11): the
+    64-dim embedding splits into 4 subvectors; each is assigned to the
+    nearest of 8 per-subspace centroids (seeded from the k lowest-id
+    vectors, like q91) under exact integer fixed-point L2. Output is the
+    per-(subspace, code) assignment histogram plus total distortion —
+    the balance/distortion report that sizes a PQ index before building
+    it. Centroids are ONE broadcast row; assignment is an in-row argmin
+    over all M x K codes; only the M*K-row histogram shuffles."""
+    from hadoop_jobanalyzer_spark.functions.vectors import quantized
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.select(F.col("vec_id").alias("_id"), quantized(F.col("embedding")).alias("_qv"))
+    cents = (
+        q.orderBy("_id")
+        .limit(_PQ_K)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id").alias("cid"), F.col("_qv").alias("cv")))
+            ).alias("_cents")
+        )
+    )
+    sub = F.lit(_PQ_SUBDIM)
+
+    def assign(m):
+        # argmin over centroids of the exact integer subvector distance
+        def dist_to(c):
+            d = F.zip_with(
+                F.slice(F.col("_qv"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                F.slice(c["cv"], m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                lambda a, b: (a - b) * (a - b),
+            )
+            return F.struct(
+                F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("dist"),
+                c["cid"].alias("cid"),
+            )
+
+        best = F.array_min(F.transform(F.col("_cents"), dist_to))
+        return F.struct(
+            F.lit(m).alias("subspace"), best["cid"].alias("code"), best["dist"].alias("dist")
+        )
+
+    codes = F.array(*[assign(m) for m in range(_PQ_M)])
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select(F.explode(codes).alias("a"))
+        .groupBy(F.col("a.subspace").alias("subspace"), F.col("a.code").alias("code"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("a.dist").alias("sum_dist_fixed"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+Q126_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_PQ_K}),
+d AS (
+  SELECT q.vec_id, m.m, c.cid,
+         list_sum(list_transform(generate_series(1, {_PQ_SUBDIM}),
+                  i -> (qv[m.m * {_PQ_SUBDIM} + i] - cv[m.m * {_PQ_SUBDIM} + i])
+                     * (qv[m.m * {_PQ_SUBDIM} + i] - cv[m.m * {_PQ_SUBDIM} + i]))) AS dist
+  FROM q
+  CROSS JOIN c
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {_PQ_M - 1})) AS m) m
+),
+a AS (
+  SELECT vec_id, m, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+  FROM d
+)
+SELECT m AS subspace, cid AS code, COUNT(*) AS n_vecs,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist_fixed
+FROM a WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- q127: relational division -----------------------------------------------
+
+
+def q127_full_coverage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers whose orders cover EVERY order
+    priority, rolled up per nation. The divisor cardinality is a 1-row
+    broadcast (never hardcoded); the division itself is the standard
+    count-distinct == total rewrite — one fact agg, no per-element
+    join loop. Output: (n_name, n_customers)."""
+    t = load_tables(spark, sf_dir)
+    total = t["orders"].agg(
+        F.countDistinct("o_orderpriority").alias("_tot")
+    )
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("_np"))
+    )
+    full = per_cust.join(F.broadcast(total)).filter(F.col("_np") == F.col("_tot"))
+    return (
+        full.join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+Q127_SQL = """
+WITH tot AS (SELECT COUNT(DISTINCT o_orderpriority) AS t FROM orders),
+pc AS (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS np FROM orders GROUP BY 1)
+SELECT n_name, COUNT(*) AS n_customers
+FROM pc, tot
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE np = t
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --- q128: exact MAD outliers ------------------------------------------------
+
+
+def q128_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts via the median absolute deviation,
+    both medians as EXACT order statistics (lower median, rank
+    (n+1)//2 — selection picks an existing value, so no interpolation
+    arithmetic can diverge between engines; |x - med| is a single IEEE
+    op). Two rank-selection passes, then one agg.
+    Output: (event_type, n, median, mad, n_outliers) where outliers are
+    |x - median| > 3 * mad."""
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    n_w = Window.partitionBy("event_type")
+    med = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(n_w))
+        .withColumn(
+            "_med",
+            F.max(
+                F.when(F.col("_rn") == F.floor((F.col("_n") + 1) / 2), F.col("value"))
+            ).over(n_w),
+        )
+    )
+    dev = med.withColumn("_d", F.abs(F.col("value") - F.col("_med")))
+    w2 = Window.partitionBy("event_type").orderBy("_d", "event_id")
+    mad = (
+        dev.withColumn("_rn2", F.row_number().over(w2))
+        .withColumn(
+            "_mad",
+            F.max(F.when(F.col("_rn2") == F.floor((F.col("_n") + 1) / 2), F.col("_d"))).over(n_w),
+        )
+    )
+    return (
+        mad.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("_med").alias("median"),
+            F.max("_mad").alias("mad"),
+            F.sum(F.when(F.col("_d") > 3 * F.col("_mad"), 1).otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q128_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+m AS (
+  SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+              OVER (PARTITION BY event_type) AS med
+  FROM r
+),
+d AS (
+  SELECT *, ABS(value - med) AS dv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(value - med), event_id) AS rn2
+  FROM m
+),
+md AS (
+  SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dv END)
+              OVER (PARTITION BY event_type) AS mad
+  FROM d
+)
+SELECT event_type, COUNT(*) AS n, MAX(med) AS median, MAX(mad) AS mad,
+       CAST(SUM(CASE WHEN dv > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM md GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- q129: skyline (Pareto frontier) -----------------------------------------
+
+
+def q129_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the part table: minimize price, maximize size — no
+    other part is cheaper-or-equal AND larger-or-equal with one strict.
+    Computed without the O(n^2) self-join: sort by integer price cents,
+    two running-max windows (strictly-cheaper vs price-peers) decide
+    dominance in one pass. The oracle is the literal NOT EXISTS — the
+    window rewrite must reproduce it exactly, ties and duplicates
+    included. At scale the dim-table window is trivially small; for a
+    fact-sized skyline the standard grid-partition prefilter applies
+    first. Output: (p_partkey, price_c, p_size)."""
+    part = load_tables(spark, sf_dir)["part"]
+    price_c = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+    p = part.select("p_partkey", price_c.alias("price_c"), "p_size")
+    w_lt = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    w_le = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, 0)
+    flagged = p.select(
+        "p_partkey",
+        "price_c",
+        "p_size",
+        F.coalesce(F.max("p_size").over(w_lt), F.lit(-(1 << 31))).alias("_m_lt"),
+        F.max("p_size").over(w_le).alias("_m_le"),
+    )
+    return (
+        flagged.filter(~((F.col("_m_lt") >= F.col("p_size")) | (F.col("_m_le") > F.col("p_size"))))
+        .select("p_partkey", "price_c", "p_size")
+        .orderBy("price_c", "p_partkey")
+    )
+
+
+Q129_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c, p_size
+  FROM part
+)
+SELECT p_partkey, price_c, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+)
+ORDER BY price_c, p_partkey
+"""
+
+
+# --- q130: Merkle-style table checksums --------------------------------------
+
+_CHECKSUM_BUCKETS = 16
+
+
+def q130_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy bucket checksums for the documents table: rows hash
+    to one of 16 buckets (portable md5), each bucket reports its count
+    and the XOR of its row hashes. XOR is commutative/associative and
+    overflow-free, so the checksum is order-independent, partial-agg
+    friendly, and two replicas can locate a divergent bucket by
+    comparing 16 rows instead of shipping the table (the Merkle/
+    Cassandra repair scheme, one level deep).
+    Output: (bucket, n_rows, checksum)."""
+    from hadoop_jobanalyzer_spark.operators.sketches import portable_hash60
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    row_h = portable_hash60(
+        F.concat_ws("|", "doc_id", "text", "lang", "source", "n_chars")
+    )
+    return (
+        docs.select((F.col("doc_id") % _CHECKSUM_BUCKETS).alias("bucket"), row_h.alias("_h"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"), F.bit_xor("_h").alias("checksum"))
+        .orderBy("bucket")
+    )
+
+
+Q130_SQL = f"""
+SELECT doc_id % {_CHECKSUM_BUCKETS} AS bucket, COUNT(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT) AS checksum
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
 SKETCH_QUERIES = {
     "q118_hll_registers": (q118_hll_registers, Q118_SQL),
     "q119_kmv_distinct": (q119_kmv_distinct, Q119_SQL),
@@ -435,4 +722,9 @@ SKETCH_QUERIES = {
     "q123_setsim_prefix_join": (q123_setsim_prefix_join, Q123_SQL),
     "q124_cdc_chunk_dedup": (q124_cdc_chunk_dedup, Q124_SQL),
     "q125_degree_distribution": (q125_degree_distribution, Q125_SQL),
+    "q126_pq_code_histogram": (q126_pq_code_histogram, Q126_SQL),
+    "q127_full_coverage_customers": (q127_full_coverage_customers, Q127_SQL),
+    "q128_mad_outliers": (q128_mad_outliers, Q128_SQL),
+    "q129_part_skyline": (q129_part_skyline, Q129_SQL),
+    "q130_table_checksums": (q130_table_checksums, Q130_SQL),
 }

@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
     # three 1-row census aggregates (edges/wedges/triangles) combined by
     # broadcast join
     "q120_copurchase_triangles",
+    # 1-row PQ centroid-array broadcast
+    "q126_pq_code_histogram",
 }
 
 
@@ -143,6 +145,10 @@ def _n_exchanges(plan: str) -> int:
         ("q123_setsim_prefix_join", 7),  # df/size aggs + prefix join + verify
         ("q124_cdc_chunk_dedup", 4),   # chunk-hash agg + join back + source agg
         ("q125_degree_distribution", 5),  # self-join + distinct + deg + histogram
+        ("q126_pq_code_histogram", 2),  # centroid collect + M*K histogram agg
+        ("q128_mad_outliers", 2),      # two rank windows share one shuffle + agg
+        ("q129_part_skyline", 1),      # single window pass, no self-join
+        ("q130_table_checksums", 2),   # bucket XOR agg + final sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
