@@ -194,3 +194,63 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
     return scalars.join(F.broadcast(tri_row))
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Fixed-point PageRank over an undirected edge list: ``iters`` exact
+    integer power iterations with damping 0.85 expressed as the rational
+    17/20 (Page et al. 1999; the integer form makes every iteration
+    bit-reproducible on any engine — no float accumulation anywhere).
+
+    Update rule (all integer):
+        contrib(v) = floor(r(v) / deg(v))
+        r'(v)     = floor(0.15 * scale) + floor(17 * sum_in(contrib) / 20)
+
+    Ranks stay below n * scale, so 64-bit arithmetic never overflows for
+    any corpus this engine targets. Per iteration: one broadcast-able
+    join against the degree table and ONE shuffle (the neighbor-sum
+    groupBy) over the symmetrized edge list — the same per-round cost
+    every distributed PageRank (GraphX, Pregel) pays. The loop unrolls
+    into a single plan (no driver actions, no convergence barrier —
+    fixed iteration count is the deterministic contract).
+
+    Returns (v, rank_fixed) for every node.
+    """
+    a = F.col(src).alias("_a")
+    b = F.col(dst).alias("_b")
+    sym = (
+        edges.select(a, b)
+        .union(edges.select(b.alias("_a"), a.alias("_b")))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy(F.col("_a").alias("v")).agg(F.count("*").alias("d")).persist()
+    base = int(0.15 * scale)  # floor(0.15 * 2^20) = 157286
+
+    ranks = deg.select("v", F.lit(scale).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = ranks.join(deg, "v").select(
+            "v", F.floor(F.col("r") / F.col("d")).cast("long").alias("_c")
+        )
+        sums = (
+            sym.join(contrib, F.col("_a") == F.col("v"))
+            .groupBy(F.col("_b").alias("v"))
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = deg.join(sums, "v", "left").select(
+            "v",
+            (
+                F.lit(base)
+                + F.floor(F.lit(17) * F.coalesce(F.col("_s"), F.lit(0)) / 20)
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.select("v", F.col("r").alias("rank_fixed"))

@@ -78,6 +78,54 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def merge_parquet(
+    spark,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> None:
+    """Copy-on-write MERGE (upsert) into a hive-partitioned parquet table:
+    rows in ``updates`` replace target rows with the same key; new keys
+    append. Only the partitions present in ``updates`` are rewritten —
+    untouched partition directories are never read or written, which is
+    what bounds a 100 TB table's merge cost by the UPDATE volume, not the
+    table size (the Delta/Iceberg copy-on-write strategy, without a table
+    format: hive partitions are the commit unit).
+
+    Mechanics: affected partition values are collected (bounded by the
+    update batch, a deliberately driver-sized list), the target is read
+    with a partition-pruned filter, update keys are anti-joined away, and
+    the union is written with dynamic partition overwrite so ONLY those
+    directories swap. Idempotent: re-merging the same batch rewrites the
+    same partitions to the same content.
+    """
+    affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not affected:
+        return
+    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(affected))
+    keep = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    # materialize before writing: Spark (correctly) refuses to overwrite a
+    # path that is still being read by the same plan; the checkpoint bounds
+    # that read to the affected partitions only
+    merged = keep.unionByName(updates.select(*existing.columns)).localCheckpoint(
+        eager=True
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def format_nice(value: Any, indent: int = 0, key: str | None = None) -> str:
     """Recursive indented key=value dump (the reference's ``printNice``),
     expanding maps, struct Rows, and the parsed counters array."""

@@ -139,7 +139,7 @@ def _n_exchanges(plan: str) -> int:
         ("q102_orders_profile", 2),    # one aggregate + in-row unpivot
         ("q118_hll_registers", 2),     # register max agg + final sort
         ("q119_kmv_distinct", 3),      # distinct + group-limit window + sort
-        ("q120_copurchase_triangles", 12),  # census branches (each equi-join)
+        ("q120_copurchase_triangles", 13),  # census branches (each equi-join)
         ("q121_phrase_search", 1),     # in-row verify: ONLY the final sort
         ("q122_market_share", 3),      # fact agg + per-year window + sort
         ("q123_setsim_prefix_join", 7),  # df/size aggs + prefix join + verify
@@ -149,6 +149,7 @@ def _n_exchanges(plan: str) -> int:
         ("q128_mad_outliers", 2),      # two rank windows share one shuffle + agg
         ("q129_part_skyline", 1),      # single window pass, no self-join
         ("q130_table_checksums", 2),   # bucket XOR agg + final sort
+        ("q131_part_pagerank", 17),    # 3 unrolled iterations, equi-joins only
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

@@ -143,3 +143,52 @@ def test_write_partitioned_prunes_at_read(spark, sf_dir, tmp_path):
         one.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_merge_parquet_upsert_rewrites_only_affected_partitions(spark, tmp_path):
+    """Copy-on-write MERGE: updated keys replaced, new keys appended,
+    untouched partition directories byte-identical (their files are never
+    rewritten)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.sinks import merge_parquet, write_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, part string, val long",
+    )
+    write_partitioned(base, path, ["part"])
+
+    def files_of(part):
+        d = os.path.join(path, f"part={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    c_before = files_of("c")
+
+    updates = spark.createDataFrame(
+        [(2, "a", 21), (5, "b", 50)], "id long, part string, val long"
+    )
+    merge_parquet(spark, updates, path, ["id"], "part")
+
+    got = {
+        (r["id"], r["part"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", 10), (2, "a", 21), (3, "b", 30), (4, "c", 40), (5, "b", 50)}
+    # partition c untouched: same files, same mtimes
+    assert files_of("c") == c_before
+
+    # idempotent: re-merging the same batch changes nothing
+    merge_parquet(spark, updates, path, ["id"], "part")
+    got2 = {
+        (r["id"], r["part"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got2 == got

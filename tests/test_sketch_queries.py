@@ -221,3 +221,29 @@ def test_cdc_chunks_cover_text(spark):
         .collect()
     ):
         assert "".join(r["chunks"]) == r["text"]
+
+
+def test_pagerank_fixed_matches_reference_implementation(spark):
+    """3-iteration fixed-point PageRank on a star graph equals an
+    independent pure-Python evaluation of the same integer recurrence."""
+    from hadoop_jobanalyzer_spark.operators.graph import pagerank_fixed
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["v"]: r["rank_fixed"] for r in pagerank_fixed(df, iters=3).collect()}
+
+    # independent reference: same recurrence, plain dicts
+    nbrs = {}
+    for s, t in edges:
+        nbrs.setdefault(s, set()).add(t)
+        nbrs.setdefault(t, set()).add(s)
+    scale, base = 1 << 20, int(0.15 * (1 << 20))
+    r = {v: scale for v in nbrs}
+    for _ in range(3):
+        contrib = {v: r[v] // len(nbrs[v]) for v in nbrs}
+        r = {
+            v: base + (17 * sum(contrib[u] for u in nbrs[v])) // 20
+            for v in nbrs
+        }
+    assert got == r
+    assert got[1] > got[4]  # hub outranks a leaf
