@@ -55,6 +55,7 @@ def write_partitioned(
     partition_cols: list[str],
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
     """Hive-partitioned parquet write — the layout that turns equality
     predicates on the partition columns into directory pruning at read time
@@ -67,15 +68,20 @@ def write_partitioned(
     this, every task writes a file into every directory (the small-files
     explosion: tasks x partitions files). ``max_records_per_file`` caps
     file size for downstream split parallelism.
+
+    ``fmt`` selects the columnar container ("parquet" default, "orc" for
+    ORC-standardized warehouses) — both carry the same partition-pruning
+    and predicate-pushdown behavior through the same writer path.
     """
     writer = (
         df.repartition(*[F.col(c) for c in partition_cols])
         .write.mode(mode)
         .partitionBy(*partition_cols)
+        .format(fmt)
     )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(path)
+    writer.save(path)
 
 
 def merge_parquet(

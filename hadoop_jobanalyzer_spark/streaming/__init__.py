@@ -20,6 +20,7 @@ from hadoop_jobanalyzer_spark.streaming.event_stream import (
     dedup_events_stream,
     event_window_counts_stream,
     hll_register_stream,
+    kmv_stream,
     read_events_stream,
     running_totals_stream,
     user_sessions_stream,
@@ -34,6 +35,7 @@ __all__ = [
     "enrich_attempts_stream",
     "event_window_counts_stream",
     "hll_register_stream",
+    "kmv_stream",
     "idempotent_batch_writer",
     "job_status_stream",
     "error_counts_stream",

@@ -254,3 +254,66 @@ def hll_register_stream(
             "max_rho",
         )
     )
+
+
+def kmv_stream(events: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming KMV distinct-count sketch (``applyInPandasWithState``):
+    per event type, the k smallest distinct user-id hashes maintained
+    across micro-batches — the custom-state shape for sketches the
+    built-in aggregates cannot express (k-th order statistic is not an
+    associative builtin the way HLL's MAX is).
+
+    The 60-bit portable hash is computed JVM-side before grouping; the
+    pandas hook only merges sorted long arrays, so state per key is at
+    most k longs regardless of stream length. Each micro-batch emits the
+    key's refreshed sketch row; downstream takes the latest per key
+    (n_distinct_hashes is monotone, so "latest" is well-defined without
+    timestamps). The emitted estimate matches the batch
+    ``operators/sketches.kmv_distinct`` exactly once the stream has
+    drained — checked by the differential test.
+
+    Output: event_type, n_updates, kth_min_hash, est_distinct (kth/est
+    null until k distinct users were seen; n_updates is the per-key
+    micro-batch counter, the monotone latest-row marker).
+
+    Truncation to k is lossless for the sketch: every discarded hash is
+    larger than the current k-th minimum, and future arrivals can only
+    push that minimum down — a discarded hash can never re-enter the k
+    smallest.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from hadoop_jobanalyzer_spark.operators.sketches import HASH_SPACE, portable_hash60
+
+    out_schema = (
+        "event_type string, n_updates long, kth_min_hash long, est_distinct double"
+    )
+    state_schema = "mins array<long>, n long"
+    numer = float((k - 1) * HASH_SPACE)  # exact: tiny significand
+
+    def update(key, pdfs, state):
+        mins, n_updates = state.get if state.exists else ([], 0)
+        merged = set(mins)
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf["_h"])
+        kept = sorted(merged)[:k]
+        n_updates += 1
+        state.update((kept, n_updates))
+        kth = kept[k - 1] if len(kept) == k else None
+        est = (numer / kth) if kth else None
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_updates": [n_updates],
+                "kth_min_hash": [kth],
+                "est_distinct": [est],
+            }
+        )
+
+    hashed = events.select(
+        "event_type", portable_hash60(F.col("user_id")).alias("_h")
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -326,3 +326,37 @@ def test_hll_register_stream_matches_batch(spark, sf_dir, events_dir):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_kmv_stream_matches_batch_sketch(spark, sf_dir, events_dir):
+    """After the 3-shard replay drains, the latest emitted KMV row per
+    event type equals the batch sketch over the full table — custom
+    bounded state (k longs per key) reproducing the exact k-th order
+    statistic."""
+    from hadoop_jobanalyzer_spark.operators.sketches import kmv_distinct
+    from hadoop_jobanalyzer_spark.streaming import kmv_stream, read_events_stream
+
+    name = f"kmv_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, events_dir)
+    _run_to_memory(kmv_stream(stream, k=8), name, "update")
+    rows = spark.table(name).collect()
+    latest = {}
+    for r in rows:
+        if (
+            r["event_type"] not in latest
+            or r["n_updates"] > latest[r["event_type"]]["n_updates"]
+        ):
+            latest[r["event_type"]] = r
+
+    batch = {
+        r["grp"]: (r["kth_min_hash"], r["est_distinct"])
+        for r in kmv_distinct(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), "event_type", "user_id", k=8
+        ).collect()
+    }
+    got = {
+        t: (r["kth_min_hash"], r["est_distinct"])
+        for t, r in latest.items()
+        if r["kth_min_hash"] is not None
+    }
+    assert got == batch and len(got) > 0

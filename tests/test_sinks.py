@@ -192,3 +192,32 @@ def test_merge_parquet_upsert_rewrites_only_affected_partitions(spark, tmp_path)
         for r in spark.read.parquet(path).collect()
     }
     assert got2 == got
+
+
+def test_write_partitioned_orc_roundtrip_and_pruning(spark, tmp_path):
+    """ORC output: same partition layout, same round-trip content, and
+    an equality predicate on the partition column prunes to one
+    directory (PartitionFilters in the ORC scan)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10) for i in range(20)], "id long, part string, val long"
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_partitioned(df, path, ["part"], fmt="orc")
+
+    back = spark.read.orc(path)
+    assert back.count() == 20
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("part") == "a").explain("formatted")
+    assert "PartitionFilters: [isnotnull(part" in buf.getvalue()
