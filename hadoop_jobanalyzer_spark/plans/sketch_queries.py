@@ -779,6 +779,154 @@ FROM r3 ORDER BY r DESC, v LIMIT 20
 """
 
 
+# --- q132: order/shipment reconciliation (full outer join) -------------------
+
+
+def q132_order_ship_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly reconciliation of two views of the same business process:
+    orders placed (by order date) vs orders shipped (distinct order keys
+    by ship date). FULL OUTER join keeps months present on either side
+    only — the audit shape where an inner join would silently hide
+    exactly the discrepant months being hunted. Diff is exact integer.
+    Output: (month, n_placed, n_shipped, diff)."""
+    t = load_tables(spark, sf_dir)
+    placed = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n_placed"))
+    )
+    shipped = (
+        t["lineitem"]
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(F.countDistinct("l_orderkey").alias("n_shipped"))
+    )
+    return (
+        placed.join(shipped, "month", "full_outer")
+        .select(
+            "month",
+            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+            (
+                F.coalesce("n_placed", F.lit(0)) - F.coalesce("n_shipped", F.lit(0))
+            ).alias("diff"),
+        )
+        .orderBy("month")
+    )
+
+
+Q132_SQL = """
+WITH placed AS (
+  SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_placed
+  FROM orders GROUP BY 1
+),
+shipped AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         COUNT(DISTINCT l_orderkey) AS n_shipped
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(placed.month, shipped.month) AS month,
+       COALESCE(n_placed, 0) AS n_placed,
+       COALESCE(n_shipped, 0) AS n_shipped,
+       COALESCE(n_placed, 0) - COALESCE(n_shipped, 0) AS diff
+FROM placed FULL OUTER JOIN shipped ON placed.month = shipped.month
+ORDER BY month
+"""
+
+
+# --- q133: grouped top-k with ties (rank) ------------------------------------
+
+
+def q133_top_sizes_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 part sizes per brand by frequency, KEEPING ties — rank()
+    rather than row_number(), so every size tied at the cut survives
+    (the semantics difference that silently drops rows when the wrong
+    ranking function is picked). Count ties are common on integer
+    sizes, which is exactly why the output is deterministic only if the
+    tie semantics match the oracle's."""
+    t = load_tables(spark, sf_dir)
+    counts = t["part"].groupBy("p_brand", "p_size").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("p_brand", "rnk", "p_size")
+    )
+
+
+Q133_SQL = """
+WITH c AS (SELECT p_brand, p_size, COUNT(*) AS n FROM part GROUP BY 1, 2),
+r AS (SELECT *, RANK() OVER (PARTITION BY p_brand ORDER BY n DESC) AS rnk FROM c)
+SELECT p_brand, p_size, n, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 2
+ORDER BY p_brand, rnk, p_size
+"""
+
+
+# --- q134: referential-integrity audit ---------------------------------------
+
+
+def q134_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key violation census across the star schema: one row per
+    relationship with its orphan count (anti-join against the referenced
+    key set). A healthy pipeline reports zeros — the value is the audit
+    running at all: each check is a left-anti join that AQE broadcasts
+    when the dimension side fits, and the output is fixed at one row per
+    relationship regardless of fact volume.
+    Output: (relationship, n_rows, n_orphans)."""
+    t = load_tables(spark, sf_dir)
+
+    def check(name, fact, fk, dim, pk):
+        orphans = fact.join(dim, fact[fk] == dim[pk], "left_anti")
+        return (
+            fact.agg(F.count("*").alias("n_rows"))
+            .join(F.broadcast(orphans.agg(F.count("*").alias("n_orphans"))))
+            .select(F.lit(name).alias("relationship"), "n_rows", "n_orphans")
+        )
+
+    checks = [
+        check("lineitem.l_orderkey -> orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        check("lineitem.l_partkey -> part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        check("lineitem.l_suppkey -> supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        check("orders.o_custkey -> customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        check("customer.c_nationkey -> nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        check("supplier.s_nationkey -> nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("relationship")
+
+
+Q134_SQL = """
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+         (SELECT COUNT(*) FROM lineitem) AS n_rows,
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey -> supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+  UNION ALL
+  SELECT 'supplier.s_nationkey -> nation',
+         (SELECT COUNT(*) FROM supplier),
+         (SELECT COUNT(*) FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+)
+ORDER BY relationship
+"""
+
+
 SKETCH_QUERIES = {
     "q118_hll_registers": (q118_hll_registers, Q118_SQL),
     "q119_kmv_distinct": (q119_kmv_distinct, Q119_SQL),
@@ -794,4 +942,7 @@ SKETCH_QUERIES = {
     "q129_part_skyline": (q129_part_skyline, Q129_SQL),
     "q130_table_checksums": (q130_table_checksums, Q130_SQL),
     "q131_part_pagerank": (q131_part_pagerank, Q131_SQL),
+    "q132_order_ship_reconciliation": (q132_order_ship_reconciliation, Q132_SQL),
+    "q133_top_sizes_per_brand": (q133_top_sizes_per_brand, Q133_SQL),
+    "q134_fk_audit": (q134_fk_audit, Q134_SQL),
 }

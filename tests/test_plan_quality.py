@@ -56,6 +56,8 @@ NESTED_LOOP_OK = {
     "q120_copurchase_triangles",
     # 1-row PQ centroid-array broadcast
     "q126_pq_code_histogram",
+    # six (n_rows, n_orphans) 1-row aggregate pairs combined by broadcast
+    "q134_fk_audit",
 }
 
 
