@@ -927,6 +927,90 @@ ORDER BY relationship
 """
 
 
+# --- q135: cross-split leakage report ----------------------------------------
+
+_LEAK_MAX_DF = 20
+
+
+def q135_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: document pairs in DIFFERENT splits
+    that share a winnowing fingerprint (operators/functions reused from
+    q31/q43). Fingerprints in more than ``_LEAK_MAX_DF`` documents are
+    excluded as boilerplate — rare shared content is the leakage signal,
+    ubiquitous content is not, and the cap simultaneously bounds the
+    pair join (the q22 stop-key discipline). This is the eval-integrity
+    gate a training pipeline runs before every data release: a near-dup
+    of a test document inside train silently inflates benchmarks.
+    Output: (split_a, split_b, n_pairs, n_fps)."""
+    from hadoop_jobanalyzer_spark.functions.text import winnow_fingerprints
+    from hadoop_jobanalyzer_spark.operators.sampling import train_val_test
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    fps = winnow_fingerprints(docs, "doc_id", "text", ngram=3, window=4)
+    fpx = fps.withColumn("split", train_val_test(F.col("doc_id"))).persist()
+    keep = fpx.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("_df")
+    ).filter(F.col("_df") <= _LEAK_MAX_DF)
+    a = fpx.select(F.col("fp"), F.col("doc_id").alias("da"), F.col("split").alias("_sa"))
+    b = fpx.select(F.col("fp"), F.col("doc_id").alias("db"), F.col("split").alias("_sb"))
+    pairs = (
+        a.join(keep.select("fp"), "fp")
+        .join(b, "fp")
+        .filter((F.col("da") < F.col("db")) & (F.col("_sa") != F.col("_sb")))
+        .select(
+            "fp",
+            "da",
+            "db",
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+    )
+    return (
+        pairs.groupBy("split_a", "split_b")
+        .agg(
+            F.countDistinct("da", "db").alias("n_pairs"),
+            F.countDistinct("fp").alias("n_fps"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+Q135_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hashes AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w) - 2),
+                        i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT) AS h
+  FROM words WHERE len(w) >= 3
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= 4
+              THEN list_distinct(list_transform(generate_series(1, len(h) - 3),
+                                                i -> list_min(list_slice(h, i, i + 3))))
+              ELSE [list_min(h)] END AS fp
+  FROM hashes WHERE len(h) > 0
+),
+fpx AS (
+  SELECT f.doc_id, UNNEST(fp) AS fp,
+         CASE WHEN ('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM fps f
+),
+keep AS (SELECT fp FROM fpx GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= {_LEAK_MAX_DF}),
+pairs AS (
+  SELECT a.fp, a.doc_id AS da, b.doc_id AS db,
+         LEAST(a.split, b.split) AS split_a, GREATEST(a.split, b.split) AS split_b
+  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.split != b.split AND a.fp IN (SELECT fp FROM keep)
+)
+SELECT split_a, split_b,
+       COUNT(DISTINCT (da, db)) AS n_pairs, COUNT(DISTINCT fp) AS n_fps
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SKETCH_QUERIES = {
     "q118_hll_registers": (q118_hll_registers, Q118_SQL),
     "q119_kmv_distinct": (q119_kmv_distinct, Q119_SQL),
@@ -945,4 +1029,5 @@ SKETCH_QUERIES = {
     "q132_order_ship_reconciliation": (q132_order_ship_reconciliation, Q132_SQL),
     "q133_top_sizes_per_brand": (q133_top_sizes_per_brand, Q133_SQL),
     "q134_fk_audit": (q134_fk_audit, Q134_SQL),
+    "q135_split_leakage": (q135_split_leakage, Q135_SQL),
 }
