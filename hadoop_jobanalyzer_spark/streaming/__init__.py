@@ -14,6 +14,7 @@ from hadoop_jobanalyzer_spark.streaming.history_stream import (
 )
 from hadoop_jobanalyzer_spark.streaming.sinks import (
     idempotent_batch_writer,
+    upsert_batch_writer,
     write_stream_partitioned,
 )
 from hadoop_jobanalyzer_spark.streaming.event_stream import (
@@ -37,6 +38,7 @@ __all__ = [
     "hll_register_stream",
     "kmv_stream",
     "idempotent_batch_writer",
+    "upsert_batch_writer",
     "job_status_stream",
     "error_counts_stream",
     "latest_success_attempts",

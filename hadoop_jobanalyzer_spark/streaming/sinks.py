@@ -60,3 +60,45 @@ def write_stream_partitioned(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def upsert_batch_writer(
+    path: str, key_cols: list[str], partition_col: str
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function applying each micro-batch as a
+    copy-on-write MERGE into a hive-partitioned parquet table
+    (``sinks.merge_parquet``) — the streaming CDC-apply shape: the
+    stream carries row-level upserts (latest row per key wins within a
+    batch), the table converges to one row per key.
+
+    Replay safety comes from merge semantics rather than batch-id
+    partitioning: re-applying the same batch anti-joins away the rows it
+    already wrote and rewrites the same partitions to identical content,
+    so a failure/restart cannot duplicate keys. The first batch
+    bootstraps the table with a plain partitioned write.
+    """
+    from pyspark.sql.window import Window
+
+    from hadoop_jobanalyzer_spark.sinks import merge_parquet, write_partitioned
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        # latest row per key within the batch (micro-batches can carry
+        # several versions of a key; merge expects one)
+        w = Window.partitionBy(*key_cols).orderBy(F.lit(1))
+        latest = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        spark = latest.sparkSession
+        try:
+            spark.read.parquet(path).limit(1).collect()
+            exists = True
+        except Exception:
+            exists = False
+        if not exists:
+            write_partitioned(latest, path, [partition_col])
+        else:
+            merge_parquet(spark, latest, path, key_cols, partition_col)
+
+    return write

@@ -360,3 +360,48 @@ def test_kmv_stream_matches_batch_sketch(spark, sf_dir, events_dir):
         if r["kth_min_hash"] is not None
     }
     assert got == batch and len(got) > 0
+
+
+def test_upsert_stream_converges_to_latest(spark, tmp_path):
+    """Streaming CDC apply: three shards of keyed upserts land as a
+    table with one row per key; a replay of the final batch does not
+    duplicate or change anything."""
+    import pandas as pd
+
+    from hadoop_jobanalyzer_spark.sinks import merge_parquet
+    from hadoop_jobanalyzer_spark.streaming.sinks import upsert_batch_writer
+
+    src = tmp_path / "updates_in"
+    src.mkdir()
+    # shard 0: initial rows; shard 1: update id=1, add id=3; shard 2: update id=3
+    shards = [
+        [(1, "a", 10), (2, "b", 20)],
+        [(1, "a", 11), (3, "b", 30)],
+        [(3, "b", 31)],
+    ]
+    for i, rows in enumerate(shards):
+        pd.DataFrame(rows, columns=["id", "part", "val"]).to_parquet(
+            src / f"s{i}.parquet"
+        )
+
+    out = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("id long, part string, val long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch_writer(out, ["id"], "part"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r["id"], r["part"], r["val"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a", 11), (2, "b", 20), (3, "b", 31)}
+
+    # simulate a replay of the last batch: identical result
+    replay = spark.createDataFrame(shards[2], "id long, part string, val long")
+    merge_parquet(spark, replay, out, ["id"], "part")
+    got2 = {(r["id"], r["part"], r["val"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == got
