@@ -131,3 +131,101 @@ def kmv_distinct(
             (F.lit(numer) / F.col("h").cast("double")).alias("est_distinct"),
         )
     )
+
+
+def _hash_mod(key: Column, salt: int, mod: int) -> Column:
+    """Salted portable bucket: md5('<salt>:' || key) folded to [0, mod)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(salt)), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def cms_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch as an exact, inspectable relation: ``depth``
+    independent salted hash rows x ``width`` counters, each counter the
+    EXACT count of keys hashing into it (Cormode & Muthukrishnan 2005).
+    Output: (row, bucket, cnt).
+
+    The counter table is a partial-aggregated count — every input
+    partition collapses to at most depth*width rows before the single
+    exchange, and two sketches merge by summing counters (the same
+    re-aggregation contract as the HLL register table). Point estimates
+    (``cms_estimate``) take the min across rows and can only
+    OVER-estimate — the one-sided error that makes CMS safe for
+    heavy-hitter screening at stream scale.
+    """
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    keyed = df.select(F.col(key_col).alias("_k")).select("_k", rows)
+    bucket = F.when(F.col("row") == 0, _hash_mod(F.col("_k"), 0, width))
+    for r in range(1, depth):
+        bucket = bucket.when(F.col("row") == r, _hash_mod(F.col("_k"), r, width))
+    return (
+        keyed.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-frequency estimates for a probe key set against a CMS
+    relation: per key, min over rows of its counter — never an
+    underestimate. The probe set joins the depth*width-row sketch
+    (broadcast-sized by construction)."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    keyed = probes.select(F.col(key_col).alias("key")).distinct().select("key", rows)
+    bucket = F.when(F.col("row") == 0, _hash_mod(F.col("key"), 0, width))
+    for r in range(1, depth):
+        bucket = bucket.when(F.col("row") == r, _hash_mod(F.col("key"), r, width))
+    probed = keyed.select("key", "row", bucket.alias("bucket"))
+    return (
+        probed.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+
+
+def bloom_bits(df: DataFrame, key_col: str, m: int = 4096, k: int = 3) -> DataFrame:
+    """Bloom filter as a relation: the distinct set bit positions for the
+    key set under ``k`` salted hashes (Bloom 1970). Output: (bit).
+
+    At most ``min(k * n_keys, m)`` rows — for a build side of any size
+    the bit relation is bounded by ``m``, which is what makes it a
+    broadcastable semi-join reducer: a fact scan keeps only rows whose
+    k bits are ALL set (``bloom_prune``), guaranteed no false negatives,
+    before paying the real join's shuffle. Spark's own runtime bloom
+    filters do this inside AQE; the explicit relation form is
+    engine-portable and oracle-able.
+    """
+    bits = F.array(*[_hash_mod(F.col(key_col), r, m) for r in range(k)])
+    return (
+        df.select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_prune(
+    fact: DataFrame, key_col: str, bits: DataFrame, m: int = 4096, k: int = 3
+) -> DataFrame:
+    """Keep fact rows whose key passes the bloom membership test (all k
+    bits set) — a superset of the true matches (no false negatives), so
+    ``bloom_prune(fact) ⋈ dim == fact ⋈ dim`` always. The bit relation
+    broadcasts; the test is k semi-join probes folded into one in-row
+    check against a collected bit set when tiny, or k left-semi joins in
+    the general plan below."""
+    probe = fact
+    for r in range(k):
+        probe = probe.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"_b{r}"))),
+            _hash_mod(F.col(key_col), r, m) == F.col(f"_b{r}"),
+            "left_semi",
+        )
+    return probe

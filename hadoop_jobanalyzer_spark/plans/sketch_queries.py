@@ -1011,6 +1011,64 @@ FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- q136: Count-Min frequency sketch ----------------------------------------
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def q136_cms_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of part-key frequencies in lineitem
+    (operators/sketches.cms_table): 4 salted hash rows x 64 exact
+    counters — the frequency-sketch counterpart to q118's HLL (distinct)
+    and q119's KMV. Partial-aggregated: each input partition collapses
+    to <= 256 rows before the one exchange; sketches merge by summing
+    counters. Output: (row, bucket, cnt)."""
+    from hadoop_jobanalyzer_spark.operators.sketches import cms_table
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return cms_table(li, "l_partkey", _CMS_D, _CMS_W).orderBy("row", "bucket")
+
+
+Q136_SQL = f"""
+WITH e AS (
+  SELECT l_partkey AS k, UNNEST([{",".join(str(r) for r in range(_CMS_D))}]) AS row
+  FROM lineitem
+),
+b AS (
+  SELECT row,
+         ('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % {_CMS_W} AS bucket
+  FROM e
+)
+SELECT row, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- q137: Bloom-filter bit relation -----------------------------------------
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def q137_customer_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter of the customer key set as an explicit bit relation
+    (operators/sketches.bloom_bits): bounded by m rows no matter how
+    large the build side, which is what makes it the broadcastable
+    semi-join reducer (`bloom_prune` keeps only fact rows whose k bits
+    are all set — a guaranteed superset, so pruned-join == plain join).
+    Output: (bit)."""
+    from hadoop_jobanalyzer_spark.operators.sketches import bloom_bits
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    return bloom_bits(cust, "c_custkey", _BLOOM_M, _BLOOM_K).orderBy("bit")
+
+
+Q137_SQL = f"""
+SELECT DISTINCT
+       ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % {_BLOOM_M} AS bit
+FROM customer, (SELECT UNNEST([{",".join(str(r) for r in range(_BLOOM_K))}]) AS r) t
+ORDER BY bit
+"""
+
+
 SKETCH_QUERIES = {
     "q118_hll_registers": (q118_hll_registers, Q118_SQL),
     "q119_kmv_distinct": (q119_kmv_distinct, Q119_SQL),
@@ -1030,4 +1088,6 @@ SKETCH_QUERIES = {
     "q133_top_sizes_per_brand": (q133_top_sizes_per_brand, Q133_SQL),
     "q134_fk_audit": (q134_fk_audit, Q134_SQL),
     "q135_split_leakage": (q135_split_leakage, Q135_SQL),
+    "q136_cms_partkeys": (q136_cms_partkeys, Q136_SQL),
+    "q137_customer_bloom": (q137_customer_bloom, Q137_SQL),
 }

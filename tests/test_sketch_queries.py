@@ -247,3 +247,50 @@ def test_pagerank_fixed_matches_reference_implementation(spark):
         }
     assert got == r
     assert got[1] > got[4]  # hub outranks a leaf
+
+
+def test_cms_estimate_never_underestimates(spark, sf_dir):
+    """CMS point estimates are one-sided: est >= true count for every
+    probed key, and exact for keys whose counters saw no collision."""
+    from hadoop_jobanalyzer_spark.operators.sketches import cms_estimate, cms_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cms = cms_table(li, "l_partkey")
+    probes = li.select("l_partkey").distinct().limit(50)
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(cms, probes, "l_partkey").collect()
+    }
+    true = {
+        r["l_partkey"]: r["n"]
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(est) > 0
+    for k, e in est.items():
+        assert e >= true[k], (k, e, true[k])
+
+
+def test_bloom_prune_is_lossless_superset(spark, sf_dir):
+    """bloom_prune(fact) ⋈ dim == fact ⋈ dim (no false negatives), and
+    the prune actually removes some non-matching rows on a restricted
+    dim."""
+    from hadoop_jobanalyzer_spark.operators.sketches import bloom_bits, bloom_prune
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # dim = a 10% slice of customers: plenty of fact rows to prune
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") % 10 == 0
+    )
+    bits = bloom_bits(cust, "c_custkey")
+    pruned = bloom_prune(orders, "o_custkey", bits)
+
+    plain = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey"
+    )
+    via_bloom = pruned.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey"
+    )
+    assert plain.exceptAll(via_bloom).count() == 0
+    assert via_bloom.exceptAll(plain).count() == 0
+    n_orders, n_pruned = orders.count(), pruned.count()
+    assert n_pruned < n_orders  # the filter really reduced the probe side
