@@ -1069,6 +1069,103 @@ ORDER BY bit
 """
 
 
+# --- q138: SCD type-2 interval build -----------------------------------------
+
+
+def q138_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    per user, consecutive duplicate states are compressed to change
+    points (event_type != lag), each change opening a validity interval
+    closed by the next change (open rows carry the conventional
+    2200-01-01 high-date sentinel: NULL would compare NaT != NaT in the
+    differential, and 9999-12-31 overflows nanosecond pandas
+    timestamps). The
+    dimension-maintenance shape every warehouse ingest runs: two window
+    functions over one per-user shuffle, no self-join.
+    Output: (user_id, state, valid_from, valid_to), users < 50."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id") < 50)
+        .select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("_prev", F.lag("state").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    high = F.lit("2200-01-01 00:00:00").cast("timestamp_ntz")
+    return (
+        changes.withColumn("valid_to", F.coalesce(F.lead("ts").over(w2), high))
+        .select(
+            "user_id",
+            "state",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+Q138_SQL = """
+WITH e AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM events WHERE user_id < 50
+),
+c AS (
+  SELECT *, LAG(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+),
+ch AS (SELECT user_id, state, ts, event_id FROM c WHERE prev IS NULL OR prev != state)
+SELECT user_id, state, ts AS valid_from,
+       COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+FROM ch
+ORDER BY user_id, valid_from
+"""
+
+
+# --- q139: top event paths (sequence trigrams) -------------------------------
+
+
+def q139_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavioural paths: per user, the time-ordered
+    event sequence sliced into sliding trigrams (two leads over one
+    per-user shuffle — never a sequence collect), counted corpus-wide.
+    The path-analysis shape behind funnel exploration.
+    Output: top 10 (path, n_occurrences), count-desc, path tiebreak."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_e2", F.lead("event_type", 1).over(w))
+        .withColumn("_e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("_e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "_e2", "_e3").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(10)
+    )
+
+
+Q139_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path, COUNT(*) AS n_occurrences
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 10
+"""
+
+
 SKETCH_QUERIES = {
     "q118_hll_registers": (q118_hll_registers, Q118_SQL),
     "q119_kmv_distinct": (q119_kmv_distinct, Q119_SQL),
@@ -1090,4 +1187,6 @@ SKETCH_QUERIES = {
     "q135_split_leakage": (q135_split_leakage, Q135_SQL),
     "q136_cms_partkeys": (q136_cms_partkeys, Q136_SQL),
     "q137_customer_bloom": (q137_customer_bloom, Q137_SQL),
+    "q138_scd2_intervals": (q138_scd2_intervals, Q138_SQL),
+    "q139_top_event_paths": (q139_top_event_paths, Q139_SQL),
 }
