@@ -47,6 +47,13 @@ try:  # sketch/graph/search queries (HLL, KMV, triangles, phrase, setsim)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # behavioural / data-quality queries (streaks, Spearman, Benford, expectations)
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import BEHAVIOR_QUERIES
+
+    QUERIES.update(BEHAVIOR_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 # The driver's correctness gate records at most 50 queries per round, in
 # registry iteration order (CORRECTNESS_r01.json stopped at exactly the
 # first 50 of 59).  To make the union of rounds cover everything AND keep
