@@ -247,9 +247,235 @@ FROM checks ORDER BY tbl, check_name
 """
 
 
+# --- q144: small-quantity revenue (TPC-H Q17 shape) --------------------------
+
+
+def q144_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue locked in small-quantity lines of one brand (TPC-H Q17
+    shape): the correlated ``l_quantity < 0.2 * AVG(per part)`` subquery
+    decorrelates into a per-part aggregate joined back to lineitem. The
+    threshold is the cross-multiplied integer form ``5*qty*cnt < sum_qty``
+    (quantities are integer-valued), money sums in DECIMAL(18,2), and the
+    Q17 ``/7.0`` division happens once at the end. The brand-filtered part
+    dim broadcasts; the only repeated shuffle key is l_partkey."""
+    t = load_tables(spark, sf_dir)
+    li, part = t["lineitem"], t["part"]
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sq"), F.count("*").alias("cnt")
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    small = (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(
+            F.lit(5) * F.col("l_quantity") * F.col("cnt") < F.col("sq")
+        )
+    )
+    rev = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    return small.agg(
+        F.count("*").alias("n_small_lines"),
+        rev.cast("double").alias("revenue"),
+        (rev.cast("double") / F.lit(7.0)).alias("avg_yearly"),
+    )
+
+
+Q144_SQL = """
+WITH pa AS (
+  SELECT l_partkey, SUM(l_quantity) AS sq, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT COUNT(*) AS n_small_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p_partkey = l.l_partkey AND p_brand = 'Brand#4'
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE 5 * l_quantity * cnt < sq
+"""
+
+
+# --- q145: sole-late-supplier count (TPC-H Q21 shape) ------------------------
+
+
+def q145_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on multi-supplier orders
+    (TPC-H Q21 shape). The double correlated EXISTS / NOT EXISTS
+    decorrelates into aggregation: per (order, supplier) a late flag, per
+    order the supplier count and late-supplier count, keep
+    ``n_supp >= 2 AND n_late = 1`` and charge the one late supplier. Late
+    means shipped > 60 days after order date (integer day math). All
+    counts are exact integers; the supplier dim broadcasts at the end."""
+    t = load_tables(spark, sf_dir)
+    li, orders, supp = t["lineitem"], t["orders"], t["supplier"]
+    late_flag = (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        > 60
+    ).cast("int")
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late_flag.alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    blamed = (
+        per_os.filter(F.col("late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+Q145_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 60
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_os
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+# --- q146/q147: bitmap audience index ----------------------------------------
+
+_BM_BITS = 62  # bits per word — stay clear of the BIGINT sign bit
+
+
+def _bitmap_relation(ev: DataFrame) -> DataFrame:
+    """types x words bitmap relation (unordered) — see q146."""
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / _BM_BITS).cast("long").alias("word"),
+            F.expr(f"shiftleft(1L, CAST(user_id % {_BM_BITS} AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def q146_audience_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience membership as a bitmap index (roaring-bitmap shape): per
+    event type, user ids pack into 62-bit words via
+    ``bit_or(1 << (id % 62))`` keyed by ``id // 62``. ``bit_or`` is
+    idempotent, so no distinct pass is needed — one partially-aggregated
+    scan collapses any event volume to types x (max_id/62) words, and the
+    relation is re-aggregable (daily -> monthly is the same bit_or).
+    Intersections/unions over audiences become word-wise bit math (q147)
+    instead of distinct-joins over raw ids — the 100 TB audience-overlap
+    plan."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return _bitmap_relation(ev).orderBy("event_type", "word")
+
+
+Q146_SQL = f"""
+SELECT event_type, user_id // {_BM_BITS} AS word,
+       BIT_OR(1::BIGINT << CAST(user_id % {_BM_BITS} AS INTEGER)) AS bits
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, word
+"""
+
+
+def q147_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap computed ENTIRELY in bitmap space: join
+    the q146 word relation on word for each type pair and popcount the
+    AND. The oracle is the naive DISTINCT self-join — equality of the two
+    is the correctness proof of the bitmap algebra. At scale the bitmap
+    side joins types x words rows (thousands) where the naive plan joins
+    distinct (type, user) rows (billions). The bitmap relation is built
+    ONCE and persisted — the pair join and both size lookups read the
+    cached types-x-words rows instead of re-scanning events."""
+    ev = load_tables(spark, sf_dir)["events"]
+    bm = _bitmap_relation(ev).persist()
+    a = bm.select(
+        F.col("event_type").alias("type_a"), "word", F.col("bits").alias("ba")
+    )
+    b = bm.select(
+        F.col("event_type").alias("type_b"), "word", F.col("bits").alias("bb")
+    )
+    pairs = (
+        a.join(b, "word")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.expr("bit_count(ba & bb)")).alias("n_common"))
+    )
+    sizes = bm.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bits)")).alias("n_users")
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes).withColumnRenamed("event_type", "type_a"), "type_a"
+        )
+        .withColumnRenamed("n_users", "n_a")
+        .join(
+            F.broadcast(sizes).withColumnRenamed("event_type", "type_b"), "type_b"
+        )
+        .withColumnRenamed("n_users", "n_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+Q147_SQL = """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, COUNT(*) AS n_users FROM u GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_common
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_common,
+       n_common / (sa.n_users + sb.n_users - n_common) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.event_type = type_a
+JOIN sz sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
 BEHAVIOR_QUERIES = {
     "q140_order_streaks": (q140_order_streaks, Q140_SQL),
     "q141_spearman_len_tokens": (q141_spearman_len_tokens, Q141_SQL),
     "q142_benford_order_values": (q142_benford_order_values, Q142_SQL),
     "q143_expectations_report": (q143_expectations_report, Q143_SQL),
+    "q144_small_quantity_revenue": (q144_small_quantity_revenue, Q144_SQL),
+    "q145_sole_late_supplier": (q145_sole_late_supplier, Q145_SQL),
+    "q146_audience_bitmaps": (q146_audience_bitmaps, Q146_SQL),
+    "q147_bitmap_audience_overlap": (q147_bitmap_audience_overlap, Q147_SQL),
 }

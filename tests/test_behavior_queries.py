@@ -182,6 +182,90 @@ def test_spearman_perfect_and_reversed(spark, sf_dir):
     assert out["down"] == pytest.approx(-1.0)
 
 
+def test_bitmap_popcount_equals_distinct(spark, sf_dir):
+    """Popcount of the per-type bitmap == exact countDistinct(user_id):
+    the bitmap relation loses nothing."""
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import q146_audience_bitmaps
+
+    bm = q146_audience_bitmaps(spark, sf_dir)
+    got = {
+        r["event_type"]: r["n"]
+        for r in bm.groupBy("event_type")
+        .agg(F.sum(F.expr("bit_count(bits)")).alias("n"))
+        .collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_bitmap_relation_is_reaggregable(spark, sf_dir):
+    """bit_or of two half-corpus bitmap relations == the full-corpus
+    relation (the daily->monthly merge property)."""
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import _BM_BITS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def bitmap(df):
+        return (
+            df.select(
+                "event_type",
+                (F.col("user_id") / _BM_BITS).cast("long").alias("word"),
+                F.expr(f"shiftleft(1L, CAST(user_id % {_BM_BITS} AS INT))").alias("bit"),
+            )
+            .groupBy("event_type", "word")
+            .agg(F.expr("bit_or(bit)").alias("bits"))
+        )
+
+    full = bitmap(ev)
+    lo = bitmap(ev.filter("event_id % 2 = 0"))
+    hi = bitmap(ev.filter("event_id % 2 = 1"))
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_q145_blames_exactly_one_supplier_per_counted_order(spark, sf_dir):
+    """Every order contributing to numwait has >= 2 suppliers and exactly
+    one late one — re-derived independently via SQL over the raw tables."""
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import q145_sole_late_supplier
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    total = q145_sole_late_supplier(spark, sf_dir).agg(F.sum("numwait")).first()[0]
+    check = spark.sql(
+        """
+        WITH per_os AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(CASE WHEN datediff(CAST(l_shipdate AS DATE),
+                                        CAST(o_orderdate AS DATE)) > 60
+                          THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT COUNT(*) FROM (
+          SELECT l_orderkey FROM per_os
+          GROUP BY l_orderkey
+          HAVING COUNT(*) >= 2 AND SUM(late) = 1
+        )
+        """
+    ).first()[0]
+    # numwait total counts (order, late-supplier) pairs; with exactly one
+    # late supplier per qualifying order the totals must agree — except
+    # suppliers outside the top-10 cut. So bound: top-10 sum <= qualifying
+    # orders, and both are positive.
+    assert 0 < total <= check
+
+
 def test_benford_shares_sum_to_one(spark, sf_dir):
     from hadoop_jobanalyzer_spark.plans.behavior_queries import (
         q142_benford_order_values,

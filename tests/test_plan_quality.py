@@ -152,6 +152,14 @@ def _n_exchanges(plan: str) -> int:
         ("q129_part_skyline", 1),      # single window pass, no self-join
         ("q130_table_checksums", 2),   # bucket XOR agg + final sort
         ("q131_part_pagerank", 17),    # 3 unrolled iterations, equi-joins only
+        ("q140_order_streaks", 4),     # distinct + window + 2 roll-up aggs
+        ("q141_spearman_len_tokens", 2),  # both rank windows share one shuffle
+        ("q142_benford_order_values", 2),  # digit agg + 9-row share window
+        ("q143_expectations_report", 7),  # one agg per table (distinct adds none)
+        ("q144_small_quantity_revenue", 2),  # per-part agg + partkey join
+        ("q145_sole_late_supplier", 5),  # orderkey join + 2 rollups + supp join
+        ("q146_audience_bitmaps", 2),  # bit_or partial agg + final sort
+        ("q147_bitmap_audience_overlap", 5),  # cached bitmap + pair join + sizes
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
