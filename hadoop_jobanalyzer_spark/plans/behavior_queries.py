@@ -469,6 +469,107 @@ ORDER BY type_a, type_b
 """
 
 
+# --- q148: CEP sequence pattern matching -------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+# per-hop bound: 2 days — the synthetic stream's per-user inter-arrival
+# median is ~7 h, so minutes-scale bounds match nothing
+_FUNNEL_WITHIN_MS = 172_800_000
+
+
+def q148_funnel_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-contiguity view>click>purchase matches per user within a
+    2-day per-hop bound — the MATCH_RECOGNIZE / Flink-CEP shape
+    (operators/cep.py): k-1 leads over one per-user window shuffle, no
+    self-join, overlap-reporting (skip-to-next-row) semantics. Unlike the
+    q77 funnel (stage reachability, any gaps) this demands the exact
+    consecutive sequence.
+    Output: (user_id, n_matches) for matched users, user ascending."""
+    from hadoop_jobanalyzer_spark.operators.cep import pattern_match_counts
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return pattern_match_counts(
+        ev, _FUNNEL_STEPS, _FUNNEL_WITHIN_MS
+    ).orderBy("user_id")
+
+
+Q148_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms0,
+         LEAD(event_type, 1) OVER w AS ty1,
+         LEAD(epoch_ms(ts), 1) OVER w AS ms1,
+         LEAD(event_type, 2) OVER w AS ty2,
+         LEAD(epoch_ms(ts), 2) OVER w AS ms2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n_matches
+FROM s
+WHERE event_type = 'view' AND ty1 = 'click' AND ty2 = 'purchase'
+  AND ms1 - ms0 <= {_FUNNEL_WITHIN_MS} AND ms2 - ms1 <= {_FUNNEL_WITHIN_MS}
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- q149: time-weighted average value (TWAP) --------------------------------
+
+
+def q149_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average event value: each value is held for
+    the interval until the user's next event (lead over one per-user
+    window) and weighted by that duration. Accumulation is exact — values
+    quantize to integer millis (floor(value*1000), identical IEEE mult in
+    both engines), weights are integer ms, and the single float division
+    happens at the end: twap = wsum / (1000.0 * total_ms).
+    Output: (user_id, n_intervals, total_ms, twap), user ascending."""
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 1000).cast("long").alias("mv"),
+            epoch_ms("ts").alias("ms"),
+        )
+        .withColumn("next_ms", F.lead("ms").over(w))
+        .filter(F.col("next_ms").isNotNull())
+        .withColumn("dt", F.col("next_ms") - F.col("ms"))
+    )
+    g = iv.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt").alias("total_ms"),
+        F.sum(F.col("mv") * F.col("dt")).alias("wsum"),
+    )
+    return g.select(
+        "user_id",
+        "n_intervals",
+        "total_ms",
+        (F.col("wsum") / (F.lit(1000.0) * F.col("total_ms"))).alias("twap"),
+    ).orderBy("user_id")
+
+
+Q149_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(FLOOR("value" * 1000) AS BIGINT) AS mv,
+         epoch_ms(ts) AS ms,
+         LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ms
+  FROM events
+),
+g AS (
+  SELECT user_id, COUNT(*) AS n_intervals,
+         SUM(next_ms - ms) AS total_ms,
+         SUM(mv * (next_ms - ms)) AS wsum
+  FROM iv WHERE next_ms IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_intervals, total_ms, wsum / (1000.0 * total_ms) AS twap
+FROM g ORDER BY user_id
+"""
+
+
 BEHAVIOR_QUERIES = {
     "q140_order_streaks": (q140_order_streaks, Q140_SQL),
     "q141_spearman_len_tokens": (q141_spearman_len_tokens, Q141_SQL),
@@ -478,4 +579,6 @@ BEHAVIOR_QUERIES = {
     "q145_sole_late_supplier": (q145_sole_late_supplier, Q145_SQL),
     "q146_audience_bitmaps": (q146_audience_bitmaps, Q146_SQL),
     "q147_bitmap_audience_overlap": (q147_bitmap_audience_overlap, Q147_SQL),
+    "q148_funnel_pattern_matches": (q148_funnel_pattern_matches, Q148_SQL),
+    "q149_time_weighted_value": (q149_time_weighted_value, Q149_SQL),
 }

@@ -22,6 +22,7 @@ from hadoop_jobanalyzer_spark.streaming.event_stream import (
     event_window_counts_stream,
     hll_register_stream,
     kmv_stream,
+    pattern_match_stream,
     read_events_stream,
     running_totals_stream,
     user_sessions_stream,
@@ -37,6 +38,7 @@ __all__ = [
     "event_window_counts_stream",
     "hll_register_stream",
     "kmv_stream",
+    "pattern_match_stream",
     "idempotent_batch_writer",
     "upsert_batch_writer",
     "job_status_stream",

@@ -317,3 +317,63 @@ def kmv_stream(events: DataFrame, k: int = 8) -> DataFrame:
     return hashed.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def pattern_match_stream(
+    events: DataFrame,
+    steps: list[str],
+    within_ms: int,
+) -> DataFrame:
+    """Streaming CEP: contiguous sequence pattern matching with bounded
+    per-key state — the incremental form of ``operators.cep.pattern_matches``
+    (MATCH_RECOGNIZE / Flink-CEP shape, which built-in Structured
+    Streaming aggregations cannot express).
+
+    State per user is exactly the last ``len(steps)-1`` events (type,
+    epoch-ms, id) — a ring buffer, independent of stream length — carried
+    across micro-batches so matches spanning a batch boundary are still
+    found. Assumes per-key in-order delivery (the file/Kafka replay
+    contract); an out-of-order source needs a watermark re-sort upstream.
+
+    Emits one row per match: (user_id, start_event_id, start_ms), exactly
+    the batch operator's output.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    if k < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    out_schema = "user_id long, start_event_id long, start_ms long"
+    state_schema = "tys array<string>, mss array<long>, ids array<long>"
+
+    def update(key, pdfs, state):
+        tys, mss, ids = (
+            (list(t) for t in state.get) if state.exists else ([], [], [])
+        )
+        tys, mss, ids = list(tys), list(mss), list(ids)
+        hits_id, hits_ms = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ms_col = pdf["ts"].astype("datetime64[ms]").astype("int64")
+            for ty, ms, eid in zip(pdf["event_type"], ms_col, pdf["event_id"]):
+                tys.append(str(ty)); mss.append(int(ms)); ids.append(int(eid))
+                if len(tys) > k:
+                    tys.pop(0); mss.pop(0); ids.pop(0)
+                if len(tys) == k and all(t == s for t, s in zip(tys, steps)) and all(
+                    mss[i + 1] - mss[i] <= within_ms for i in range(k - 1)
+                ):
+                    hits_id.append(ids[0]); hits_ms.append(mss[0])
+        state.update((tys[-(k - 1):], mss[-(k - 1):], ids[-(k - 1):]))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(hits_id),
+                "start_event_id": hits_id,
+                "start_ms": hits_ms,
+            }
+        )
+
+    base = events.select("user_id", "event_id", "ts", "event_type")
+    return base.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -274,3 +274,86 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     rows = q142_benford_order_values(spark, sf_dir).collect()
     assert sum(r["share"] for r in rows) == pytest.approx(1.0)
     assert all(r["digit"] in "123456789" for r in rows)
+
+
+def test_cep_hand_sequence(spark):
+    """Contiguity is strict: v,c,p matches; v,x,c,p does not."""
+    import datetime
+
+    from hadoop_jobanalyzer_spark.operators.cep import pattern_matches
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, ty):
+        return Row(
+            user_id=1,
+            event_id=i,
+            ts=t0 + datetime.timedelta(minutes=i),
+            event_type=ty,
+        )
+
+    # user 1: view(0) click(1) purchase(2) -> match at 0
+    # then view(3) error(4) click(5) purchase(6) -> NO match at 3 (gap event)
+    rows = [
+        ev(0, "view"), ev(1, "click"), ev(2, "purchase"),
+        ev(3, "view"), ev(4, "error"), ev(5, "click"), ev(6, "purchase"),
+    ]
+    out = pattern_matches(
+        spark.createDataFrame(rows), ["view", "click", "purchase"], 10**9
+    ).collect()
+    assert [(r["user_id"], r["start_event_id"]) for r in out] == [(1, 0)]
+
+
+def test_cep_time_bound_excludes_slow_hops(spark):
+    import datetime
+
+    from hadoop_jobanalyzer_spark.operators.cep import pattern_matches
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, event_id=0, ts=t0, event_type="view"),
+        Row(
+            user_id=1,
+            event_id=1,
+            ts=t0 + datetime.timedelta(hours=2),
+            event_type="click",
+        ),
+    ]
+    fast = pattern_matches(
+        spark.createDataFrame(rows), ["view", "click"], within_ms=3 * 3600 * 1000
+    ).count()
+    slow = pattern_matches(
+        spark.createDataFrame(rows), ["view", "click"], within_ms=3600 * 1000
+    ).count()
+    assert (fast, slow) == (1, 0)
+
+
+def test_twap_hand_case(spark):
+    """value 2.0 held 10s then 4.0 held 30s -> twap of intervals uses the
+    STARTING value of each interval: (2*10 + 4*30)/40 = 3.5."""
+    import datetime
+
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import (
+        q149_time_weighted_value,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, event_id=0, ts=t0, event_type="view", value=2.0,
+            props="{}"),
+        Row(user_id=1, event_id=1, ts=t0 + datetime.timedelta(seconds=10),
+            event_type="view", value=4.0, props="{}"),
+        Row(user_id=1, event_id=2, ts=t0 + datetime.timedelta(seconds=40),
+            event_type="view", value=9.0, props="{}"),
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _clone_sf(
+            "/root/testdata/sf0.001", tmp, {"events": spark.createDataFrame(rows)}
+        )
+        out = q149_time_weighted_value(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_intervals"] == 2 and r["total_ms"] == 40_000
+    assert r["twap"] == pytest.approx(3.5)

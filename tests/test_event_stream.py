@@ -405,3 +405,41 @@ def test_upsert_stream_converges_to_latest(spark, tmp_path):
     merge_parquet(spark, replay, out, ["id"], "part")
     got2 = {(r["id"], r["part"], r["val"]) for r in spark.read.parquet(out).collect()}
     assert got2 == got
+
+
+def test_pattern_match_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Streaming CEP over a 3-shard forced-multi-batch replay finds
+    EXACTLY the batch operator's matches — including any match spanning a
+    micro-batch boundary (the ring-buffer state carries the tail)."""
+    from hadoop_jobanalyzer_spark.operators.cep import pattern_matches
+    from hadoop_jobanalyzer_spark.streaming import pattern_match_stream
+
+    steps = ["view", "click", "purchase"]
+    within = 172_800_000
+    name = f"cep_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        pattern_match_stream(stream, steps, within)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cep_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["start_event_id"], r["start_ms"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["user_id"], r["start_event_id"], r["start_ms"])
+        for r in pattern_matches(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), steps, within
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -160,6 +160,8 @@ def _n_exchanges(plan: str) -> int:
         ("q145_sole_late_supplier", 5),  # orderkey join + 2 rollups + supp join
         ("q146_audience_bitmaps", 2),  # bit_or partial agg + final sort
         ("q147_bitmap_audience_overlap", 5),  # cached bitmap + pair join + sizes
+        ("q148_funnel_pattern_matches", 2),  # one CEP window + count agg
+        ("q149_time_weighted_value", 2),   # one interval window + user agg
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
