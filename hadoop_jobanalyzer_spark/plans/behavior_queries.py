@@ -570,6 +570,201 @@ FROM g ORDER BY user_id
 """
 
 
+# --- q150: Kolmogorov-Smirnov drift per source -------------------------------
+
+
+def q150_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic of each source's document-length
+    distribution against the pooled corpus — the distribution-shift gate a
+    training pipeline runs per ingest source.
+
+    Step functions only jump at support points, and every source's support
+    is a subset of the pooled support, so the max of |F_s - F_g| is taken
+    over the (sources x pooled-distinct-lengths) grid — two tiny derived
+    dimensions cross-joined, never the corpus. Both CDFs stay as integer
+    cumulative counts; the comparison is the cross-multiplied numerator
+    |cum_s * N - cum_g * n_s| (exact BIGINT), and the single float
+    division producing D happens at the end.
+    Output: (source, n_docs, d_num, denom, ks_d), source ascending."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    vals = docs.select("n_chars").distinct()
+    srcs = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    total = docs.agg(F.count("*").alias("n_g"))
+
+    grid = srcs.crossJoin(F.broadcast(vals))
+    joined = grid.join(counts, ["source", "n_chars"], "left").fillna(0, ["c"])
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.withColumn("cum_s", F.sum("c").over(w_s))
+
+    g_counts = docs.groupBy("n_chars").agg(F.count("*").alias("gc"))
+    w_g = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g_cum = g_counts.withColumn("cum_g", F.sum("gc").over(w_g)).select(
+        "n_chars", "cum_g"
+    )
+
+    full = cum.join(F.broadcast(g_cum), "n_chars").crossJoin(F.broadcast(total))
+    per_src = full.groupBy("source", "n_s", "n_g").agg(
+        F.max(
+            F.abs(F.col("cum_s") * F.col("n_g") - F.col("cum_g") * F.col("n_s"))
+        ).alias("d_num")
+    )
+    return per_src.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        "d_num",
+        (F.col("n_s") * F.col("n_g")).alias("denom"),
+        (F.col("d_num") / (F.col("n_s") * F.col("n_g")).cast("double")).alias("ks_d"),
+    ).orderBy("source")
+
+
+Q150_SQL = """
+WITH counts AS (
+  SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT n_chars FROM documents),
+srcs AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_g FROM documents),
+grid AS (SELECT source, n_s, n_chars FROM srcs CROSS JOIN vals),
+cum AS (
+  SELECT g.source, g.n_s, g.n_chars,
+         SUM(COALESCE(c.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY g.n_chars
+           ROWS UNBOUNDED PRECEDING) AS cum_s
+  FROM grid g LEFT JOIN counts c ON c.source = g.source AND c.n_chars = g.n_chars
+),
+gcum AS (
+  SELECT n_chars,
+         SUM(gc) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum_g
+  FROM (SELECT n_chars, COUNT(*) AS gc FROM documents GROUP BY 1)
+),
+per_src AS (
+  SELECT source, n_s, n_g,
+         MAX(ABS(cum_s * n_g - cum_g * n_s)) AS d_num
+  FROM cum JOIN gcum USING (n_chars) CROSS JOIN total
+  GROUP BY 1, 2, 3
+)
+SELECT source, n_s AS n_docs, d_num, n_s * n_g AS denom,
+       d_num / CAST(n_s * n_g AS DOUBLE) AS ks_d
+FROM per_src ORDER BY source
+"""
+
+
+# --- q151: incremental aggregate maintenance ---------------------------------
+
+_IVM_SPLIT = "1999-01-01"
+
+
+def q151_incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta merge (operators/incremental.py): the
+    pre-split daily revenue aggregate is the persisted base state, the
+    post-split orders are the arriving delta; merging unions the two
+    one-row-per-key STATE relations and re-aggregates — at scale the
+    update shuffle moves state rows, never the history. The query output
+    is the merged view; the oracle is the from-scratch aggregate over all
+    orders, so equality IS the maintenance-correctness proof.
+    Output: (day, n, revenue, min_price, max_price), day ascending."""
+    from hadoop_jobanalyzer_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    orders = load_tables(spark, sf_dir)["orders"].withColumn(
+        "day", F.col("o_orderdate").cast("date").cast("string")
+    )
+    split = F.lit(_IVM_SPLIT)
+    base = aggregate_state(orders.filter(F.col("day") < split), ["day"], "o_totalprice")
+    delta = aggregate_state(
+        orders.filter(F.col("day") >= split), ["day"], "o_totalprice"
+    )
+    merged = merge_aggregate_states(base, delta, ["day"])
+    return merged.select(
+        "day",
+        "n",
+        F.col("sum_val").cast("double").alias("revenue"),
+        F.col("min_val").cast("double").alias("min_price"),
+        F.col("max_val").cast("double").alias("max_price"),
+    ).orderBy("day")
+
+
+Q151_SQL = """
+SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY 1 ORDER BY day
+"""
+
+
+# --- q152: rolling 30-day active users ---------------------------------------
+
+_ROLL_DAYS = 30
+
+
+def q152_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 30-day distinct active users per observation day.
+    Rolling DISTINCT cannot ride a window frame (distinct state is not
+    subtractable), so each (user, day) activity row is exploded to the
+    <=30 observation days it supports — the horizon-explode trick: fan-out
+    bounded by the horizon, then one countDistinct per day. The activity
+    relation is deduped FIRST so the explode multiplies distinct
+    (user, day) rows, not raw events. Observation days outside the data
+    range are clipped via a 1-row min/max broadcast.
+    Output: (obs_day, n_active), day ascending."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ud = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    bounds = ud.agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    )
+    fanned = (
+        ud.withColumn(
+            "obs_day",
+            F.explode(F.sequence(F.col("day"), F.col("day") + (_ROLL_DAYS - 1))),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("obs_day") <= F.col("max_day"))
+    )
+    return (
+        fanned.groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("obs_day")
+    )
+
+
+Q152_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS day
+  FROM events
+),
+bounds AS (SELECT MAX(day) AS max_day FROM ud),
+fanned AS (
+  SELECT user_id, day + g.offs AS obs_day
+  FROM ud, (SELECT UNNEST(generate_series(0, {_ROLL_DAYS - 1})) AS offs) g
+)
+SELECT obs_day, COUNT(DISTINCT user_id) AS n_active
+FROM fanned, bounds
+WHERE obs_day <= max_day
+GROUP BY obs_day ORDER BY obs_day
+"""
+
+
 BEHAVIOR_QUERIES = {
     "q140_order_streaks": (q140_order_streaks, Q140_SQL),
     "q141_spearman_len_tokens": (q141_spearman_len_tokens, Q141_SQL),
@@ -581,4 +776,7 @@ BEHAVIOR_QUERIES = {
     "q147_bitmap_audience_overlap": (q147_bitmap_audience_overlap, Q147_SQL),
     "q148_funnel_pattern_matches": (q148_funnel_pattern_matches, Q148_SQL),
     "q149_time_weighted_value": (q149_time_weighted_value, Q149_SQL),
+    "q150_ks_length_drift": (q150_ks_length_drift, Q150_SQL),
+    "q151_incremental_daily_revenue": (q151_incremental_daily_revenue, Q151_SQL),
+    "q152_rolling_active_users": (q152_rolling_active_users, Q152_SQL),
 }

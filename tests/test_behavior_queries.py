@@ -357,3 +357,113 @@ def test_twap_hand_case(spark):
     r = out[0]
     assert r["n_intervals"] == 2 and r["total_ms"] == 40_000
     assert r["twap"] == pytest.approx(3.5)
+
+
+def test_ks_drift_bounds_and_self_zero(spark, sf_dir):
+    """KS D is in [0,1]; a corpus with ONE source has D == 0 against the
+    pool (its CDF is the pooled CDF)."""
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import q150_ks_length_drift
+
+    rows = q150_ks_length_drift(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r["ks_d"] <= 1.0 for r in rows)
+
+    import tempfile
+
+    one = [
+        Row(doc_id=i, text="a b c", lang="en", source="only", n_chars=5 + (i % 3))
+        for i in range(10)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _clone_sf(sf_dir, tmp, {"documents": spark.createDataFrame(one)})
+        out = q150_ks_length_drift(spark, tmp).collect()
+    assert len(out) == 1 and out[0]["ks_d"] == 0.0 and out[0]["d_num"] == 0
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """Merging base+delta aggregate states reproduces the from-scratch
+    aggregate exactly, for several split points."""
+    from hadoop_jobanalyzer_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "day", F.col("o_orderdate").cast("date").cast("string")
+    )
+    full = aggregate_state(orders, ["day"], "o_totalprice")
+    for split in ("1996-06-15", "2000-01-01"):
+        base = aggregate_state(
+            orders.filter(F.col("day") < split), ["day"], "o_totalprice"
+        )
+        delta = aggregate_state(
+            orders.filter(F.col("day") >= split), ["day"], "o_totalprice"
+        )
+        merged = merge_aggregate_states(base, delta, ["day"])
+        assert merged.exceptAll(full).count() == 0
+        assert full.exceptAll(merged).count() == 0
+
+
+def test_incremental_merge_is_associative(spark, sf_dir):
+    """Three-way split merged in two different orders gives identical
+    state — the property that makes daily->monthly->yearly rollups safe."""
+    from hadoop_jobanalyzer_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    parts = [
+        aggregate_state(
+            ev.filter(F.col("o_orderkey") % 3 == i), ["o_orderstatus"], "o_totalprice"
+        )
+        for i in range(3)
+    ]
+    left = merge_aggregate_states(
+        merge_aggregate_states(parts[0], parts[1], ["o_orderstatus"]),
+        parts[2],
+        ["o_orderstatus"],
+    )
+    right = merge_aggregate_states(
+        parts[0],
+        merge_aggregate_states(parts[1], parts[2], ["o_orderstatus"]),
+        ["o_orderstatus"],
+    )
+    assert left.exceptAll(right).count() == 0
+    assert right.exceptAll(left).count() == 0
+
+
+def test_rolling_active_matches_direct_window(spark, sf_dir):
+    """The horizon-explode rolling distinct equals a direct per-day
+    'distinct users in [d-29, d]' computation."""
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import (
+        _ROLL_DAYS,
+        q152_rolling_active_users,
+    )
+
+    got = {
+        r["obs_day"]: r["n_active"]
+        for r in q152_rolling_active_users(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ud = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_day = {}
+    for r in ud:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    lo, hi = min(by_day), max(by_day)
+    want = {}
+    for d in range(lo, hi + 1):
+        users = set()
+        for dd in range(d - _ROLL_DAYS + 1, d + 1):
+            users |= by_day.get(dd, set())
+        if users:
+            want[d] = len(users)
+    assert got == want

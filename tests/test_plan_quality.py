@@ -58,6 +58,11 @@ NESTED_LOOP_OK = {
     "q126_pq_code_histogram",
     # six (n_rows, n_orphans) 1-row aggregate pairs combined by broadcast
     "q134_fk_audit",
+    # sources x pooled-distinct-lengths grid: two tiny derived dims + a
+    # 1-row total broadcast
+    "q150_ks_length_drift",
+    # 1-row min/max-day bounds broadcast clipping the horizon explode
+    "q152_rolling_active_users",
 }
 
 
@@ -162,6 +167,9 @@ def _n_exchanges(plan: str) -> int:
         ("q147_bitmap_audience_overlap", 5),  # cached bitmap + pair join + sizes
         ("q148_funnel_pattern_matches", 2),  # one CEP window + count agg
         ("q149_time_weighted_value", 2),   # one interval window + user agg
+        ("q150_ks_length_drift", 7),   # counts/vals/srcs aggs + 2 cum windows
+        ("q151_incremental_daily_revenue", 3),  # base+delta states + merge agg
+        ("q152_rolling_active_users", 5),  # distinct + bounds + 2-phase countDistinct
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
