@@ -202,6 +202,7 @@ def pagerank_fixed(
     dst: str = "dst",
     iters: int = 3,
     scale: int = 1 << 20,
+    canonical: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank over an undirected edge list: ``iters`` exact
     integer power iterations with damping 0.85 expressed as the rational
@@ -220,17 +221,22 @@ def pagerank_fixed(
     into a single plan (no driver actions, no convergence barrier —
     fixed iteration count is the deterministic contract).
 
+    Pass ``canonical=True`` when ``edges`` is already a distinct a<b pair
+    list (the co-purchase cache shape): the two union branches are then
+    disjoint and self-loop-free by construction, so the symmetrize-side
+    dedup shuffle is skipped entirely.
+
     Returns (v, rank_fixed) for every node.
     """
     a = F.col(src).alias("_a")
     b = F.col(dst).alias("_b")
-    sym = (
-        edges.select(a, b)
-        .union(edges.select(b.alias("_a"), a.alias("_b")))
-        .filter(F.col("_a") != F.col("_b"))
-        .distinct()
-        .persist()
-    )
+    sym = edges.select(a, b).union(edges.select(b.alias("_a"), a.alias("_b")))
+    if not canonical:
+        sym = sym.filter(F.col("_a") != F.col("_b")).distinct()
+    # partition by the contribution key once: every iteration's
+    # edge x contrib join reuses this layout instead of re-shuffling the
+    # (large) edge list per round
+    sym = sym.repartition("_a").persist()
     deg = sym.groupBy(F.col("_a").alias("v")).agg(F.count("*").alias("d")).persist()
     base = int(0.15 * scale)  # floor(0.15 * 2^20) = 157286
 

@@ -747,7 +747,7 @@ def q131_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_jobanalyzer_spark.operators.graph import pagerank_fixed
 
     return (
-        pagerank_fixed(_copurchase_edges(spark, sf_dir), iters=_PR_ITERS)
+        pagerank_fixed(_copurchase_edges(spark, sf_dir), iters=_PR_ITERS, canonical=True)
         .orderBy(F.desc("rank_fixed"), "v")
         .limit(20)
     )
