@@ -96,6 +96,25 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--wasted", action="store_true", help="per-job wasted-attempt report")
     mode.add_argument("--fleet", action="store_true", help="per-user rollup across all input jobs")
     mode.add_argument("-t", action="store_true", help="concurrency timeline (default)")
+    mode.add_argument(
+        "--query",
+        metavar="NAME",
+        help="run a registered analytics query against --sf-dir (see --list-queries)",
+    )
+    mode.add_argument(
+        "--sql",
+        metavar="SQL",
+        help="run an ANSI SQL statement against the star-schema views in --sf-dir",
+    )
+    mode.add_argument(
+        "--list-queries", action="store_true", help="list registered analytics queries"
+    )
+    p.add_argument(
+        "--sf-dir",
+        default=None,
+        metavar="DIR",
+        help="parquet table dir for --query/--sql (default $SPARK_GRAFT_SF_DIR)",
+    )
     p.add_argument("-d", default=", ", metavar="DELIM", help="output delimiter (default ', ')")
     p.add_argument("-i", default="-", metavar="INPUT", help="path/glob/URL or - for stdin")
     p.add_argument("--scale", type=int, default=1000, help="timestamp divisor (default 1000)")
@@ -122,8 +141,38 @@ def resolve_input(inp: str) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.list_queries:
+        from hadoop_jobanalyzer_spark.plans.registry import QUERIES
+
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+
     spark = get_spark(app_name="job_history", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.query or args.sql:
+        import os
+
+        from hadoop_jobanalyzer_spark.plans.registry import QUERIES
+        from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        if args.query:
+            if args.query not in QUERIES:
+                print(f"unknown query: {args.query} (see --list-queries)", file=sys.stderr)
+                return 2
+            df = QUERIES[args.query][0](spark, sf_dir)
+        else:
+            load_tables(spark, sf_dir)  # registers the star-schema temp views
+            df = spark.sql(args.sql)
+        for row in delimited_lines(df, args.d).toLocalIterator():
+            print(row["value"])
+        return 0
+
     views = load_history(spark, resolve_input(args.i))
     if args.require_success:
         views = filter_success(views)

@@ -432,8 +432,13 @@ def lsh_candidate_pairs_incremental(
             F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
         ).select(id_col, "bb.band", "bb.bh", F.lit(tag).alias("_src"))
 
-    new_bands = banded(new_sigs, "new")
-    all_bands = banded(stored_sigs.na.drop(), "old").unionByName(new_bands)
+    # both band relations are referenced by multiple plan branches (the
+    # bucket-size cap reads all_bands twice; the probe join reads
+    # new_bands again) — persist the narrow (id, band, bh) rows so the
+    # signature explode/md5/min-agg subtree runs ONCE per side, not once
+    # per branch (the q66-class recompute fix)
+    new_bands = banded(new_sigs, "new").persist()
+    all_bands = banded(stored_sigs.na.drop(), "old").unionByName(new_bands).persist()
     if max_bucket is not None:
         sized = all_bands.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
         all_bands = all_bands.join(

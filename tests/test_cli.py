@@ -75,3 +75,36 @@ def test_cli_fleet_rollup(capsys, fixture_log1, fixture_log2, spark):
     assert len(out) == 2  # two users across the two fixture jobs
     users = {line.split(", ")[0] for line in out}
     assert users == {"kbhatia", "hadoop"}
+
+
+def test_cli_list_queries(capsys):
+    assert main(["--list-queries"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert "q01_pricing_summary" in out and len(out) >= 150
+
+
+def test_cli_query_mode(capsys, spark, sf_dir):
+    assert main(["--query", "q142_benford_order_values", "--sf-dir", sf_dir, "-d", " "]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all(line.split(" ")[0] in "123456789" for line in out)
+
+
+def test_cli_sql_mode(capsys, spark, sf_dir):
+    assert (
+        main(
+            [
+                "--sql",
+                "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                "GROUP BY 1 ORDER BY 1",
+                "--sf-dir",
+                sf_dir,
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert [line.split(", ")[0] for line in out] == ["F", "O", "P"]
+
+
+def test_cli_unknown_query_errors(capsys, spark, sf_dir):
+    assert main(["--query", "q999_nope", "--sf-dir", sf_dir]) == 2
