@@ -1,0 +1,473 @@
+"""Mining / timeseries queries q153+: gap-fill linear interpolation,
+banded edit-distance near-dups, argmin supplier selection, dormant-segment
+profiling, next-word branching statistics, and sign-random-projection LSH.
+
+Same contract as the other plan modules: each query is a (DataFrame
+builder, DuckDB oracle SQL) pair, and the repo-wide determinism rules
+apply — integer/exact-decimal cross-row accumulation, float division only
+once at the end with identical parenthesization in both engines, ties
+broken by a deterministic id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_jobanalyzer_spark.plans.tables import load_tables
+from hadoop_jobanalyzer_spark.util import epoch_s
+
+
+# --- q153: minute gap-fill with linear interpolation -------------------------
+
+
+def q153_gapfill_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap-fill: the per-minute event-value series with every
+    missing minute filled by linear interpolation between its observed
+    neighbours — the hypertable `interpolate()` semantics.
+
+    The spine is one `sequence(min,max)` explode of a 1-row bounds
+    aggregate (never a per-row explode), so spine size is the time range,
+    not the event count.  Neighbour lookup is two ignore-nulls window
+    passes over the spine (prev = last observed before, next = first
+    observed after), not a self-join.  The interpolated value stays exact:
+    `filled_num = prev*(gap) + (delta)*(offset)` is BIGINT arithmetic on
+    integer cents, and the single float division `filled_num/denom`
+    happens once, at the end, identically in both engines.
+    Output: (minute, is_gap, n_events, filled_num, denom, filled_cents),
+    minute ascending."""
+    events = load_tables(spark, sf_dir)["events"]
+    obs = (
+        events.select(
+            F.floor(epoch_s("ts") / 60).cast("long").alias("minute"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("minute")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("cents"))
+    )
+    bounds = obs.agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("minute"))
+    base = spine.join(obs, "minute", "left")
+
+    before = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, -1)
+    after = Window.orderBy("minute").rowsBetween(1, Window.unboundedFollowing)
+    obs_minute = F.when(F.col("cents").isNotNull(), F.col("minute"))
+    filled = (
+        base.withColumn("prev_c", F.last("cents", ignorenulls=True).over(before))
+        .withColumn("prev_m", F.last(obs_minute, ignorenulls=True).over(before))
+        .withColumn("next_c", F.first("cents", ignorenulls=True).over(after))
+        .withColumn("next_m", F.first(obs_minute, ignorenulls=True).over(after))
+    )
+    is_gap = F.col("cents").isNull()
+    num = F.when(
+        is_gap,
+        F.col("prev_c") * (F.col("next_m") - F.col("prev_m"))
+        + (F.col("next_c") - F.col("prev_c")) * (F.col("minute") - F.col("prev_m")),
+    ).otherwise(F.col("cents"))
+    denom = F.when(is_gap, F.col("next_m") - F.col("prev_m")).otherwise(F.lit(1))
+    return filled.select(
+        "minute",
+        is_gap.alias("is_gap"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        num.alias("filled_num"),
+        denom.cast("long").alias("denom"),
+        (num / denom.cast("double")).alias("filled_cents"),
+    ).orderBy("minute")
+
+
+Q153_SQL = """
+WITH obs AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 AS minute,
+         COUNT(*) AS n_events,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(minute) AS mn, MAX(minute) AS mx FROM obs),
+spine AS (SELECT UNNEST(generate_series(mn, mx)) AS minute FROM bounds),
+base AS (
+  SELECT s.minute, o.n_events, o.cents
+  FROM spine s LEFT JOIN obs o ON o.minute = s.minute
+),
+nb AS (
+  SELECT minute, n_events, cents,
+         LAST_VALUE(cents IGNORE NULLS) OVER (
+           ORDER BY minute ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_c,
+         LAST_VALUE(CASE WHEN cents IS NOT NULL THEN minute END IGNORE NULLS)
+           OVER (ORDER BY minute
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_m,
+         FIRST_VALUE(cents IGNORE NULLS) OVER (
+           ORDER BY minute ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_c,
+         FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN minute END IGNORE NULLS)
+           OVER (ORDER BY minute
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_m
+  FROM base
+)
+SELECT minute,
+       cents IS NULL AS is_gap,
+       COALESCE(n_events, 0) AS n_events,
+       CASE WHEN cents IS NULL
+            THEN prev_c * (next_m - prev_m) + (next_c - prev_c) * (minute - prev_m)
+            ELSE cents END AS filled_num,
+       CAST(CASE WHEN cents IS NULL THEN next_m - prev_m ELSE 1 END AS BIGINT)
+         AS denom,
+       CAST(CASE WHEN cents IS NULL
+            THEN prev_c * (next_m - prev_m) + (next_c - prev_c) * (minute - prev_m)
+            ELSE cents END AS DOUBLE)
+       / CAST(CASE WHEN cents IS NULL THEN next_m - prev_m ELSE 1 END AS DOUBLE)
+         AS filled_cents
+FROM nb ORDER BY minute
+"""
+
+
+# --- q154: edit-distance near-dup part names ---------------------------------
+
+
+def q154_part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-duplicate pairs over the part-name domain.
+
+    Edit distance is quadratic per comparison, so the scale move is to
+    collapse to the DISTINCT attribute domain first: part names are a
+    Zipf-small vocabulary (64 distinct at sf0.1 for 20k rows), so the
+    pairwise comparison runs on the deduplicated domain and the row
+    multiplicities multiply back in (`n_pairs = cnt_a * cnt_b`).  At
+    100 TB the domain of a categorical attribute stays bounded while rows
+    grow — the pair stage's cost is O(|domain|^2), not O(rows^2).
+    Output: (name_a, name_b, dist, n_pairs), dist/name_a/name_b asc."""
+    part = load_tables(spark, sf_dir)["part"]
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").alias("cnt")
+    )
+    a = names.select(F.col("name").alias("name_a"), F.col("cnt").alias("cnt_a"))
+    b = names.select(F.col("name").alias("name_b"), F.col("cnt").alias("cnt_b"))
+    pairs = a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+    return (
+        pairs.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            "dist",
+            (F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"),
+        )
+        .orderBy("dist", "name_a", "name_b")
+    )
+
+
+Q154_SQL = """
+WITH names AS (SELECT p_name AS name, COUNT(*) AS cnt FROM part GROUP BY 1)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist,
+       a.cnt * b.cnt AS n_pairs
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+ORDER BY dist, name_a, name_b
+"""
+
+
+# --- q155: cheapest supplier per part (argmin join, TPC-H Q2 shape) ----------
+
+
+def q155_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part, the supplier with the lowest realized unit price — the
+    TPC-H Q2 correlated-min shape, rewritten as one aggregate plus a
+    ranking window instead of a correlated subquery re-scan.
+
+    Cross-row sums stay integer (price cents, floored unit quantities);
+    the unit price is ONE division of those exact integers, and because
+    IEEE division is correctly rounded the ranking order is identical in
+    both engines; ties break on s_suppkey.  The window partitions by the
+    same key the aggregate grouped on, so ranking adds only the partkey
+    re-shuffle — no join back, no second scan of lineitem.
+    Output: (p_partkey, best_suppkey, cost_cents, qty, unit_price),
+    p_partkey ascending."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("cost_cents"),
+        F.sum(F.floor("l_quantity").cast("long")).alias("qty"),
+    )
+    unit = per.withColumn(
+        "unit_price", F.col("cost_cents") / F.col("qty").cast("double")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    return (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("best_suppkey"),
+            "cost_cents",
+            "qty",
+            "unit_price",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q155_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+           AS cost_cents,
+         SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, cost_cents, qty,
+         CAST(cost_cents AS DOUBLE) / CAST(qty AS DOUBLE) AS unit_price,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(cost_cents AS DOUBLE) / CAST(qty AS DOUBLE), l_suppkey
+         ) AS rn
+  FROM per
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+       cost_cents, qty, unit_price
+FROM ranked WHERE rn = 1 ORDER BY p_partkey
+"""
+
+
+# --- q156: dormant above-average customers per segment (TPC-H Q22 shape) -----
+
+
+def q156_dormant_segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: customers whose balance is strictly above their
+    segment's average but who placed no order in the trailing 90 days of
+    the dataset — the TPC-H Q22 'rich but dormant' shape.
+
+    The scalar 'segment average' subquery is a tiny broadcast aggregate,
+    and the comparison is the cross-multiplied integer form
+    `bal_cents * n > total_cents` (no division, exact).  The recency
+    cutoff derives from a 1-row MAX broadcast, so the activity side is a
+    date-filtered DISTINCT that an anti join consumes — no correlated
+    re-scan per customer.
+    Output: (c_mktsegment, n_dormant, bal_cents), segment ascending."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].withColumn(
+        "bal_cents", F.floor(F.col("c_acctbal") * 100).cast("long")
+    )
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_seg"), F.sum("bal_cents").alias("total_cents")
+    )
+    rich = cust.join(F.broadcast(seg), "c_mktsegment").filter(
+        F.col("bal_cents") * F.col("n_seg") > F.col("total_cents")
+    )
+    orders = t["orders"]
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    active = (
+        orders.crossJoin(F.broadcast(mx))
+        .filter(F.col("o_orderdate") >= F.col("mxd") - F.expr("INTERVAL 90 DAYS"))
+        .select("o_custkey")
+        .distinct()
+    )
+    dormant = rich.join(
+        active, rich["c_custkey"] == active["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_dormant"), F.sum("bal_cents").alias("bal_cents"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q156_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+seg AS (
+  SELECT c_mktsegment, COUNT(*) AS n_seg, SUM(bal_cents) AS total_cents
+  FROM cust GROUP BY 1
+),
+rich AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.bal_cents
+  FROM cust c JOIN seg s USING (c_mktsegment)
+  WHERE c.bal_cents * s.n_seg > s.total_cents
+),
+active AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 90 DAY
+)
+SELECT c_mktsegment, COUNT(*) AS n_dormant, SUM(bal_cents) AS bal_cents
+FROM rich r
+WHERE NOT EXISTS (SELECT 1 FROM active a WHERE a.o_custkey = r.c_custkey)
+GROUP BY 1 ORDER BY c_mktsegment
+"""
+
+
+# --- q157: next-word branching factor (n-gram LM backoff diagnostic) ---------
+
+
+def q157_next_word_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For the 20 highest-traffic leading words: how many distinct
+    continuations follow it, and how dominant is the top one — the
+    branching-factor table an n-gram LM uses to decide backoff.
+
+    Bigrams come from the in-row shifted-index explode (each token
+    produces one (w[i], w[i+1]) row — no self-join).  Everything after
+    the bigram count is keyed by the left word, so the distinct-count,
+    the total, and the argmax window all share one shuffle domain.  The
+    top-continuation argmax is a ROW_NUMBER with a (count desc, word asc)
+    deterministic tie-break, and `top_share` is the single end-stage
+    division of exact counts.
+    Output: (word, total, n_continuations, top_next, top_share),
+    total desc / word asc, limit 20."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(split(text, ' ')[i - 1] AS l,"
+                "             split(text, ' ')[i] AS r))"
+            )
+        ).alias("bg")
+    ).select("bg.l", "bg.r")
+    pair_counts = bigrams.groupBy("l", "r").agg(F.count("*").alias("c"))
+    rank = Window.partitionBy("l").orderBy(F.desc("c"), F.asc("r"))
+    per_left = (
+        pair_counts.withColumn("rn", F.row_number().over(rank))
+        .groupBy("l")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count("*").alias("n_continuations"),
+            F.max(F.when(F.col("rn") == 1, F.col("r"))).alias("top_next"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_c"),
+        )
+    )
+    return (
+        per_left.select(
+            F.col("l").alias("word"),
+            "total",
+            "n_continuations",
+            "top_next",
+            (F.col("top_c") / F.col("total").cast("double")).alias("top_share"),
+        )
+        .orderBy(F.desc("total"), F.asc("word"))
+        .limit(20)
+    )
+
+
+Q157_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bigrams AS (
+  SELECT w[i] AS l, w[i + 1] AS r
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+),
+pair_counts AS (SELECT l, r, COUNT(*) AS c FROM bigrams GROUP BY 1, 2),
+ranked AS (
+  SELECT l, r, c,
+         ROW_NUMBER() OVER (PARTITION BY l ORDER BY c DESC, r ASC) AS rn
+  FROM pair_counts
+),
+per_left AS (
+  SELECT l, SUM(c) AS total, COUNT(*) AS n_continuations,
+         MAX(CASE WHEN rn = 1 THEN r END) AS top_next,
+         MAX(CASE WHEN rn = 1 THEN c END) AS top_c
+  FROM ranked GROUP BY 1
+)
+SELECT l AS word, total, n_continuations, top_next,
+       CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) AS top_share
+FROM per_left ORDER BY total DESC, word ASC LIMIT 20
+"""
+
+
+# --- q158: sign-random-projection LSH buckets over embeddings ----------------
+
+_SRP_PLANES = 16
+_SRP_DIM = 64
+
+
+def _srp_sign(plane: int, dim: int) -> int:
+    """Deterministic Rademacher +-1, derived from a public hash so both
+    engines (and any re-run) see the same hyperplanes."""
+    h = hashlib.md5(f"srp:{plane}:{dim}".encode()).hexdigest()
+    return 1 if int(h[0], 16) < 8 else -1
+
+
+_SRP_SIGNS = [
+    [_srp_sign(p, d) for d in range(_SRP_DIM)] for p in range(_SRP_PLANES)
+]
+
+
+def q158_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection (hyperplane) LSH over the embedding table:
+    each vector hashes to a 16-bit bucket of dot-product signs against
+    fixed Rademacher hyperplanes — the cosine-LSH family (Charikar 2002),
+    complementing the IVF/cell approach of q29/q61.
+
+    The hyperplanes are module-level +-1 constants derived from md5, so
+    the projection is `zip_with` multiply + in-row integer fold over the
+    1/1000-quantized vector — exact BIGINT per plane, zero joins, one
+    shuffle for the bucket histogram.  At 100 TB this is the embedding
+    near-dup blocker: bucket sizes bound candidate pairs exactly like the
+    MinHash bands do for text.
+    Output: (bucket, n_vecs, n_labels), bucket ascending."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    quant = emb.select("vec_id", "label", q.alias("q"))
+    bucket = None
+    for p, signs in enumerate(_SRP_SIGNS):
+        lit_signs = F.array(*[F.lit(s) for s in signs])
+        dot = F.aggregate(
+            F.zip_with("q", lit_signs, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        quant.select(bucket.alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _srp_plane_sql(p: int, signs: list[int]) -> str:
+    lits = ", ".join(str(s) for s in signs)
+    return (
+        f"CASE WHEN list_sum(list_transform(range(1, {_SRP_DIM + 1}),"
+        f" i -> q[i] * ([{lits}])[i])) > 0 THEN {1 << p} ELSE 0 END"
+    )
+
+
+Q158_SQL = f"""
+WITH quant AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+hashed AS (
+  SELECT label,
+         {" + ".join(_srp_plane_sql(p, s) for p, s in enumerate(_SRP_SIGNS))}
+           AS bucket
+  FROM quant
+)
+SELECT bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
+FROM hashed GROUP BY 1 ORDER BY bucket
+"""
+
+
+MINING_QUERIES = {
+    "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
+    "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
+    "q155_cheapest_supplier_per_part": (q155_cheapest_supplier_per_part, Q155_SQL),
+    "q156_dormant_segment_profile": (q156_dormant_segment_profile, Q156_SQL),
+    "q157_next_word_branching": (q157_next_word_branching, Q157_SQL),
+    "q158_srp_lsh_buckets": (q158_srp_lsh_buckets, Q158_SQL),
+}

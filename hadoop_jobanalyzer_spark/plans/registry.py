@@ -54,6 +54,13 @@ try:  # behavioural / data-quality queries (streaks, Spearman, Benford, expectat
 except ImportError:  # pragma: no cover
     pass
 
+try:  # mining / timeseries queries (gapfill, edit-distance, argmin, SRP-LSH)
+    from hadoop_jobanalyzer_spark.plans.mining_queries import MINING_QUERIES
+
+    QUERIES.update(MINING_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 # The driver's correctness gate records at most 50 queries per round, in
 # registry iteration order (CORRECTNESS_r01.json stopped at exactly the
 # first 50 of 59).  To make the union of rounds cover everything AND keep

@@ -1,0 +1,113 @@
+"""Differential tests for the mining/timeseries query set (q153+)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.plans.mining_queries import (
+    MINING_QUERIES,
+    _SRP_SIGNS,
+)
+
+from tests.oracle_utils import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(MINING_QUERIES))
+def test_mining_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = MINING_QUERIES[name]
+    problems = compare(fn(spark, sf_dir), duck, sql)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(MINING_QUERIES))
+def test_mining_query_nonempty(spark, sf_dir, name):
+    fn, _ = MINING_QUERIES[name]
+    assert fn(spark, sf_dir).count() > 0, f"{name} returned no rows at {sf_dir}"
+
+
+# --- semantic spot checks ----------------------------------------------------
+
+
+def test_gapfill_interpolates_linearly(spark, sf_dir):
+    """Every gap row's filled value lies between its neighbours' values
+    (linear interpolation is monotone within a gap), and observed rows
+    pass through unchanged: denom == 1 and filled_num == cents sum."""
+    fn, _ = MINING_QUERIES["q153_gapfill_interpolation"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r["minute"])
+    # spine is contiguous
+    minutes = [r["minute"] for r in rows]
+    assert minutes == list(range(minutes[0], minutes[-1] + 1))
+    for r in rows:
+        if not r["is_gap"]:
+            assert r["denom"] == 1
+            assert r["filled_cents"] == float(r["filled_num"])
+        else:
+            assert r["n_events"] == 0 and r["denom"] >= 2
+
+
+def test_edit_pairs_symmetric_free_and_bounded(spark, sf_dir):
+    """Each unordered name pair appears once (name_a < name_b) and the
+    distance bound holds."""
+    fn, _ = MINING_QUERIES["q154_part_name_edit_pairs"]
+    rows = fn(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["dist"] <= 3
+        key = (r["name_a"], r["name_b"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_cheapest_supplier_is_unique_per_part(spark, sf_dir):
+    fn, _ = MINING_QUERIES["q155_cheapest_supplier_per_part"]
+    df = fn(spark, sf_dir)
+    n = df.count()
+    assert df.select("p_partkey").distinct().count() == n
+
+
+def test_dormant_profile_is_subset_of_rich(spark, sf_dir):
+    """Dormant counts can never exceed the above-average population of the
+    segment."""
+    fn, _ = MINING_QUERIES["q156_dormant_segment_profile"]
+    got = {r["c_mktsegment"]: r["n_dormant"] for r in fn(spark, sf_dir).collect()}
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    seg_sizes = {
+        r["c_mktsegment"]: r["n"]
+        for r in cust.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    }
+    for seg, n_dormant in got.items():
+        assert 0 < n_dormant <= seg_sizes[seg]
+
+
+def test_branching_top_share_bounds(spark, sf_dir):
+    fn, _ = MINING_QUERIES["q157_next_word_branching"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r["top_share"] <= 1.0
+        assert r["n_continuations"] <= r["total"]
+
+
+def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
+    """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
+    parity), and every vector lands in exactly one bucket."""
+    flat = [s for plane in _SRP_SIGNS for s in plane]
+    assert set(flat) <= {1, -1}
+    pos = sum(1 for s in flat if s == 1)
+    assert 0.35 < pos / len(flat) < 0.65
+    fn, _ = MINING_QUERIES["q158_srp_lsh_buckets"]
+    df = fn(spark, sf_dir)
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    n_vecs = load_tables(spark, sf_dir)["embeddings"].count()
+    assert df.agg(F.sum("n_vecs")).collect()[0][0] == n_vecs

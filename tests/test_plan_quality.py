@@ -63,6 +63,11 @@ NESTED_LOOP_OK = {
     "q150_ks_length_drift",
     # 1-row min/max-day bounds broadcast clipping the horizon explode
     "q152_rolling_active_users",
+    # Zipf-small distinct-name domain joined on a < inequality (the
+    # intended O(|domain|^2) pair stage, never O(rows^2))
+    "q154_part_name_edit_pairs",
+    # 1-row MAX(o_orderdate) recency-cutoff broadcast
+    "q156_dormant_segment_profile",
 }
 
 
@@ -170,6 +175,12 @@ def _n_exchanges(plan: str) -> int:
         ("q150_ks_length_drift", 7),   # counts/vals/srcs aggs + 2 cum windows
         ("q151_incremental_daily_revenue", 3),  # base+delta states + merge agg
         ("q152_rolling_active_users", 5),  # distinct + bounds + 2-phase countDistinct
+        ("q153_gapfill_interpolation", 2),  # minute agg + global spine window
+        ("q154_part_name_edit_pairs", 3),  # name-domain agg both sides + sort
+        ("q155_cheapest_supplier_per_part", 3),  # (part,supp) agg + rank + sort
+        ("q156_dormant_segment_profile", 5),  # seg agg + distinct + anti + agg
+        ("q157_next_word_branching", 2),  # bigram agg; rank+rollup share shuffle
+        ("q158_srp_lsh_buckets", 3),  # in-row hash; 2-phase countDistinct + sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
