@@ -399,17 +399,18 @@ _SRP_SIGNS = [
 
 
 def q158_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection (hyperplane) LSH over the embedding table:
-    each vector hashes to a 16-bit bucket of dot-product signs against
-    fixed Rademacher hyperplanes — the cosine-LSH family (Charikar 2002),
-    complementing the IVF/cell approach of q29/q61.
+    """LSH hash-quality diagnostic: 16-bit Rademacher sign-random-projection
+    buckets with per-bucket LABEL PURITY (`n_labels`) — the tuning relation
+    for the SRP family whose occupancy histogram q28 reports.  Where q28
+    answers "are the 8-plane buckets balanced?", this answers "do 16
+    Rademacher planes keep same-label vectors together?" — the
+    recall-proxy a pipeline checks before trusting SRP blocking.
 
     The hyperplanes are module-level +-1 constants derived from md5, so
     the projection is `zip_with` multiply + in-row integer fold over the
     1/1000-quantized vector — exact BIGINT per plane, zero joins, one
-    shuffle for the bucket histogram.  At 100 TB this is the embedding
-    near-dup blocker: bucket sizes bound candidate pairs exactly like the
-    MinHash bands do for text.
+    shuffle for the histogram.  At 100 TB bucket sizes and purity together
+    bound the candidate-pair volume and recall of the near-dup stage.
     Output: (bucket, n_vecs, n_labels), bucket ascending."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     q = F.transform(
@@ -463,6 +464,307 @@ FROM hashed GROUP BY 1 ORDER BY bucket
 """
 
 
+# --- q159: hybrid retrieval — reciprocal rank fusion -------------------------
+
+_RRF_K = 60
+_RRF_TERMS = ["dup", "key", "window"]  # same query as q80 (rare/mid/common df)
+_RRF_DEPTH = 20
+
+
+def q159_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 keyword ranking (q80's engine) with
+    the embedding cosine ranking (q27's engine, vec_id == doc_id) by
+    reciprocal rank fusion `score = sum 1/(60 + rank)` — the standard
+    lexical+dense combiner.
+
+    Both input rankings are deterministic (rounded scores with id
+    tie-breaks), each is already a top-`DEPTH` relation before the fuse,
+    so the full-outer join touches at most 2*DEPTH rows — driver-side
+    cost is nil and the heavy lifting stays in the two bounded retrieval
+    plans.  The RRF contributions are per-row IEEE divisions of exact
+    small integers (identical in both engines); no cross-row float sums
+    (at most two doubles add per row, same order both sides).
+    Output: (doc_id, bm25_rank, cos_rank, rrf_score), top 10 by score
+    desc / doc_id asc."""
+    from hadoop_jobanalyzer_spark.operators.retrieval import bm25_topk
+    from hadoop_jobanalyzer_spark.operators.similarity import knn_brute_force
+
+    t = load_tables(spark, sf_dir)
+    w_bm = Window.orderBy(F.desc("score"), "doc_id")
+    bm = (
+        bm25_topk(t["documents"], "doc_id", "text", _RRF_TERMS, k=_RRF_DEPTH)
+        .withColumn("bm25_rank", F.row_number().over(w_bm))
+        .select("doc_id", "bm25_rank")
+    )
+    w_nn = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    nn = (
+        knn_brute_force(t["embeddings"], "vec_id", "embedding", query_id=0, k=_RRF_DEPTH)
+        .withColumn("cos_rank", F.row_number().over(w_nn))
+        .select(F.col("vec_id").alias("doc_id"), "cos_rank")
+    )
+    fused = bm.join(nn, "doc_id", "full_outer")
+    contrib = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(_RRF_K) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            (contrib("bm25_rank") + contrib("cos_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
+
+
+def _q159_sql() -> str:
+    from hadoop_jobanalyzer_spark.operators.retrieval import bm25_sql
+
+    bm = bm25_sql("documents", "doc_id", "text", _RRF_TERMS, k=_RRF_DEPTH)
+    return f"""
+WITH bm_top AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+  FROM ({bm})
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cos_all AS (
+  SELECT vec_id AS doc_id,
+         ROUND(
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+                                   x -> x[1] * x[2]))
+           / sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))
+                  * list_sum(list_transform(q.qv, x -> x * x)))
+         , 4) AS cos_sim
+  FROM embeddings e, q WHERE vec_id != 0
+),
+nn_top AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank
+  FROM (SELECT * FROM cos_all ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_DEPTH})
+)
+SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id, b.bm25_rank, n.cos_rank,
+       COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + b.bm25_rank), 0.0)
+       + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + n.cos_rank), 0.0) AS rrf_score
+FROM bm_top b FULL OUTER JOIN nn_top n ON b.doc_id = n.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+# --- q160: seasonal-baseline anomaly flags -----------------------------------
+
+
+def q160_hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: each (day, hour-of-day) event count is
+    compared against that hour-of-day's cross-day baseline; cells more
+    than 2 population standard deviations out are flagged.
+
+    The day x hour grid comes from two tiny derived dimensions (distinct
+    days x 24 literal hours — a broadcast, never a per-event explode), so
+    zero-event cells participate in the baseline instead of silently
+    biasing it.  Moments stay exact: the anomaly test is the
+    cross-multiplied integer form `dev^2 > 4 * (n*Q - S^2)` (z^2 > 4 with
+    population variance), and the reported z is one sqrt + one division
+    of exact integers, both correctly rounded and engine-identical.
+    Output: (day, hour, c, n_days, dev, var_num, z, is_anomaly),
+    day/hour ascending."""
+    events = load_tables(spark, sf_dir)["events"]
+    s = F.floor(epoch_s("ts")).cast("long")
+    cells = (
+        events.select(
+            (s / 86400).cast("long").alias("day"),
+            ((s % 86400) / 3600).cast("long").alias("hour"),
+        )
+        .groupBy("day", "hour")
+        .agg(F.count("*").alias("c"))
+    )
+    days = cells.select("day").distinct()
+    hours = spark.range(24).select(F.col("id").alias("hour"))
+    grid = days.crossJoin(F.broadcast(hours))
+    full = grid.join(cells, ["day", "hour"], "left").fillna(0, ["c"])
+    stats = full.groupBy("hour").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("s_sum"),
+        F.sum(F.col("c") * F.col("c")).alias("q_sum"),
+    )
+    j = full.join(F.broadcast(stats), "hour")
+    dev = F.col("c") * F.col("n_days") - F.col("s_sum")
+    var_num = F.col("n_days") * F.col("q_sum") - F.col("s_sum") * F.col("s_sum")
+    z = F.when(
+        var_num > 0, dev.cast("double") / F.sqrt(var_num.cast("double"))
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "day",
+        "hour",
+        "c",
+        "n_days",
+        dev.alias("dev"),
+        var_num.alias("var_num"),
+        z.alias("z"),
+        ((dev * dev > 4 * var_num) & (var_num > 0)).alias("is_anomaly"),
+    ).orderBy("day", "hour")
+
+
+Q160_SQL = """
+WITH cells AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+         (CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hour,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, h.hour
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 23)) AS hour) h
+),
+full_grid AS (
+  SELECT g.day, g.hour, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN cells c ON c.day = g.day AND c.hour = g.hour
+),
+stats AS (
+  SELECT hour, COUNT(*) AS n_days, SUM(c) AS s_sum, SUM(c * c) AS q_sum
+  FROM full_grid GROUP BY 1
+)
+SELECT f.day, f.hour, f.c, s.n_days,
+       f.c * s.n_days - s.s_sum AS dev,
+       s.n_days * s.q_sum - s.s_sum * s.s_sum AS var_num,
+       CASE WHEN s.n_days * s.q_sum - s.s_sum * s.s_sum > 0
+            THEN CAST(f.c * s.n_days - s.s_sum AS DOUBLE)
+                 / sqrt(CAST(s.n_days * s.q_sum - s.s_sum * s.s_sum AS DOUBLE))
+            ELSE 0.0 END AS z,
+       (f.c * s.n_days - s.s_sum) * (f.c * s.n_days - s.s_sum)
+         > 4 * (s.n_days * s.q_sum - s.s_sum * s.s_sum)
+       AND s.n_days * s.q_sum - s.s_sum * s.s_sum > 0 AS is_anomaly
+FROM full_grid f JOIN stats s USING (hour)
+ORDER BY day, hour
+"""
+
+
+# --- q161: nation-pair trade volume (TPC-H Q7 shape) -------------------------
+
+
+def q161_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flowing between (supplier nation, customer nation) pairs
+    per ship-year — the TPC-H Q7 'volume shipping' shape.
+
+    Join order follows fact-table discipline: lineitem keeps its partition
+    count while orders joins on orderkey (the only big-big shuffle); the
+    customer->nation and supplier->nation lookups are dimension broadcasts
+    so no additional fact shuffle happens.  Revenue accumulates as exact
+    integer cents, per-row floored before the sum.
+    Output: (supp_nation, cust_nation, ship_year, revenue_cents),
+    ordered by the three keys."""
+    t = load_tables(spark, sf_dir)
+    nation = t["nation"].select("n_nationkey", "n_name")
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+            t["customer"]["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+            t["supplier"]["s_nationkey"] == nation["n_nationkey"],
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        ).cast("long").alias("rev_cents"),
+    )
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+Q161_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# --- q162: customer spend rank functions -------------------------------------
+
+
+def q162_customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete rank-function surface over customer lifetime spend:
+    rank, dense_rank, percent_rank, cume_dist, and ntile(10) in one
+    window pass.
+
+    All five functions share ONE global sort (Spark plans a single
+    Window over one Exchange), spend is exact integer cents so ties are
+    value-true, and the two fractional measures are the engines' own
+    rank-arithmetic — deterministic because rank/row-count inputs are
+    integers and the division is single IEEE.
+    Output: (c_custkey, spend_cents, rnk, drnk, prnk, cume, decile),
+    spend desc / custkey asc."""
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("spend_cents"))
+    wt = Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
+    return (
+        spend.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "spend_cents",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(10).over(wt).alias("decile"),
+        )
+        .orderBy(F.desc("spend_cents"), F.asc("c_custkey"))
+    )
+
+
+Q162_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey AS c_custkey, spend_cents,
+       RANK() OVER (ORDER BY spend_cents DESC) AS rnk,
+       DENSE_RANK() OVER (ORDER BY spend_cents DESC) AS drnk,
+       PERCENT_RANK() OVER (ORDER BY spend_cents DESC) AS prnk,
+       CUME_DIST() OVER (ORDER BY spend_cents DESC) AS cume,
+       NTILE(10) OVER (ORDER BY spend_cents DESC, o_custkey ASC) AS decile
+FROM spend
+ORDER BY spend_cents DESC, c_custkey ASC
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -470,4 +772,8 @@ MINING_QUERIES = {
     "q156_dormant_segment_profile": (q156_dormant_segment_profile, Q156_SQL),
     "q157_next_word_branching": (q157_next_word_branching, Q157_SQL),
     "q158_srp_lsh_buckets": (q158_srp_lsh_buckets, Q158_SQL),
+    "q159_hybrid_search_rrf": (q159_hybrid_search_rrf, _q159_sql()),
+    "q160_hourly_anomaly_flags": (q160_hourly_anomaly_flags, Q160_SQL),
+    "q161_nation_trade_volume": (q161_nation_trade_volume, Q161_SQL),
+    "q162_customer_spend_ranks": (q162_customer_spend_ranks, Q162_SQL),
 }

@@ -98,6 +98,62 @@ def test_branching_top_share_bounds(spark, sf_dir):
         assert r["n_continuations"] <= r["total"]
 
 
+def test_rrf_scores_decompose(spark, sf_dir):
+    """Every fused score equals the sum of its two rank contributions and
+    at least one source rank is present per row."""
+    fn, _ = MINING_QUERIES["q159_hybrid_search_rrf"]
+    for r in fn(spark, sf_dir).collect():
+        a = 1.0 / (60 + r["bm25_rank"]) if r["bm25_rank"] is not None else 0.0
+        b = 1.0 / (60 + r["cos_rank"]) if r["cos_rank"] is not None else 0.0
+        assert r["bm25_rank"] is not None or r["cos_rank"] is not None
+        assert r["rrf_score"] == a + b
+
+
+def test_hourly_anomaly_grid_is_complete(spark, sf_dir):
+    """All 24 hours appear for every day, and flagged cells really are
+    >2 population sigma from their hour's mean."""
+    import math
+
+    fn, _ = MINING_QUERIES["q160_hourly_anomaly_flags"]
+    rows = fn(spark, sf_dir).collect()
+    days = {r["day"] for r in rows}
+    assert len(rows) == 24 * len(days)
+    for r in rows:
+        if r["var_num"] > 0:
+            z = r["dev"] / math.sqrt(r["var_num"])
+            assert r["is_anomaly"] == (abs(z) > 2.0)
+
+
+def test_trade_volume_totals(spark, sf_dir):
+    """Nation-pair revenue must sum to total lineitem revenue (every line
+    item has exactly one customer and supplier nation)."""
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q161_nation_trade_volume"]
+    got = fn(spark, sf_dir).agg(F.sum("revenue_cents")).collect()[0][0]
+    li = load_tables(spark, sf_dir)["lineitem"]
+    want = li.select(
+        F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("c")
+    ).agg(F.sum("c")).collect()[0][0]
+    assert got == want
+
+
+def test_spend_ranks_invariants(spark, sf_dir):
+    """rank >= dense_rank, percent_rank/cume in [0,1], deciles 1..10."""
+    fn, _ = MINING_QUERIES["q162_customer_spend_ranks"]
+    rows = fn(spark, sf_dir).collect()
+    n = len(rows)
+    for r in rows:
+        assert r["rnk"] >= r["drnk"]
+        assert 0.0 <= r["prnk"] <= 1.0 and 0.0 < r["cume"] <= 1.0
+        assert 1 <= r["decile"] <= 10
+    assert rows[0]["rnk"] == 1 and rows[0]["prnk"] == 0.0
+    assert rows[-1]["cume"] == 1.0
+    assert n == len({r["c_custkey"] for r in rows})
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

@@ -68,6 +68,11 @@ NESTED_LOOP_OK = {
     "q154_part_name_edit_pairs",
     # 1-row MAX(o_orderdate) recency-cutoff broadcast
     "q156_dormant_segment_profile",
+    # 1-row query-vector + 1-row BM25-stats broadcasts inside the two
+    # bounded retrieval subplans being fused
+    "q159_hybrid_search_rrf",
+    # distinct-days x 24-literal-hours grid (two tiny derived dims)
+    "q160_hourly_anomaly_flags",
 }
 
 
@@ -181,6 +186,10 @@ def _n_exchanges(plan: str) -> int:
         ("q156_dormant_segment_profile", 5),  # seg agg + distinct + anti + agg
         ("q157_next_word_branching", 2),  # bigram agg; rank+rollup share shuffle
         ("q158_srp_lsh_buckets", 3),  # in-row hash; 2-phase countDistinct + sort
+        ("q159_hybrid_search_rrf", 2),  # two bounded top-k subplans + tiny fuse
+        ("q160_hourly_anomaly_flags", 6),  # cell agg + grid join + hour stats
+        ("q161_nation_trade_volume", 2),  # orderkey join + final agg (dims bcast)
+        ("q162_customer_spend_ranks", 2),  # spend agg + one shared rank window
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
