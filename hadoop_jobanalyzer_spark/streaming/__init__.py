@@ -20,6 +20,7 @@ from hadoop_jobanalyzer_spark.streaming.sinks import (
 from hadoop_jobanalyzer_spark.streaming.event_stream import (
     dedup_events_stream,
     event_window_counts_stream,
+    heavy_hitters_stream,
     hll_register_stream,
     kmv_stream,
     pattern_match_stream,

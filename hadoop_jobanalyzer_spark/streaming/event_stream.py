@@ -377,3 +377,87 @@ def pattern_match_stream(
     return base.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters via the space-saving sketch
+    (Metwally et al. 2005): per hash shard, at most ``capacity`` counters
+    maintained across micro-batches — the bounded-state answer to "which
+    keys dominate the stream?" when the key domain is unbounded.
+
+    Distribution shape: keys hash-partition into ``shards`` independent
+    sketches (the md5-mod used by the batch samplers, so shard membership
+    is engine-portable and replay-stable); each shard's state is three
+    parallel arrays of length <= capacity.  Memory is
+    O(shards * capacity) FOREVER — stream length and key cardinality
+    never grow it.  The space-saving guarantee holds per shard: any key
+    with true count > shard_total/capacity is tracked, estimates only
+    overcount, and ``err`` bounds the overcount per key
+    (est - err <= true <= est).  Eviction ties break by (count, key) so
+    replays are deterministic.
+
+    Each micro-batch emits the shard's full refreshed snapshot with a
+    monotone ``n_seen`` marker; downstream keeps each shard's
+    max-``n_seen`` rows (evicted keys' older rows are superseded).
+
+    Output: shard, n_seen, key, est, err.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "shard long, n_seen long, key string, est long, err long"
+    state_schema = "keys array<string>, counts array<long>, errs array<long>, n long"
+
+    def update(key, pdfs, state):
+        keys, counts, errs, n_seen = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        table = {k: [c, e] for k, c, e in zip(keys, counts, errs)}
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for item, cnt in pdf["_k"].value_counts().sort_index().items():
+                cnt = int(cnt)
+                if item in table:
+                    table[item][0] += cnt
+                elif len(table) < capacity:
+                    table[item] = [cnt, 0]
+                else:
+                    # evict the (count, key)-minimal entry; inherit its
+                    # count as the new entry's overcount bound
+                    victim = min(table.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    vcount = victim[1][0]
+                    del table[victim[0]]
+                    table[item] = [vcount + cnt, vcount]
+        items = sorted(table.items())
+        state.update(
+            (
+                [k for k, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "n_seen": [n_seen] * len(items),
+                "key": [k for k, _ in items],
+                "est": [v[0] for _, v in items],
+                "err": [v[1] for _, v in items],
+            }
+        )
+
+    from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("_k"),
+        hash_bucket(F.col(key_col), shards).alias("_shard"),
+    )
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -443,3 +443,86 @@ def test_pattern_match_stream_matches_batch(spark, sf_dir, events_dir, tmp_path)
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_stream_space_saving_guarantees(spark, sf_dir, events_dir, tmp_path):
+    """Space-saving invariants after the stream drains, against the exact
+    batch counts: (1) every counter's sum per shard equals the shard's
+    processed total (no increment is lost), (2) estimates only overcount
+    and err bounds the overcount, (3) every true heavy hitter
+    (count > shard_total/capacity) is tracked, (4) with capacity >= domain
+    the sketch degrades to exact counts."""
+    from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket
+    from hadoop_jobanalyzer_spark.streaming import heavy_hitters_stream
+
+    capacity, shards = 8, 4
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    _run_to_memory(
+        heavy_hitters_stream(stream, "user_id", capacity=capacity, shards=shards),
+        name,
+        "update",
+        checkpoint=str(tmp_path / "ckpt_hh"),
+    )
+    rows = spark.table(name).collect()
+    last_seen = {}
+    for r in rows:
+        last_seen[r["shard"]] = max(last_seen.get(r["shard"], 0), r["n_seen"])
+    latest = [r for r in rows if r["n_seen"] == last_seen[r["shard"]]]
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    truth_rows = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy(
+            F.col("user_id").cast("string").alias("k"),
+            hash_bucket(F.col("user_id"), shards).alias("shard"),
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    truth = {(r["shard"], r["k"]): r["c"] for r in truth_rows}
+    shard_totals = {}
+    for (shard, _), c in truth.items():
+        shard_totals[shard] = shard_totals.get(shard, 0) + c
+
+    est_totals = {}
+    tracked = set()
+    for r in latest:
+        true_c = truth.get((r["shard"], r["key"]), 0)
+        assert r["est"] >= true_c, "space-saving must only overcount"
+        assert r["est"] - r["err"] <= true_c, "err must bound the overcount"
+        est_totals[r["shard"]] = est_totals.get(r["shard"], 0) + r["est"]
+        tracked.add((r["shard"], r["key"]))
+    assert est_totals == shard_totals, "counter mass must equal processed mass"
+    for (shard, k), c in truth.items():
+        if c * capacity > shard_totals[shard]:
+            assert (shard, k) in tracked, f"missed heavy hitter {k} in shard {shard}"
+
+    # capacity >= domain: exact mode, no error
+    name2 = f"hh2_{uuid.uuid4().hex[:8]}"
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    _run_to_memory(
+        heavy_hitters_stream(stream2, "user_id", capacity=100000, shards=shards),
+        name2,
+        "update",
+        checkpoint=str(tmp_path / "ckpt_hh2"),
+    )
+    rows2 = spark.table(name2).collect()
+    last2 = {}
+    for r in rows2:
+        last2[r["shard"]] = max(last2.get(r["shard"], 0), r["n_seen"])
+    got = {
+        (r["shard"], r["key"]): (r["est"], r["err"])
+        for r in rows2
+        if r["n_seen"] == last2[r["shard"]]
+    }
+    assert got == {k: (c, 0) for k, c in truth.items()}
