@@ -75,12 +75,13 @@ from pathlib import Path as _Path
 _REPO_ROOT = _Path(__file__).resolve().parents[2]
 
 
-def _last_green_round() -> dict[str, int]:
-    """query name -> latest round the driver verified it fully green
-    (no error, rows+schema match, hash not a recorded mismatch). A RED
-    result in a round at or after the last green resets the query to
-    rank 0 — a fixed regression must re-verify immediately, not queue
-    behind the stale-green rotation."""
+def _verification_history() -> tuple[dict[str, int], set[str]]:
+    """(greens, reds): query name -> latest round the driver verified it
+    fully green (no error, rows+schema match, hash not a recorded
+    mismatch), plus the set of queries whose LATEST driver record is red.
+    A RED result in a round at or after the last green resets the query —
+    a fixed regression must re-verify immediately, not queue behind the
+    stale-green rotation."""
     greens: dict[str, int] = {}
     reds: dict[str, int] = {}
     for p in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
@@ -102,16 +103,34 @@ def _last_green_round() -> dict[str, int]:
                 greens[name] = max(rnd, greens.get(name, 0))
             else:
                 reds[name] = max(rnd, reds.get(name, 0))
-    return {
+    still_green = {
         name: rnd
         for name, rnd in greens.items()
         if reds.get(name, -1) < rnd
     }
+    still_red = {n for n in reds if n not in still_green}
+    return still_green, still_red
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    greens = _last_green_round()
-    return sorted(names, key=lambda n: (greens.get(n, 0), n))
+    """Known-red first (a fix must prove itself in the very next round),
+    then never-verified (new queries), then greens stalest-first. The
+    driver records only the first ~50 registry entries per round, so this
+    ordering decides what gets (re-)verified."""
+    greens, reds = _verification_history()
+
+    def num(n: str) -> int:
+        digits = "".join(ch for ch in n[1:] if ch.isdigit() or ch == "_").split("_")[0]
+        return int(digits) if digits.isdigit() else 10**9
+
+    def rank(n: str) -> tuple[int, int, int, str]:
+        if n in reds:
+            return (0, 0, num(n), n)
+        if n not in greens:
+            return (1, 0, num(n), n)
+        return (2, greens[n], num(n), n)
+
+    return sorted(names, key=rank)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -27,6 +27,15 @@ def test_registry_orders_unverified_first():
     from hadoop_jobanalyzer_spark.plans import registry
 
     order = list(registry.queries())
-    greens = registry._last_green_round()
-    ranks = [greens.get(n, 0) for n in order]
-    assert ranks == sorted(ranks), "registry order must be stalest-first"
+    greens, reds = registry._verification_history()
+
+    def bucket(n):
+        return 0 if n in reds else (1 if n not in greens else 2)
+
+    buckets = [bucket(n) for n in order]
+    assert buckets == sorted(buckets), "reds, then never-verified, then greens"
+    green_rounds = [greens[n] for n in order if n in greens]
+    assert green_rounds == sorted(green_rounds), "greens must be stalest-first"
+    # the known-red fixes of round 2 must sit inside the driver's 50-row cap
+    for fixed in ("q52_event_gap_stats", "q56_token_packing"):
+        assert fixed in order[:50]
