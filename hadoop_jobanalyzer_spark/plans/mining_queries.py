@@ -765,6 +765,281 @@ ORDER BY spend_cents DESC, c_custkey ASC
 """
 
 
+# --- q163: rolling cross-series correlation ----------------------------------
+
+_ROLL_W = 24  # hours
+
+
+def q163_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour Pearson correlation between the hourly view series
+    and the hourly purchase series — the co-movement monitor between two
+    metrics a pipeline alerts on.
+
+    Both series land on one zero-filled hour spine (1-row bounds
+    sequence, like q153), so every rolling frame has exactly `_ROLL_W`
+    rows and the five moment sums (Sx, Sy, Sxx, Syy, Sxy) are EXACT
+    integer window sums sharing one global-ordering pass.  The correlation
+    itself is per-row IEEE arithmetic on those exact integers (two sqrts,
+    one multiply, one division — identical operand order in both engines);
+    zero-variance frames yield NULL explicitly.
+    Output: (hour, views, purchases, corr_num, corr), full frames only,
+    hour ascending."""
+    events = load_tables(spark, sf_dir)["events"]
+    hour = F.floor(epoch_s("ts") / 3600).cast("long").alias("hour")
+    counts = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(hour)
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", True)).alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", True)).alias("y"),
+        )
+    )
+    bounds = counts.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hour"))
+    series = spine.join(counts, "hour", "left").fillna(0, ["x", "y"])
+
+    w = Window.orderBy("hour").rowsBetween(-(_ROLL_W - 1), Window.currentRow)
+    rolled = series.select(
+        "hour",
+        F.col("x").alias("views"),
+        F.col("y").alias("purchases"),
+        F.row_number().over(Window.orderBy("hour")).alias("rn"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    ).filter(F.col("rn") >= _ROLL_W)
+    n = F.lit(_ROLL_W)
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return rolled.select(
+        "hour", "views", "purchases", num.alias("corr_num"), corr.alias("corr")
+    ).orderBy("hour")
+
+
+Q163_SQL = f"""
+WITH counts AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour,
+         COUNT(*) FILTER (event_type = 'view') AS x,
+         COUNT(*) FILTER (event_type = 'purchase') AS y
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+),
+bounds AS (SELECT MIN(hour) AS mn, MAX(hour) AS mx FROM counts),
+spine AS (SELECT UNNEST(generate_series(mn, mx)) AS hour FROM bounds),
+series AS (
+  SELECT s.hour, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+  FROM spine s LEFT JOIN counts c ON c.hour = s.hour
+),
+rolled AS (
+  SELECT hour, x AS views, y AS purchases,
+         ROW_NUMBER() OVER (ORDER BY hour) AS rn,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+         SUM(x * y) OVER w AS sxy
+  FROM series
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT hour, views, purchases,
+       {_ROLL_W} * sxy - sx * sy AS corr_num,
+       CASE WHEN {_ROLL_W} * sxx - sx * sx > 0 AND {_ROLL_W} * syy - sy * sy > 0
+            THEN CAST({_ROLL_W} * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST({_ROLL_W} * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST({_ROLL_W} * syy - sy * sy AS DOUBLE)))
+       END AS corr
+FROM rolled WHERE rn >= {_ROLL_W} ORDER BY hour
+"""
+
+
+# --- q164: weighted median ---------------------------------------------------
+
+
+def q164_weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median order value per order priority, weighted by the
+    order's line-item count — the weighted order statistic (smallest value
+    whose cumulative weight reaches half the total).
+
+    One join assigns weights, one aggregate collapses to the
+    (priority, value) domain, and one cumulative window ordered by value
+    finds the crossing point `2*cum >= total` — all integer comparisons
+    (no division), so the selected row is exact in both engines.  This is
+    the same selection-by-rank discipline as q103's winsorized stats,
+    generalized to weights.
+    Output: (o_orderpriority, total_weight, median_cents), priority asc."""
+    t = load_tables(spark, sf_dir)
+    li_w = t["lineitem"].groupBy("l_orderkey").agg(F.count("*").alias("w"))
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    vals = (
+        orders.join(li_w, orders["o_orderkey"] == li_w["l_orderkey"])
+        .groupBy("o_orderpriority", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        vals.withColumn("total_w", F.sum("w").over(wp))
+        .withColumn("cum_w", F.sum("w").over(wc))
+        .filter(F.col("cum_w") * 2 >= F.col("total_w"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("total_w").alias("total_weight"),
+            F.min("cents").alias("median_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q164_SQL = """
+WITH li_w AS (SELECT l_orderkey, COUNT(*) AS w FROM lineitem GROUP BY 1),
+vals AS (
+  SELECT o_orderpriority, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         SUM(w) AS w
+  FROM orders JOIN li_w ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, cents, w,
+         SUM(w) OVER (PARTITION BY o_orderpriority) AS total_w,
+         SUM(w) OVER (PARTITION BY o_orderpriority ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum_w
+  FROM vals
+)
+SELECT o_orderpriority, MAX(total_w) AS total_weight,
+       MIN(cents) AS median_cents
+FROM cum WHERE cum_w * 2 >= total_w
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+# --- q165: local supplier volume (TPC-H Q5 shape) ----------------------------
+
+
+def q165_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue served by suppliers in the CUSTOMER's own nation, per
+    region and nation — the TPC-H Q5 'local supplier volume' shape, the
+    one classic join tree that threads region -> nation -> customer ->
+    orders -> lineitem -> supplier with an equality between two dimension
+    paths.
+
+    The nation==nation constraint is applied as an equi-condition on the
+    two broadcast dimension lookups, so the fact table still shuffles
+    only once (orderkey join); region/nation/supplier/customer are all
+    broadcast.  Revenue accumulates as exact floored cents.
+    Output: (r_name, n_name, revenue_cents), region/nation asc."""
+    t = load_tables(spark, sf_dir)
+    nr = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"]),
+            t["nation"]["n_regionkey"] == t["region"]["r_regionkey"],
+        )
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    cust = t["customer"].select("c_custkey", F.col("c_nationkey").alias("cnat"))
+    supp = t["supplier"].select("s_suppkey", F.col("s_nationkey").alias("snat"))
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        ).cast("long").alias("rev_cents"),
+    )
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("cnat") == F.col("snat"))
+        .join(F.broadcast(nr), F.col("cnat") == nr["n_nationkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q165_SQL = """
+SELECT r_name, n_name,
+       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- q166: recency-decayed engagement score ----------------------------------
+
+
+def q166_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement score with one-day half-life decay:
+    `score = sum(value_cents >> age_days)` — each event's contribution
+    halves per day of age, computed as an integer bit-shift so the
+    cross-row accumulation stays EXACT (the determinism rule forbids a
+    float `0.5^age` running sum).
+
+    The anchor day is a 1-row MAX broadcast; the shift and the sum are
+    codegen integer ops, one shuffle on user_id.  Halving-by-shift is the
+    standard exact form of exponential decay for monetary integers —
+    engine-portable and replay-stable (append-only streams can maintain
+    it incrementally by re-anchoring per day).
+    Output: (user_id, n_events, score), score desc / user_id asc."""
+    events = load_tables(spark, sf_dir)["events"]
+    day = F.floor(epoch_s("ts") / 86400).cast("long")
+    base = events.select(
+        "user_id",
+        day.alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mx = base.agg(F.max("day").alias("mxd"))
+    return (
+        base.crossJoin(F.broadcast(mx))
+        # F.shiftright only takes a literal shift; the per-row age shift
+        # needs the SQL form
+        .select(
+            "user_id",
+            F.expr("shiftright(cents, cast(mxd - day as int))").alias("contrib"),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), "user_id")
+    )
+
+
+Q166_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+mx AS (SELECT MAX(day) AS mxd FROM base)
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(cents >> CAST(mxd - day AS INTEGER)) AS score
+FROM base, mx
+GROUP BY user_id
+ORDER BY score DESC, user_id
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -776,4 +1051,8 @@ MINING_QUERIES = {
     "q160_hourly_anomaly_flags": (q160_hourly_anomaly_flags, Q160_SQL),
     "q161_nation_trade_volume": (q161_nation_trade_volume, Q161_SQL),
     "q162_customer_spend_ranks": (q162_customer_spend_ranks, Q162_SQL),
+    "q163_rolling_correlation": (q163_rolling_correlation, Q163_SQL),
+    "q164_weighted_median_value": (q164_weighted_median_value, Q164_SQL),
+    "q165_local_supplier_volume": (q165_local_supplier_volume, Q165_SQL),
+    "q166_decayed_engagement": (q166_decayed_engagement, Q166_SQL),
 }

@@ -154,6 +154,87 @@ def test_spend_ranks_invariants(spark, sf_dir):
     assert n == len({r["c_custkey"] for r in rows})
 
 
+def test_rolling_correlation_bounds_and_frames(spark, sf_dir):
+    """corr in [-1, 1] (or NULL on zero variance) and only full 24-row
+    frames are emitted."""
+    fn, _ = MINING_QUERIES["q163_rolling_correlation"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows, "no full frames"
+    hours = [r["hour"] for r in rows]
+    assert hours == list(range(hours[0], hours[-1] + 1))
+    for r in rows:
+        if r["corr"] is not None:
+            assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
+
+
+def test_weighted_median_is_weighted_crossing(spark, sf_dir):
+    """Recompute each priority's weighted median driver-side from raw
+    data; the query's pick must match the 2*cum >= total crossing."""
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q164_weighted_median_value"]
+    got = {r["o_orderpriority"]: r for r in fn(spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir)
+    li_w = t["lineitem"].groupBy("l_orderkey").agg(F.count("*").alias("w"))
+    raw = (
+        t["orders"]
+        .join(li_w, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "w",
+        )
+        .collect()
+    )
+    byp = {}
+    for r in raw:
+        byp.setdefault(r["o_orderpriority"], []).append((r["cents"], r["w"]))
+    for prio, pairs in byp.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum = 0
+        for cents, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                assert got[prio]["median_cents"] == cents
+                assert got[prio]["total_weight"] == total
+                break
+
+
+def test_local_volume_subset_of_trade_volume(spark, sf_dir):
+    """Q5's local revenue total equals the same-nation diagonal of q161's
+    nation-pair trade matrix."""
+    fn5, _ = MINING_QUERIES["q165_local_supplier_volume"]
+    fn7, _ = MINING_QUERIES["q161_nation_trade_volume"]
+    local = fn5(spark, sf_dir).agg(F.sum("revenue_cents")).collect()[0][0]
+    diag = (
+        fn7(spark, sf_dir)
+        .filter(F.col("supp_nation") == F.col("cust_nation"))
+        .agg(F.sum("revenue_cents"))
+        .collect()[0][0]
+    )
+    assert local == diag
+
+
+def test_decayed_engagement_bounds(spark, sf_dir):
+    """Score never exceeds the undecayed total and is monotone under the
+    shift: score <= sum(cents); every user appears once."""
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q166_decayed_engagement"]
+    rows = fn(spark, sf_dir).collect()
+    totals = {
+        r["user_id"]: r["t"]
+        for r in load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("t"))
+        .collect()
+    }
+    assert len(rows) == len(totals)
+    for r in rows:
+        assert 0 <= r["score"] <= totals[r["user_id"]]
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

@@ -73,6 +73,8 @@ NESTED_LOOP_OK = {
     "q159_hybrid_search_rrf",
     # distinct-days x 24-literal-hours grid (two tiny derived dims)
     "q160_hourly_anomaly_flags",
+    # 1-row MAX(day) decay-anchor broadcast
+    "q166_decayed_engagement",
 }
 
 
@@ -190,6 +192,10 @@ def _n_exchanges(plan: str) -> int:
         ("q160_hourly_anomaly_flags", 6),  # cell agg + grid join + hour stats
         ("q161_nation_trade_volume", 2),  # orderkey join + final agg (dims bcast)
         ("q162_customer_spend_ranks", 2),  # spend agg + one shared rank window
+        ("q163_rolling_correlation", 2),   # hour agg + one global moment window
+        ("q164_weighted_median_value", 4),  # li weights + join + value agg + window
+        ("q165_local_supplier_volume", 2),  # orderkey join + agg (dims broadcast)
+        ("q166_decayed_engagement", 3),    # bounds agg + user agg + sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
