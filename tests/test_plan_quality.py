@@ -75,6 +75,12 @@ NESTED_LOOP_OK = {
     "q160_hourly_anomaly_flags",
     # 1-row MAX(day) decay-anchor broadcast
     "q166_decayed_engagement",
+    # 1-row duration-total broadcast for the quartile crossings
+    "q167_funnel_duration_quartiles",
+    # 1-row query-bucket/query-label/top-10 broadcasts (ANN audit)
+    "q168_ann_recall_audit",
+    # three 1-row count aggregates combined by broadcast (dedup audit)
+    "q169_dedup_candidate_audit",
 }
 
 
@@ -196,6 +202,13 @@ def _n_exchanges(plan: str) -> int:
         ("q164_weighted_median_value", 4),  # li weights + join + value agg + window
         ("q165_local_supplier_volume", 2),  # orderkey join + agg (dims broadcast)
         ("q166_decayed_engagement", 3),    # bounds agg + user agg + sort
+        ("q167_funnel_duration_quartiles", 6),  # CEP window + dur agg + crossings
+        ("q168_ann_recall_audit", 4),      # 2 methods x (count + hit count)
+        # composes the full q22 + q23 pipelines (intrinsic: the audit
+        # compares two independent methods) + the tiny hit join
+        ("q169_dedup_candidate_audit", 22),
+        ("q170_band_revenue", 2),          # band agg + final sort (part bcast)
+        ("q171_returned_item_customers", 1),  # orderkey join + TakeOrdered
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
