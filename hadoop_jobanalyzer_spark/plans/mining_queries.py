@@ -52,14 +52,21 @@ def q153_gapfill_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("minute"))
     base = spine.join(obs, "minute", "left")
 
+    # Both neighbour lookups use GROWING frames (unboundedPreceding .. -1):
+    # the "next observed" side runs over the REVERSED ordering rather than
+    # a (1, unboundedFollowing) frame — Spark evaluates shrinking frames by
+    # recomputing the aggregate per row (O(n^2) over the spine; measured
+    # 57 s at sf0.1), while growing frames update incrementally (O(n)).
     before = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, -1)
-    after = Window.orderBy("minute").rowsBetween(1, Window.unboundedFollowing)
+    after_rev = Window.orderBy(F.desc("minute")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     obs_minute = F.when(F.col("cents").isNotNull(), F.col("minute"))
     filled = (
         base.withColumn("prev_c", F.last("cents", ignorenulls=True).over(before))
         .withColumn("prev_m", F.last(obs_minute, ignorenulls=True).over(before))
-        .withColumn("next_c", F.first("cents", ignorenulls=True).over(after))
-        .withColumn("next_m", F.first(obs_minute, ignorenulls=True).over(after))
+        .withColumn("next_c", F.last("cents", ignorenulls=True).over(after_rev))
+        .withColumn("next_m", F.last(obs_minute, ignorenulls=True).over(after_rev))
     )
     is_gap = F.col("cents").isNull()
     num = F.when(
