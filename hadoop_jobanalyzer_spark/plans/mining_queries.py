@@ -1424,6 +1424,158 @@ LIMIT 20
 """
 
 
+# --- q172: source vocabulary overlap -----------------------------------------
+
+
+def q172_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every pair of corpus sources — the
+    dataset-level similarity matrix (are two ingest feeds drawing from
+    the same distribution?), complementing the doc-level cross-source
+    near-dup matrix of q109.
+
+    One distinct pass collapses to the (source, token) domain; the pair
+    stage self-joins ON TOKEN within that reduced domain, so fan-out per
+    token is bounded by the source count (20), not the corpus.  Sizes
+    join back from a per-source aggregate and the Jaccard is a single
+    end division.
+    Output: (source_a, source_b, n_common, n_a, n_b, jaccard),
+    source_a/source_b ascending."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n_vocab"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_vocab").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_vocab").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+Q172_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n_vocab FROM st GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common, sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_vocab + sb.n_vocab - n_common AS DOUBLE)
+         AS jaccard
+FROM common
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+# --- q173: cohort LTV curves -------------------------------------------------
+
+
+def q173_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-cohort lifetime-value curves: customers grouped by their
+    first-order month, cumulative revenue tracked per month offset — the
+    monetary counterpart of q87's retention triangle.
+
+    The cohort key and offset are exact integer month indexes
+    (year*12 + month), revenue is exact cents, and the cumulative curve
+    is one per-cohort window over the already-aggregated
+    (cohort, offset) grid — three shuffles total, all on small derived
+    domains after the first per-customer MIN.
+    Output: (cohort_month, month_off, cohort_size, n_active,
+    revenue_cents, cum_revenue_cents), cohort/offset ascending."""
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m_idx"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min("m_idx").alias("first_m"))
+    cohort_sizes = firsts.groupBy("first_m").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("first_m").alias("cohort_m"),
+            (F.col("m_idx") - F.col("first_m")).alias("month_off"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(
+            F.broadcast(cohort_sizes),
+            cells["cohort_m"] == cohort_sizes["first_m"],
+        )
+        .select(
+            F.col("cohort_m").alias("cohort_month"),
+            "month_off",
+            "cohort_size",
+            "n_active",
+            "revenue_cents",
+            F.sum("revenue_cents").over(wc).alias("cum_revenue_cents"),
+        )
+        .orderBy("cohort_month", "month_off")
+    )
+
+
+Q173_SQL = """
+WITH orders_m AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m_idx,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+firsts AS (SELECT o_custkey, MIN(m_idx) AS first_m FROM orders_m GROUP BY 1),
+cohort_sizes AS (SELECT first_m, COUNT(*) AS cohort_size FROM firsts GROUP BY 1),
+cells AS (
+  SELECT f.first_m AS cohort_m, o.m_idx - f.first_m AS month_off,
+         COUNT(DISTINCT o.o_custkey) AS n_active,
+         SUM(o.cents) AS revenue_cents
+  FROM orders_m o JOIN firsts f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_m AS cohort_month, c.month_off, s.cohort_size, c.n_active,
+       c.revenue_cents,
+       SUM(c.revenue_cents) OVER (
+         PARTITION BY c.cohort_m ORDER BY c.month_off
+         ROWS UNBOUNDED PRECEDING) AS cum_revenue_cents
+FROM cells c JOIN cohort_sizes s ON s.first_m = c.cohort_m
+ORDER BY cohort_month, month_off
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -1444,4 +1596,6 @@ MINING_QUERIES = {
     "q169_dedup_candidate_audit": (q169_dedup_candidate_audit, _q169_sql()),
     "q170_band_revenue": (q170_band_revenue, _q170_sql()),
     "q171_returned_item_customers": (q171_returned_item_customers, Q171_SQL),
+    "q172_source_vocab_jaccard": (q172_source_vocab_jaccard, Q172_SQL),
+    "q173_cohort_ltv_curves": (q173_cohort_ltv_curves, Q173_SQL),
 }

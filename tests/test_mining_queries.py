@@ -287,6 +287,36 @@ def test_returned_item_top20_subset_semantics(spark, sf_dir):
     assert revs == sorted(revs, reverse=True)
 
 
+def test_source_vocab_jaccard_pairs_complete(spark, sf_dir):
+    """All source pairs appear exactly once with jaccard in (0, 1]."""
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q172_source_vocab_jaccard"]
+    rows = fn(spark, sf_dir).collect()
+    n_src = load_tables(spark, sf_dir)["documents"].select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["n_common"] <= min(r["n_a"], r["n_b"])
+
+
+def test_cohort_ltv_curves_monotone(spark, sf_dir):
+    """Cumulative revenue is non-decreasing within each cohort, active
+    counts never exceed cohort size, and offset 0 exists per cohort."""
+    fn, _ = MINING_QUERIES["q173_cohort_ltv_curves"]
+    rows = fn(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        assert rs[0]["month_off"] == 0
+        cums = [r["cum_revenue_cents"] for r in rs]
+        assert cums == sorted(cums)
+        for r in rs:
+            assert 0 < r["n_active"] <= r["cohort_size"]
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

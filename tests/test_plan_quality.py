@@ -209,6 +209,8 @@ def _n_exchanges(plan: str) -> int:
         ("q169_dedup_candidate_audit", 22),
         ("q170_band_revenue", 2),          # band agg + final sort (part bcast)
         ("q171_returned_item_customers", 1),  # orderkey join + TakeOrdered
+        ("q172_source_vocab_jaccard", 8),  # distinct + token join + sizes joins
+        ("q173_cohort_ltv_curves", 7),   # firsts + cells 2-phase distinct + cum
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
