@@ -139,8 +139,9 @@ def view_purchase_join_stream(
     events: DataFrame,
     max_gap: str = "30 minutes",
     watermark_delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase joined to every view by the
+    """Stream-stream join: each purchase joined to every view by the
     same user within ``max_gap`` BEFORE it — the streaming attribution
     form of the batch as-of join family (q19).
 
@@ -151,7 +152,15 @@ def view_purchase_join_stream(
     stream-stream join would need unbounded state — this is the canonical
     shape that scales.
 
-    Output: user_id, view_id, purchase_id, view_ts, purchase_ts, gap_sec.
+    ``how="left_outer"`` additionally emits every UNCONVERTED view
+    (purchase columns null) — but only once the watermark proves no
+    future purchase can match it, i.e. at state-eviction time. That late
+    emission is the fundamental streaming-outer-join semantics: the
+    null-extended row is a *negative* claim ("no purchase within the
+    gap"), which is only safe after event time has moved past
+    ``view_ts + max_gap``.
+
+    Output: user_id, view_id, purchase_id, view_ts, purchase_ts, gap_ms.
     """
     base = events.withColumn("ts", F.col("ts").cast("timestamp"))
     views = (
@@ -177,6 +186,7 @@ def view_purchase_join_stream(
         (F.col("v_user") == F.col("p_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
+        how,
     )
     return joined.select(
         F.col("v_user").alias("user_id"),
@@ -184,7 +194,10 @@ def view_purchase_join_stream(
         "purchase_id",
         "view_ts",
         "purchase_ts",
-        (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).cast("long").alias("gap_ms"),
+        F.when(
+            F.col("purchase_ts").isNotNull(),
+            (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).cast("long"),
+        ).alias("gap_ms"),
     )
 
 

@@ -526,3 +526,98 @@ def test_heavy_hitters_stream_space_saving_guarantees(spark, sf_dir, events_dir,
         if r["n_seen"] == last2[r["shard"]]
     }
     assert got == {k: (c, 0) for k, c in truth.items()}
+
+
+def test_view_purchase_left_outer_stream_emits_unconverted(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: matched pairs equal the batch inner
+    join exactly (shards arrive time-ordered, so the short watermark drops
+    nothing), outer rows are disjoint from matched views, and every
+    unconverted view whose match window closed before the second-to-last
+    batch's watermark MUST have been emitted null-extended."""
+    from hadoop_jobanalyzer_spark.streaming import view_purchase_join_stream
+
+    # time-ordered shards: watermark semantics are exact, no late drops
+    df = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    d = tmp_path / "sorted_events"
+    d.mkdir()
+    n = len(df)
+    step = (n + 2) // 3
+    shard_max = []
+    for i, lo in enumerate(range(0, n, step)):
+        part = df.iloc[lo : lo + step]
+        shard_max.append(part["ts"].max())
+        part.to_parquet(
+            d / f"shard{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    name = f"vplo_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(d)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    _run_to_memory(
+        view_purchase_join_stream(
+            stream, max_gap="2 days", watermark_delay="1 minute", how="left_outer"
+        ),
+        name,
+        "append",
+        checkpoint=str(tmp_path / "ckpt_vplo"),
+    )
+    out = spark.table(name).collect()
+    matched = {(r["view_id"], r["purchase_id"]): r["gap_ms"] for r in out if r["purchase_id"] is not None}
+    outer_views = {r["view_id"] for r in out if r["purchase_id"] is None}
+    for r in out:
+        if r["purchase_id"] is None:
+            assert r["gap_ms"] is None
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("vid"),
+        F.col("ts").alias("vts"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    inner = v.join(
+        p,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 2 days")),
+    ).select(
+        "vid",
+        "pid",
+        (F.unix_millis("pts") - F.unix_millis("vts")).cast("long").alias("gap_ms"),
+    )
+    want_matched = {(r["vid"], r["pid"]): r["gap_ms"] for r in inner.collect()}
+    assert matched == want_matched and len(matched) > 10
+
+    matched_view_ids = {vid for vid, _ in matched}
+    assert not (outer_views & matched_view_ids), "outer rows must be unconverted"
+
+    # guarantee horizon: watermark after the 2nd shard, minus delay
+    import datetime
+
+    wm2 = shard_max[1].to_pydatetime() - datetime.timedelta(minutes=1)
+    horizon = wm2 - datetime.timedelta(days=2)
+    unmatched = [
+        r
+        for r in v.collect()
+        if r["vid"] not in matched_view_ids
+    ]
+    must_emit = {
+        r["vid"]
+        for r in unmatched
+        if r["vts"] + datetime.timedelta(seconds=1) < horizon.replace(tzinfo=r["vts"].tzinfo)
+    }
+    assert must_emit, "test data should contain closed-window unconverted views"
+    assert must_emit <= outer_views, "closed-window unconverted views must emit"
+    assert outer_views <= {r["vid"] for r in unmatched}
