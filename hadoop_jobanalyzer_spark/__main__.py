@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument(
         "--list-queries", action="store_true", help="list registered analytics queries"
     )
+    mode.add_argument(
+        "--explain",
+        metavar="NAME",
+        help="print a registered query's physical plan + shuffle/scan summary",
+    )
     p.add_argument(
         "--sf-dir",
         default=None,
@@ -152,7 +157,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="job_history", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.query or args.sql:
+    if args.query or args.sql or args.explain:
         import os
 
         from hadoop_jobanalyzer_spark.plans.registry import QUERIES
@@ -161,6 +166,28 @@ def main(argv: list[str] | None = None) -> int:
         sf_dir = args.sf_dir or os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         )
+        if args.explain:
+            if args.explain not in QUERIES:
+                print(f"unknown query: {args.explain} (see --list-queries)", file=sys.stderr)
+                return 2
+            import contextlib
+            import io
+            import re
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                QUERIES[args.explain][0](spark, sf_dir).explain("formatted")
+            plan = buf.getvalue()
+            print(plan)
+            n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+            pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+            flags = [f"exchanges={n_ex}", f"scans_with_pushed_filters={pushed}"]
+            if "CartesianProduct" in plan:
+                flags.append("CARTESIAN")
+            if "BroadcastNestedLoopJoin" in plan:
+                flags.append("nested-loop(broadcast)")
+            print("summary:", " ".join(flags))
+            return 0
         if args.query:
             if args.query not in QUERIES:
                 print(f"unknown query: {args.query} (see --list-queries)", file=sys.stderr)

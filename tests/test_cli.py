@@ -108,3 +108,17 @@ def test_cli_sql_mode(capsys, spark, sf_dir):
 
 def test_cli_unknown_query_errors(capsys, spark, sf_dir):
     assert main(["--query", "q999_nope", "--sf-dir", sf_dir]) == 2
+
+
+def test_cli_explain_mode(capsys, spark, sf_dir):
+    assert main(["--explain", "q02_shipping_priority", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    summary = out.strip().splitlines()[-1]
+    assert summary.startswith("summary: exchanges=")
+    assert "scans_with_pushed_filters=" in summary
+    assert "CARTESIAN" not in summary
+
+
+def test_cli_explain_unknown_query_errors(capsys, spark, sf_dir):
+    assert main(["--explain", "q999_nope", "--sf-dir", sf_dir]) == 2
