@@ -1576,6 +1576,150 @@ ORDER BY cohort_month, month_off
 """
 
 
+# --- q174: temporal point-in-interval lookup join ----------------------------
+
+
+def q174_temporal_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (bitemporal lookup) join: every event of the
+    SCD2-tracked users lands on the dimension row whose validity interval
+    `[valid_from, valid_to)` covers its timestamp — the query every
+    warehouse runs against a type-2 dimension (q138 builds it; this
+    consumes it).
+
+    The join carries the user equi-key alongside the two range
+    predicates, so Spark plans a hash/sort-merge join on user with the
+    range as residual — never a nested loop; per-user interval counts are
+    bounded by that user's change count.  Rolled up to one row per
+    (user, state, valid_from) so the result is the per-interval activity
+    profile.
+    Output: (user_id, state, valid_from, n_events, value_cents),
+    user/valid_from ascending."""
+    from hadoop_jobanalyzer_spark.plans.sketch_queries import SKETCH_QUERIES
+
+    scd2 = SKETCH_QUERIES["q138_scd2_intervals"][0](spark, sf_dir)
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id") < 50)
+        .select(
+            F.col("user_id").alias("e_user"),
+            "ts",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    joined = ev.join(
+        scd2,
+        (F.col("e_user") == scd2["user_id"])
+        & (F.col("ts") >= scd2["valid_from"])
+        & (F.col("ts") < scd2["valid_to"]),
+    )
+    return (
+        joined.groupBy("user_id", "state", "valid_from")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("value_cents"))
+        .orderBy("user_id", "valid_from")
+    )
+
+
+Q174_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM events WHERE user_id < 50
+),
+changes AS (
+  SELECT user_id, state, ts, event_id,
+         LAG(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+  FROM ev
+),
+scd2 AS (
+  SELECT user_id, state, ts AS valid_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+  FROM changes WHERE _prev IS NULL OR _prev != state
+),
+pts AS (
+  SELECT user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < 50
+)
+SELECT s.user_id, s.state, s.valid_from,
+       COUNT(*) AS n_events, SUM(p.cents) AS value_cents
+FROM pts p JOIN scd2 s
+  ON p.user_id = s.user_id AND p.ts >= s.valid_from AND p.ts < s.valid_to
+GROUP BY 1, 2, 3 ORDER BY s.user_id, s.valid_from
+"""
+
+
+# --- q175: group-wise Pearson correlation ------------------------------------
+
+
+def q175_brand_discount_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between discount and quantity PER BRAND — the
+    group-wise correlation matrix cell (is deeper discounting moving
+    volume for this brand?), complementing the rolling global form
+    (q163) and the rank-based form (q141).
+
+    Discounts quantize to exact basis points per row; all six moment
+    sums are integer aggregates in ONE per-brand pass (part is a
+    dimension broadcast), and the correlation is per-row IEEE arithmetic
+    on those exact integers.  Zero-variance groups yield NULL.
+    Output: (p_brand, n_items, corr_num, corr), brand ascending."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.floor("l_quantity").cast("long").alias("y"),
+    )
+    part = t["part"].select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").alias("n_items"),
+        num.alias("corr_num"),
+        corr.alias("corr"),
+    ).orderBy("p_brand")
+
+
+Q175_SQL = """
+WITH m AS (
+  SELECT p_brand, COUNT(*) AS n,
+         SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)) AS sx,
+         SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sy,
+         SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)
+             * CAST(FLOOR(l_discount * 100) AS BIGINT)) AS sxx,
+         SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+             * CAST(FLOOR(l_quantity) AS BIGINT)) AS syy,
+         SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)
+             * CAST(FLOOR(l_quantity) AS BIGINT)) AS sxy
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n AS n_items,
+       n * sxy - sx * sy AS corr_num,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS corr
+FROM m ORDER BY p_brand
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -1598,4 +1742,6 @@ MINING_QUERIES = {
     "q171_returned_item_customers": (q171_returned_item_customers, Q171_SQL),
     "q172_source_vocab_jaccard": (q172_source_vocab_jaccard, Q172_SQL),
     "q173_cohort_ltv_curves": (q173_cohort_ltv_curves, Q173_SQL),
+    "q174_temporal_lookup_join": (q174_temporal_lookup_join, Q174_SQL),
+    "q175_brand_discount_qty_corr": (q175_brand_discount_qty_corr, Q175_SQL),
 }

@@ -317,6 +317,37 @@ def test_cohort_ltv_curves_monotone(spark, sf_dir):
             assert 0 < r["n_active"] <= r["cohort_size"]
 
 
+def test_temporal_lookup_partitions_events(spark, sf_dir):
+    """The SCD2 intervals partition each tracked user's timeline: every
+    event lands in exactly one interval, so per-interval counts sum to
+    the user's event count."""
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q174_temporal_lookup_join"]
+    got = {}
+    for r in fn(spark, sf_dir).collect():
+        got[r["user_id"]] = got.get(r["user_id"], 0) + r["n_events"]
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_brand_corr_bounds(spark, sf_dir):
+    fn, _ = MINING_QUERIES["q175_brand_discount_qty_corr"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) >= 20
+    for r in rows:
+        if r["corr"] is not None:
+            assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
+            assert (r["corr"] > 0) == (r["corr_num"] > 0) or r["corr_num"] == 0
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

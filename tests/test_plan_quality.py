@@ -211,6 +211,8 @@ def _n_exchanges(plan: str) -> int:
         ("q171_returned_item_customers", 1),  # orderkey join + TakeOrdered
         ("q172_source_vocab_jaccard", 8),  # distinct + token join + sizes joins
         ("q173_cohort_ltv_curves", 7),   # firsts + cells 2-phase distinct + cum
+        ("q174_temporal_lookup_join", 2),  # SCD2 window + user-key range join
+        ("q175_brand_discount_qty_corr", 2),  # one moment agg + sort (part bcast)
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
