@@ -132,6 +132,67 @@ def merge_parquet(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    max_files_per_partition: int = 1,
+    target_records_per_file: int | None = None,
+) -> list[str]:
+    """Small-file compaction (the lakehouse OPTIMIZE command) for a
+    hive-partitioned parquet table: partitions fragmented into more than
+    ``max_files_per_partition`` data files are rewritten as ONE file each
+    (or more when ``target_records_per_file`` caps file size); healthy
+    partitions are never read or written.
+
+    Streaming ingest and frequent merges fragment partitions (every
+    micro-batch/task leaves a file); at warehouse scale the resulting
+    per-file open/footer cost dominates scans. Compaction cost here is
+    bounded by the FRAGMENTED volume, not the table size — the same
+    copy-on-write discipline as ``merge_parquet``, with dynamic partition
+    overwrite swapping only the rewritten directories. Idempotent:
+    a second run finds nothing fragmented. Returns the list of partition
+    values rewritten (stringified), for the caller's maintenance log.
+    """
+    import glob as _glob
+    import os as _os
+
+    frag: list[str] = []
+    for d in sorted(_glob.glob(_os.path.join(path, f"{partition_col}=*"))):
+        n_files = len(
+            [
+                f
+                for f in _os.listdir(d)
+                if f.endswith((".parquet", ".orc")) and not f.startswith(("_", "."))
+            ]
+        )
+        if n_files > max_files_per_partition:
+            frag.append(d.rsplit("=", 1)[1])
+    if not frag:
+        return []
+    # read only the fragmented partitions, partition-pruned; values arrive
+    # as strings from the directory names — let the reader's partition
+    # schema cast via isin on the stringified column
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_col).cast("string").isin(frag)
+    )
+    # hash-repartition by the partition column: each fragmented value's
+    # rows land in one task -> one output file per directory
+    compacted = existing.repartition(F.col(partition_col)).localCheckpoint(
+        eager=True
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = compacted.write.mode("overwrite").partitionBy(partition_col)
+        if target_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", target_records_per_file)
+        writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return frag
+
+
 def format_nice(value: Any, indent: int = 0, key: str | None = None) -> str:
     """Recursive indented key=value dump (the reference's ``printNice``),
     expanding maps, struct Rows, and the parsed counters array."""

@@ -117,3 +117,19 @@ def compact_lake_view(
         raise RuntimeError(f"compaction swap failed installing {tmp_path}; rolled back")
     fs.delete(hpath(old_path), True)
     return before, _count(view_path)
+
+
+def read_evolved(spark: SparkSession, path: str):
+    """Read a parquet dataset whose schema EVOLVED across writes
+    (columns added over time) with ``mergeSchema``: the unified schema is
+    the union of every file's footer schema, and files lacking a column
+    surface NULLs for it.
+
+    Plain ``spark.read.parquet`` takes one file's footer as THE schema
+    (fast, but silently drops later-added columns when an old file is
+    sampled first); a long-lived ingest lake must opt into the footer
+    merge explicitly. At 100 TB the merge reads every footer once —
+    schedule-time metadata cost, not data I/O — which is why it is a
+    deliberate helper and not the default read path.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -221,3 +221,64 @@ def test_write_partitioned_orc_roundtrip_and_pruning(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.filter(F.col("part") == "a").explain("formatted")
     assert "PartitionFilters: [isnotnull(part" in buf.getvalue()
+
+
+def test_compact_partitions_rewrites_only_fragmented(spark, sf_dir, tmp_path):
+    """OPTIMIZE-style compaction: a partition fragmented into many files
+    collapses to one file with identical data; a healthy partition's file
+    is untouched (same inode mtime) — compaction cost is bounded by the
+    fragmented volume."""
+    import os
+
+    from hadoop_jobanalyzer_spark.sinks import compact_partitions
+
+    path = str(tmp_path / "lake")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "etype", F.col("event_type")
+    )
+    frag = ev.filter("etype = 'view'").repartition(8)
+    healthy = ev.filter("etype = 'purchase'").coalesce(1)
+    frag.write.partitionBy("etype").parquet(path)
+    healthy.write.mode("append").partitionBy("etype").parquet(path)
+
+    def files(part):
+        d = os.path.join(path, f"etype={part}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    assert len(files("view")) == 8 and len(files("purchase")) == 1
+    before = spark.read.parquet(path).orderBy("event_id").collect()
+    healthy_file = files("purchase")[0]
+    healthy_mtime = os.path.getmtime(
+        os.path.join(path, "etype=purchase", healthy_file)
+    )
+
+    rewritten = compact_partitions(spark, path, "etype", max_files_per_partition=1)
+    assert rewritten == ["view"]
+    assert len(files("view")) == 1
+    assert files("purchase") == [healthy_file]
+    assert os.path.getmtime(os.path.join(path, "etype=purchase", healthy_file)) == healthy_mtime
+    after = spark.read.parquet(path).orderBy("event_id").collect()
+    assert after == before
+    # idempotent: second run finds nothing fragmented
+    assert compact_partitions(spark, path, "etype", max_files_per_partition=1) == []
+
+
+def test_read_evolved_merges_schemas(spark, tmp_path):
+    """Files written before a column existed surface NULLs for it under
+    the merged schema; the plain read keeps whichever footer it sampled."""
+    from pyspark.sql import Row
+
+    from hadoop_jobanalyzer_spark.sources.history_lake import read_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(id=1, a="x"), Row(id=2, a="y")]).write.parquet(path)
+    spark.createDataFrame(
+        [Row(id=3, a="z", b=30)]
+    ).write.mode("append").parquet(path)
+
+    merged = read_evolved(spark, path)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
+    assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 30)}
