@@ -1720,6 +1720,54 @@ FROM m ORDER BY p_brand
 """
 
 
+# --- q176: frequent triple itemsets ------------------------------------------
+
+def q176_frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top frequent 3-itemsets over order baskets (market-basket mining
+    one level above q79's pair lift / q120's triangle census).
+
+    The triple fan-out is generated WITHIN baskets by a double
+    self-join on the order key with `p1 < p2 < p3` — C(basket,3) rows
+    per order, bounded by basket size (~7), never a cross-basket
+    product.  Distinct-per-basket first so duplicate lineitems of the
+    same part can't inflate support.  The top-20 cut is a
+    TakeOrderedAndProject with full key tie-break, so the result is
+    deterministic at any support level (no data-dependent threshold).
+    Output: (p1, p2, p3, support), support desc / keys asc, limit 20."""
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    c = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p3"))
+    triples = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(c, "ok")
+        .filter(F.col("p2") < F.col("p3"))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count("*").alias("support"))
+    )
+    return triples.orderBy(F.desc("support"), "p1", "p2", "p3").limit(20)
+
+
+Q176_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+triples AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+         COUNT(*) AS support
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT p1, p2, p3, support
+FROM triples ORDER BY support DESC, p1, p2, p3 LIMIT 20
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -1744,4 +1792,5 @@ MINING_QUERIES = {
     "q173_cohort_ltv_curves": (q173_cohort_ltv_curves, Q173_SQL),
     "q174_temporal_lookup_join": (q174_temporal_lookup_join, Q174_SQL),
     "q175_brand_discount_qty_corr": (q175_brand_discount_qty_corr, Q175_SQL),
+    "q176_frequent_part_triples": (q176_frequent_part_triples, Q176_SQL),
 }

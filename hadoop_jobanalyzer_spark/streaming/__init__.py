@@ -28,6 +28,7 @@ from hadoop_jobanalyzer_spark.streaming.event_stream import (
     running_totals_stream,
     user_sessions_stream,
     view_purchase_join_stream,
+    zscore_anomaly_stream,
 )
 
 __all__ = [

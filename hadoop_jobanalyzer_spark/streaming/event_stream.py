@@ -474,3 +474,70 @@ def heavy_hitters_stream(
     return keyed.groupBy("_shard").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def zscore_anomaly_stream(
+    events: DataFrame,
+    z2_threshold: int = 9,
+    min_history: int = 30,
+) -> DataFrame:
+    """Online anomaly detection (``applyInPandasWithState``): each event's
+    value is tested against the RUNNING moments of everything that
+    arrived before it for its event type — the prefix z-score, flagged
+    when ``z^2 > z2_threshold`` (default |z| > 3) once at least
+    ``min_history`` prior points exist.
+
+    State per key is three exact integers (n, sum_cents, sumsq_cents), so
+    replay is bit-deterministic and the test is the cross-multiplied
+    integer form ``dev^2 * n > z2 * (n*Q - S^2)`` with
+    ``dev = c*n - S`` — no float accumulation anywhere, which is what
+    makes the stream's flags EQUAL the batch prefix-window computation
+    (the differential test) instead of merely close.  Arrival order
+    within a micro-batch follows (ts, event_id), matching the batch
+    window's ordering.
+
+    Output: event_type, event_id, cents, n_before, dev_num, var_num,
+    is_anomaly — one row per anomalous event (append mode).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "event_type string, event_id long, cents long, n_before long, "
+        "dev_num long, var_num long, is_anomaly boolean"
+    )
+    state_schema = "n long, s long, q long"
+
+    def update(key, pdfs, state):
+        n, s, q = state.get if state.exists else (0, 0, 0)
+        out = {k: [] for k in ("event_id", "cents", "n_before", "dev_num", "var_num")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                import math
+
+                c = int(math.floor(val * 100))
+                if n >= min_history:
+                    dev = c * n - s
+                    var_num = n * q - s * s
+                    if var_num > 0 and dev * dev * n > z2_threshold * var_num:
+                        out["event_id"].append(int(eid))
+                        out["cents"].append(c)
+                        out["n_before"].append(n)
+                        out["dev_num"].append(dev)
+                        out["var_num"].append(var_num)
+                n, s, q = n + 1, s + c, q + c * c
+        state.update((n, s, q))
+        k = len(out["event_id"])
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * k,
+                **out,
+                "is_anomaly": [True] * k,
+            }
+        )
+
+    base = events.select("event_type", "event_id", "ts", "value")
+    return base.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

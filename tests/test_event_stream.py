@@ -621,3 +621,69 @@ def test_view_purchase_left_outer_stream_emits_unconverted(spark, sf_dir, tmp_pa
     assert must_emit, "test data should contain closed-window unconverted views"
     assert must_emit <= outer_views, "closed-window unconverted views must emit"
     assert outer_views <= {r["vid"] for r in unmatched}
+
+
+def test_zscore_anomaly_stream_matches_batch_prefix(spark, sf_dir, events_dir, tmp_path):
+    """Online z-score flags from the stream EQUAL the batch prefix-window
+    computation (exact integer state, same (ts, event_id) ordering) —
+    shards arrive in row order, so feed them as one in-order sequence."""
+    from hadoop_jobanalyzer_spark.streaming import zscore_anomaly_stream
+
+    # in-order single-key arrival: sort shards like the batch window does
+    df = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["ts", "event_id"])
+    d = tmp_path / "zs_events"
+    d.mkdir()
+    n = len(df)
+    step = (n + 2) // 3
+    for i, lo in enumerate(range(0, n, step)):
+        df.iloc[lo : lo + step].to_parquet(
+            d / f"shard{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    name = f"zs_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(d)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    _run_to_memory(
+        zscore_anomaly_stream(stream),
+        name,
+        "append",
+        checkpoint=str(tmp_path / "ckpt_zs"),
+    )
+    got = {
+        r["event_id"]: (r["n_before"], r["dev_num"], r["var_num"])
+        for r in spark.table(name).collect()
+    }
+
+    from pyspark.sql.window import Window
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = ev.select(
+        "event_id",
+        "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
+    ).fillna(0, ["s", "q"])
+    dev = F.col("c") * F.col("n") - F.col("s")
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    batch = pref.filter(
+        (F.col("n") >= 30) & (var_num > 0) & (dev * dev * F.col("n") > 9 * var_num)
+    ).select("event_id", "n", dev.alias("dev"), var_num.alias("v"))
+    want = {r["event_id"]: (r["n"], r["dev"], r["v"]) for r in batch.collect()}
+    assert got == want and len(got) > 3

@@ -348,6 +348,32 @@ def test_brand_corr_bounds(spark, sf_dir):
             assert (r["corr"] > 0) == (r["corr_num"] > 0) or r["corr_num"] == 0
 
 
+def test_frequent_triples_are_within_baskets(spark, sf_dir):
+    """Each reported triple's support equals the number of distinct
+    orders containing ALL THREE parts (recomputed driver-side for the
+    top row), and keys are strictly ordered."""
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q176_frequent_part_triples"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p1"] < r["p2"] < r["p3"] and r["support"] >= 1
+    top = rows[0]
+    li = load_tables(spark, sf_dir)["lineitem"]
+    orders_with = None
+    for pk in (top["p1"], top["p2"], top["p3"]):
+        s = {
+            r["l_orderkey"]
+            for r in li.filter(F.col("l_partkey") == pk)
+            .select("l_orderkey")
+            .distinct()
+            .collect()
+        }
+        orders_with = s if orders_with is None else orders_with & s
+    assert len(orders_with) == top["support"]
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

@@ -213,6 +213,7 @@ def _n_exchanges(plan: str) -> int:
         ("q173_cohort_ltv_curves", 7),   # firsts + cells 2-phase distinct + cum
         ("q174_temporal_lookup_join", 2),  # SCD2 window + user-key range join
         ("q175_brand_discount_qty_corr", 2),  # one moment agg + sort (part bcast)
+        ("q176_frequent_part_triples", 4),  # distinct + 2 basket joins + agg
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

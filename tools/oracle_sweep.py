@@ -1,0 +1,62 @@
+"""Full-registry oracle sweep: run every registered query on Spark AND its
+DuckDB oracle at the given sf dir (default sf0.01 — the driver's
+correctness scale) and report per-query row/schema/value agreement.
+
+This is the round-close gate: the driver records only ~50 queries per
+round, but this sweep checks ALL of them against the CURRENT environment,
+catching drift (Spark/DuckDB upgrades, testdata regeneration) that the
+per-round cap would surface rounds later.
+
+Usage:
+    python tools/oracle_sweep.py [sf_dir] [name_prefix...]
+
+Exit code 0 iff every query matches. One line per query; summary last.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:])
+
+    from hadoop_jobanalyzer_spark.plans.registry import QUERIES
+    from hadoop_jobanalyzer_spark.session import get_spark
+    from tests.oracle_utils import compare, duck_connect
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(sf_dir)
+
+    names = [
+        n for n in sorted(QUERIES) if not prefixes or n.startswith(prefixes)
+    ]
+    failed: list[str] = []
+    t_all = time.time()
+    for name in names:
+        fn, sql = QUERIES[name]
+        t0 = time.time()
+        try:
+            problems = compare(fn(spark, sf_dir), con, sql)
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            problems = [f"exception: {exc!r}"[:300]]
+        status = "ok" if not problems else f"FAIL {problems[:3]}"
+        print(f"{name}: {status} ({time.time() - t0:.1f}s)", flush=True)
+        if problems:
+            failed.append(name)
+    print(
+        f"swept {len(names)} queries at {sf_dir} in {time.time() - t_all:.0f}s; "
+        f"{len(names) - len(failed)} ok, {len(failed)} failed"
+        + (f": {failed}" if failed else ""),
+        flush=True,
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
