@@ -392,6 +392,35 @@ def pattern_match_stream(
     )
 
 
+def space_saving_merge(
+    table: dict[str, list[int]], batch: dict[str, int], capacity: int
+) -> dict[str, list[int]]:
+    """Merge a batch of exact counts into a space-saving counter table
+    (``key -> [est, err]``) bounded at ``capacity`` entries, in place.
+
+    Invariants (property-tested in tests/test_sketch_props.py):
+    counter mass equals total processed mass, estimates only overcount
+    with ``err`` as the per-key bound, and any key whose true count
+    exceeds total/capacity is tracked. Eviction picks the
+    (count, key)-minimal entry — deterministic under replay — and the
+    newcomer inherits the victim's count as its overcount bound
+    (Metwally et al. 2005). Batch keys merge in sorted order so the
+    result is independent of dict iteration order.
+    """
+    for item in sorted(batch):
+        cnt = batch[item]
+        if item in table:
+            table[item][0] += cnt
+        elif len(table) < capacity:
+            table[item] = [cnt, 0]
+        else:
+            victim = min(table.items(), key=lambda kv: (kv[1][0], kv[0]))
+            vcount = victim[1][0]
+            del table[victim[0]]
+            table[item] = [vcount + cnt, vcount]
+    return table
+
+
 def heavy_hitters_stream(
     events: DataFrame,
     key_col: str = "user_id",
@@ -433,19 +462,11 @@ def heavy_hitters_stream(
         table = {k: [c, e] for k, c, e in zip(keys, counts, errs)}
         for pdf in pdfs:
             n_seen += len(pdf)
-            for item, cnt in pdf["_k"].value_counts().sort_index().items():
-                cnt = int(cnt)
-                if item in table:
-                    table[item][0] += cnt
-                elif len(table) < capacity:
-                    table[item] = [cnt, 0]
-                else:
-                    # evict the (count, key)-minimal entry; inherit its
-                    # count as the new entry's overcount bound
-                    victim = min(table.items(), key=lambda kv: (kv[1][0], kv[0]))
-                    vcount = victim[1][0]
-                    del table[victim[0]]
-                    table[item] = [vcount + cnt, vcount]
+            batch = {
+                str(item): int(cnt)
+                for item, cnt in pdf["_k"].value_counts().sort_index().items()
+            }
+            space_saving_merge(table, batch, capacity)
         items = sorted(table.items())
         state.update(
             (

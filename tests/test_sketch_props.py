@@ -150,3 +150,58 @@ def test_hll_register_merge_is_union(spark, xs, ys):
     )
     full = hll_register_table(both, "grp", "k")
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
+
+
+# --- space-saving heavy-hitter merge (pure state logic, no Spark) ------------
+
+streams = st.lists(
+    st.lists(st.integers(0, 30), min_size=0, max_size=40),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(streams, st.integers(1, 12))
+@settings(max_examples=200, deadline=None)
+def test_space_saving_merge_invariants(batches, capacity):
+    """Against exact counts over ANY batch split: mass conservation,
+    overcount-only with err as the bound, bounded size, and the
+    no-missed-heavy-hitter guarantee."""
+    from collections import Counter
+
+    from hadoop_jobanalyzer_spark.streaming.event_stream import space_saving_merge
+
+    table: dict[str, list[int]] = {}
+    truth: Counter = Counter()
+    for batch in batches:
+        counts = Counter(str(x) for x in batch)
+        truth.update(counts)
+        space_saving_merge(table, dict(counts), capacity)
+
+    total = sum(truth.values())
+    assert len(table) <= capacity
+    assert sum(est for est, _ in table.values()) == total
+    for k, (est, err) in table.items():
+        assert est >= truth[k] >= est - err
+    for k, c in truth.items():
+        if c * capacity > total:
+            assert k in table, f"missed heavy hitter {k}"
+
+
+@given(streams, st.integers(1, 12))
+@settings(max_examples=100, deadline=None)
+def test_space_saving_merge_batch_split_insensitive_when_exact(batches, capacity):
+    """With capacity >= distinct keys the table is exact regardless of
+    how the stream was batched."""
+    from collections import Counter
+
+    from hadoop_jobanalyzer_spark.streaming.event_stream import space_saving_merge
+
+    truth = Counter(str(x) for b in batches for x in b)
+    if len(truth) > capacity:
+        return
+    table: dict[str, list[int]] = {}
+    for batch in batches:
+        space_saving_merge(table, dict(Counter(str(x) for x in batch)), capacity)
+    assert {k: v[0] for k, v in table.items()} == dict(truth)
+    assert all(v[1] == 0 for v in table.values())
