@@ -1768,6 +1768,118 @@ FROM triples ORDER BY support DESC, p1, p2, p3 LIMIT 20
 """
 
 
+# --- q177: quality pass rates with Wilson bounds -----------------------------
+
+_Q177_LO, _Q177_HI = 200, 2000  # absolute doc-length gate (Gopher-style)
+
+
+def q177_quality_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass rate of an absolute quality gate (document length
+    in [200, 2000] chars) with a Wilson 95% interval — the uncertainty-
+    aware ingest scoreboard (a source at 80% over 10 docs is NOT the
+    same evidence as 80% over 10,000; the interval says so).
+
+    Counts are one aggregate scan; the Wilson bounds (z=2, so z^2=4 stays
+    integer) are per-row IEEE arithmetic on the exact (k, n) pair with
+    identical operand order in both engines — the repo's standard
+    final-expression float discipline.
+    Output: (source, n_docs, n_pass, rate, wilson_lo, wilson_hi),
+    source ascending."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(
+                (F.col("n_chars") >= _Q177_LO) & (F.col("n_chars") <= _Q177_HI), True
+            )
+        ).alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    half = F.lit(2.0) * F.sqrt((k * (n - k)) / n + F.lit(1.0))
+    return agg.select(
+        "source",
+        n.alias("n_docs"),
+        k.alias("n_pass"),
+        (k / n.cast("double")).alias("rate"),
+        ((k + 2 - half) / (n + 4)).alias("wilson_lo"),
+        ((k + 2 + half) / (n + 4)).alias("wilson_hi"),
+    ).orderBy("source")
+
+
+Q177_SQL = f"""
+WITH agg AS (
+  SELECT source, COUNT(*) AS n,
+         COUNT(*) FILTER (n_chars BETWEEN {_Q177_LO} AND {_Q177_HI}) AS k
+  FROM documents GROUP BY 1
+)
+SELECT source, n AS n_docs, k AS n_pass,
+       k / CAST(n AS DOUBLE) AS rate,
+       (k + 2 - 2.0 * sqrt((k * (n - k)) / n + 1.0)) / (n + 4) AS wilson_lo,
+       (k + 2 + 2.0 * sqrt((k * (n - k)) / n + 1.0)) / (n + 4) AS wilson_hi
+FROM agg ORDER BY source
+"""
+
+
+# --- q178: deterministic A/B experiment readout ------------------------------
+
+
+def q178_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B assignment and per-arm readout: users split by
+    md5 parity (the engine-portable bucketing every operator here uses),
+    purchase behaviour aggregated per arm — the experiment-analysis shape
+    where assignment must be REPRODUCIBLE across engines, runs, and
+    backfills (no RAND(), ever).
+
+    All cross-row sums are exact (counts, integer cents, integer squared
+    cents for the variance numerator); the mean is the single end
+    division.
+    Output: (arm, n_users, n_events, value_cents, var_num, mean_cents),
+    arm ascending."""
+    from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        hash_bucket(F.col("user_id"), 2).alias("arm"),
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = base.groupBy("arm").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    return agg.select(
+        "arm",
+        "n_users",
+        F.col("n").alias("n_events"),
+        F.col("s").alias("value_cents"),
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("var_num"),
+        (F.col("s") / F.col("n").cast("double")).alias("mean_cents"),
+    ).orderBy("arm")
+
+
+Q178_SQL = """
+WITH base AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         user_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT arm, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n,
+         SUM(cents) AS s, SUM(cents * cents) AS q
+  FROM base GROUP BY 1
+)
+SELECT arm, n_users, n AS n_events, s AS value_cents,
+       n * q - s * s AS var_num,
+       s / CAST(n AS DOUBLE) AS mean_cents
+FROM agg ORDER BY arm
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -1793,4 +1905,6 @@ MINING_QUERIES = {
     "q174_temporal_lookup_join": (q174_temporal_lookup_join, Q174_SQL),
     "q175_brand_discount_qty_corr": (q175_brand_discount_qty_corr, Q175_SQL),
     "q176_frequent_part_triples": (q176_frequent_part_triples, Q176_SQL),
+    "q177_quality_pass_rates": (q177_quality_pass_rates, Q177_SQL),
+    "q178_ab_experiment_readout": (q178_ab_experiment_readout, Q178_SQL),
 }

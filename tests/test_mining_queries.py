@@ -374,6 +374,39 @@ def test_frequent_triples_are_within_baskets(spark, sf_dir):
     assert len(orders_with) == top["support"]
 
 
+def test_wilson_bounds_bracket_rate(spark, sf_dir):
+    fn, _ = MINING_QUERIES["q177_quality_pass_rates"]
+    for r in fn(spark, sf_dir).collect():
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+        assert r["n_pass"] <= r["n_docs"]
+
+
+def test_ab_arms_partition_users(spark, sf_dir):
+    """Both arms exist, arm assignment is md5-deterministic (re-derived
+    driver-side), and the arms partition the purchasing users."""
+    import hashlib
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q178_ab_experiment_readout"]
+    rows = fn(spark, sf_dir).collect()
+    assert [r["arm"] for r in rows] == [0, 1]
+    users = {
+        r["user_id"]
+        for r in load_tables(spark, sf_dir)["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    by_arm = {0: 0, 1: 0}
+    for u in users:
+        by_arm[int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2] += 1
+    assert {r["arm"]: r["n_users"] for r in rows} == by_arm
+    for r in rows:
+        assert r["var_num"] >= 0
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

@@ -214,6 +214,8 @@ def _n_exchanges(plan: str) -> int:
         ("q174_temporal_lookup_join", 2),  # SCD2 window + user-key range join
         ("q175_brand_discount_qty_corr", 2),  # one moment agg + sort (part bcast)
         ("q176_frequent_part_triples", 4),  # distinct + 2 basket joins + agg
+        ("q177_quality_pass_rates", 2),    # one gate agg + final sort
+        ("q178_ab_experiment_readout", 3),  # 2-phase distinct-user agg + sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
