@@ -687,3 +687,81 @@ def test_zscore_anomaly_stream_matches_batch_prefix(spark, sf_dir, events_dir, t
     ).select("event_id", "n", dev.alias("dev"), var_num.alias("v"))
     want = {r["event_id"]: (r["n"], r["dev"], r["v"]) for r in batch.collect()}
     assert got == want and len(got) > 3
+
+
+def test_running_totals_survive_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Exactly-once across stream RESTARTS: drain shard 0, stop, add the
+    remaining shards, restart the same query from its checkpoint — the
+    final totals equal the batch aggregate (nothing reprocessed, nothing
+    lost), even though the query object was rebuilt from scratch."""
+    from hadoop_jobanalyzer_spark.streaming import running_totals_stream
+
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    d = tmp_path / "restart_events"
+    d.mkdir()
+    n = len(df)
+    step = (n + 2) // 3
+    parts = [df.iloc[lo : lo + step] for lo in range(0, n, step)]
+    parts[0].to_parquet(
+        d / "shard0.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    ckpt = str(tmp_path / "ckpt_restart")
+    out = str(tmp_path / "restart_out")
+    schema = spark.read.parquet(str(d)).schema
+
+    def run_once():
+        # the memory sink is not fault-tolerant (no checkpoint recovery);
+        # foreachBatch appending to parquet is the recoverable shape
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            running_totals_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first = {
+        r["event_type"]: r["n_total"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert sum(first.values()) == len(parts[0])
+
+    for i, part in enumerate(parts[1:], start=1):
+        part.to_parquet(
+            d / f"shard{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    run_once()
+    snaps = spark.read.parquet(out).collect()
+    latest = {}
+    for r in snaps:
+        k = r["event_type"]
+        if k not in latest or r["n_total"] > latest[k][0]:
+            latest[k] = (r["n_total"], r["sum_cents"], r["max_cents"])
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("m"),
+        )
+    )
+    want = {r["event_type"]: (r["n"], r["s"], r["m"]) for r in batch.collect()}
+    assert latest == want
