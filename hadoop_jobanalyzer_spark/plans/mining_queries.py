@@ -1880,6 +1880,240 @@ FROM agg ORDER BY arm
 """
 
 
+# --- q179-q183: remaining expressible TPC-H shapes ---------------------------
+
+
+def q179_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a discount band in one ship
+    year — the canonical zero-join, full-pushdown aggregate.  Every
+    predicate (date range, discount band, quantity cap) reaches the
+    parquet scan (asserted in the plan guard), so at 100 TB the query
+    reads only row groups whose footer envelopes intersect the band.
+    Revenue is exact cents from the per-row floored product.
+    Output: one row (n_items, revenue_cents)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+Q179_SQL = """
+SELECT COUNT(*) AS n_items,
+       SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT))
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q180_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the PROMO part type's share of each ship-month's
+    revenue — conditional aggregation over one dimension-broadcast join,
+    with the share as the single end division of exact cents.
+    Output: (ship_month, promo_cents, total_cents, promo_share),
+    month ascending."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        ).cast("long").alias("rev_cents"),
+    )
+    part = t["part"].select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return (
+        j.groupBy("ship_month")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(0)).alias(
+                "promo_cents"
+            ),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+        .select(
+            "ship_month",
+            "promo_cents",
+            "total_cents",
+            (F.col("promo_cents") / F.col("total_cents").cast("double")).alias(
+                "promo_share"
+            ),
+        )
+        .orderBy("ship_month")
+    )
+
+
+Q180_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS promo_cents,
+       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+         AS total_cents,
+       SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END)
+         / CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+                AS DOUBLE) AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1 ORDER BY ship_month
+"""
+
+_Q181_MIN_QTY = 250
+
+
+def q181_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders
+    (basket quantity above a threshold) — the HAVING-then-join-back
+    decorrelation.  The heavy side is one per-order aggregate; only the
+    qualifying order keys (a tiny filtered set) join back to orders and
+    the customer dimension.
+    Output: (c_custkey, c_name, o_orderkey, order_qty, o_totalprice_cents),
+    qty desc / orderkey asc."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("order_qty"))
+        .filter(F.col("order_qty") > _Q181_MIN_QTY)
+    )
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_cents"),
+    )
+    cust = t["customer"].select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "order_qty", "o_totalprice_cents")
+        .orderBy(F.desc("order_qty"), "o_orderkey")
+    )
+
+
+Q181_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS order_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > {_Q181_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, order_qty,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY order_qty DESC, o_orderkey
+"""
+
+
+def q182_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer — a LEFT
+    join from the customer dimension so zero-order customers count in
+    the 0 bucket, then a count-of-counts.  Two aggregates, both with
+    map-side partials; the per-customer grain never leaves the executor
+    tier.
+    Output: (n_orders, n_customers), customer count desc / n_orders desc."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(
+            t["orders"].select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+Q182_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_custkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY 1
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+def q183_top_supplier_per_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top revenue supplier(s) per ship quarter —
+    the 'equal to a scalar MAX subquery' pattern, decorrelated to a
+    per-quarter window MAX so ties are kept exactly as Q15 requires and
+    the revenue aggregate is computed once, not once per supplier.
+    Output: (quarter, s_suppkey, s_name, revenue_cents), quarter asc /
+    suppkey asc."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_suppkey",
+        F.concat(
+            F.year("l_shipdate").cast("string"),
+            F.lit("-Q"),
+            F.quarter("l_shipdate").cast("string"),
+        ).alias("quarter"),
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        ).cast("long").alias("rev_cents"),
+    )
+    rev = li.groupBy("quarter", "l_suppkey").agg(
+        F.sum("rev_cents").alias("revenue_cents")
+    )
+    w = Window.partitionBy("quarter")
+    supp = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        rev.withColumn("_mx", F.max("revenue_cents").over(w))
+        .filter(F.col("revenue_cents") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("quarter", "s_suppkey", "s_name", "revenue_cents")
+        .orderBy("quarter", "s_suppkey")
+    )
+
+
+Q183_SQL = """
+WITH rev AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR) || '-Q'
+           || CAST(EXTRACT(quarter FROM l_shipdate) AS VARCHAR) AS quarter,
+         l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+  FROM lineitem GROUP BY 1, 2
+),
+mx AS (
+  SELECT quarter, l_suppkey, revenue_cents,
+         MAX(revenue_cents) OVER (PARTITION BY quarter) AS _mx
+  FROM rev
+)
+SELECT quarter, s_suppkey, s_name, revenue_cents
+FROM mx JOIN supplier ON s_suppkey = l_suppkey
+WHERE revenue_cents = _mx
+ORDER BY quarter, s_suppkey
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -1907,4 +2141,9 @@ MINING_QUERIES = {
     "q176_frequent_part_triples": (q176_frequent_part_triples, Q176_SQL),
     "q177_quality_pass_rates": (q177_quality_pass_rates, Q177_SQL),
     "q178_ab_experiment_readout": (q178_ab_experiment_readout, Q178_SQL),
+    "q179_forecast_revenue_delta": (q179_forecast_revenue_delta, Q179_SQL),
+    "q180_promo_revenue_share": (q180_promo_revenue_share, Q180_SQL),
+    "q181_large_volume_customers": (q181_large_volume_customers, Q181_SQL),
+    "q182_order_count_distribution": (q182_order_count_distribution, Q182_SQL),
+    "q183_top_supplier_per_quarter": (q183_top_supplier_per_quarter, Q183_SQL),
 }

