@@ -2114,6 +2114,83 @@ ORDER BY quarter, s_suppkey
 """
 
 
+# --- q184: exact per-label medoids via applyInPandas -------------------------
+
+
+def q184_label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact medoid per label: the member vector minimizing the sum of
+    squared L2 distances to its label-mates — the IVF/cluster refinement
+    step (a medoid, unlike the centroid, IS a corpus vector, so it can
+    seed retrieval or deduplication directly).
+
+    This is the repo's grouped-map Arrow boundary (``applyInPandas``):
+    the pairwise distance matrix is genuinely not a per-row SQL
+    expression, so each label group crosses to pandas ONCE and numpy
+    computes the O(|group|^2) Gram form in int64 — vectors are
+    1/1000-quantized integers, so the math is EXACT and engine-portable
+    (the DuckDB oracle recomputes the same integer sums relationally).
+    Scale contract: cost is quadratic per GROUP, never corpus-global —
+    exactly the bounded-cell shape of the IVF family; a 100 TB corpus
+    runs this per cell after assignment.
+    Output: (label, medoid_vec_id, n_members, sum_sq_dist), label asc."""
+    import pandas as pd
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    quant = emb.select("label", "vec_id", q.alias("q"))
+
+    def medoid(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        x = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        g = x @ x.T
+        sq = np.diag(g)[:, None] + np.diag(g)[None, :] - 2 * g
+        sums = sq.sum(axis=1)
+        order = sorted(range(len(pdf)), key=lambda i: (sums[i], pdf["vec_id"].iat[i]))
+        best = order[0]
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iat[0])],
+                "medoid_vec_id": [int(pdf["vec_id"].iat[best])],
+                "n_members": [len(pdf)],
+                "sum_sq_dist": [int(sums[best])],
+            }
+        )
+
+    out_schema = "label int, medoid_vec_id long, n_members long, sum_sq_dist long"
+    return (
+        quant.groupBy("label").applyInPandas(medoid, out_schema).orderBy("label")
+    )
+
+
+Q184_SQL = """
+WITH quant AS (
+  SELECT label, vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+sums AS (
+  SELECT a.label, a.vec_id,
+         COALESCE(SUM(list_sum(list_transform(range(1, 65),
+                  i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))), 0) AS s
+  FROM quant a
+  LEFT JOIN quant b ON a.label = b.label AND a.vec_id != b.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT label, vec_id, s,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY s, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n_members
+  FROM sums
+)
+SELECT label, vec_id AS medoid_vec_id, n_members, s AS sum_sq_dist
+FROM ranked WHERE rn = 1 ORDER BY label
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -2146,4 +2223,5 @@ MINING_QUERIES = {
     "q181_large_volume_customers": (q181_large_volume_customers, Q181_SQL),
     "q182_order_count_distribution": (q182_order_count_distribution, Q182_SQL),
     "q183_top_supplier_per_quarter": (q183_top_supplier_per_quarter, Q183_SQL),
+    "q184_label_medoids": (q184_label_medoids, Q184_SQL),
 }

@@ -449,6 +449,37 @@ def test_top_supplier_is_the_max_with_ties(spark, sf_dir):
     assert by_q and all(len(v) == 1 for v in by_q.values())
 
 
+def test_medoid_is_argmin_of_its_group(spark, sf_dir):
+    """Recompute one label's medoid driver-side with brute-force integer
+    math; the grouped-map result must be that exact argmin, and every
+    label appears once."""
+    import math
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q184_label_medoids"]
+    rows = fn(spark, sf_dir).collect()
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    assert len(rows) == emb.select("label").distinct().count()
+    lbl = rows[0]["label"]
+    members = [
+        (r["vec_id"], [math.floor(float(x) * 1000) for x in r["embedding"]])
+        for r in emb.filter(F.col("label") == lbl).collect()
+    ]
+    best = None
+    for vid, q in members:
+        s = sum(
+            sum((a - b) * (a - b) for a, b in zip(q, q2))
+            for vid2, q2 in members
+            if vid2 != vid
+        )
+        if best is None or (s, vid) < best:
+            best = (s, vid)
+    got = rows[0]
+    assert (got["sum_sq_dist"], got["medoid_vec_id"]) == best
+    assert got["n_members"] == len(members)
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

@@ -221,6 +221,7 @@ def _n_exchanges(plan: str) -> int:
         ("q181_large_volume_customers", 2),  # order agg + orderkey join
         ("q182_order_count_distribution", 3),  # left join + 2 count aggs
         ("q183_top_supplier_per_quarter", 3),  # rev agg + quarter window + sort
+        ("q184_label_medoids", 2),  # one label shuffle into the Arrow stage
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
