@@ -2191,6 +2191,83 @@ FROM ranked WHERE rn = 1 ORDER BY label
 """
 
 
+# --- q185: relaxed (bounded-gap) funnel conversion ---------------------------
+
+_Q185_MAX_GAP_EVENTS = 5
+_Q185_WITHIN_MS = 2 * 24 * 3600 * 1000
+
+
+def q185_relaxed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-gap funnel: a view converts if a purchase by the same user
+    occurs within the next 5 EVENTS (any types between) and 2 days — the
+    MATCH_RECOGNIZE `A (ANY){0,k} B` quantifier, relaxing q148's strict
+    contiguity.
+
+    The k-lookahead is k LEAD columns over ONE per-user window (no
+    self-join, no array collect); the existence test is a k-way OR the
+    optimizer folds into one codegen expression.  Per-user conversion
+    counts are exact integers; the rate is the single end division.
+    Output: (user_id, n_views, n_converted, convert_rate), user asc."""
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = epoch_ms("ts")
+    cols = [F.col("user_id"), F.col("event_type"), ms.alias("ms0")]
+    for j in range(1, _Q185_MAX_GAP_EVENTS + 1):
+        cols.append(F.lead("event_type", j).over(w).alias(f"ty{j}"))
+        cols.append(F.lead(ms, j).over(w).alias(f"ms{j}"))
+    s = events.select(*cols)
+    converted = None
+    for j in range(1, _Q185_MAX_GAP_EVENTS + 1):
+        hit = (F.col(f"ty{j}") == "purchase") & (
+            F.col(f"ms{j}") - F.col("ms0") <= _Q185_WITHIN_MS
+        )
+        converted = hit if converted is None else (converted | hit)
+    views = s.filter(F.col("event_type") == "view")
+    return (
+        views.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.count(F.when(converted, True)).alias("n_converted"),
+        )
+        .select(
+            "user_id",
+            "n_views",
+            "n_converted",
+            (F.col("n_converted") / F.col("n_views").cast("double")).alias(
+                "convert_rate"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q185_sql() -> str:
+    k, t = _Q185_MAX_GAP_EVENTS, _Q185_WITHIN_MS
+    leads = ",\n         ".join(
+        f"LEAD(event_type, {j}) OVER w AS ty{j},\n"
+        f"         LEAD(epoch_ms(ts), {j}) OVER w AS ms{j}"
+        for j in range(1, k + 1)
+    )
+    hits = " OR ".join(
+        f"(ty{j} = 'purchase' AND ms{j} - ms0 <= {t})" for j in range(1, k + 1)
+    )
+    return f"""
+WITH s AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms0,
+         {leads}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n_views,
+       COUNT(*) FILTER ({hits}) AS n_converted,
+       COUNT(*) FILTER ({hits}) / CAST(COUNT(*) AS DOUBLE) AS convert_rate
+FROM s WHERE event_type = 'view'
+GROUP BY 1 ORDER BY user_id
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -2224,4 +2301,5 @@ MINING_QUERIES = {
     "q182_order_count_distribution": (q182_order_count_distribution, Q182_SQL),
     "q183_top_supplier_per_quarter": (q183_top_supplier_per_quarter, Q183_SQL),
     "q184_label_medoids": (q184_label_medoids, Q184_SQL),
+    "q185_relaxed_funnel_conversion": (q185_relaxed_funnel_conversion, _q185_sql()),
 }

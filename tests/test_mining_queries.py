@@ -480,6 +480,22 @@ def test_medoid_is_argmin_of_its_group(spark, sf_dir):
     assert got["n_members"] == len(members)
 
 
+def test_relaxed_funnel_dominates_strict(spark, sf_dir):
+    """The bounded-gap funnel admits every strict-contiguity conversion:
+    any user with a q148 strict view->click->purchase match converts here
+    too, and rates stay in [0,1]."""
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import BEHAVIOR_QUERIES
+
+    fn, _ = MINING_QUERIES["q185_relaxed_funnel_conversion"]
+    rows = {r["user_id"]: r for r in fn(spark, sf_dir).collect()}
+    for r in rows.values():
+        assert 0 <= r["n_converted"] <= r["n_views"]
+        assert 0.0 <= r["convert_rate"] <= 1.0
+    strict, _ = BEHAVIOR_QUERIES["q148_funnel_pattern_matches"]
+    for s in strict(spark, sf_dir).collect():
+        assert rows[s["user_id"]]["n_converted"] >= 1
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

@@ -222,6 +222,7 @@ def _n_exchanges(plan: str) -> int:
         ("q182_order_count_distribution", 3),  # left join + 2 count aggs
         ("q183_top_supplier_per_quarter", 3),  # rev agg + quarter window + sort
         ("q184_label_medoids", 2),  # one label shuffle into the Arrow stage
+        ("q185_relaxed_funnel_conversion", 2),  # one user window + user agg
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
