@@ -122,3 +122,54 @@ def test_fleet_ingest_300_logs(spark, tmp_path):
     assert views.tasks.count() == 300 * 5  # 2 maps + 1 reduce + setup + cleanup
     fleet = {r["user"]: r["n_jobs"] for r in fleet_summary(views).collect()}
     assert fleet == {"bob": 100, "alice": 200}
+
+
+def test_timeseries_spine_at_10x_range(spark, tmp_path):
+    """q153 gap-fill and q163 rolling correlation at a 300-day event
+    horizon (432k-minute spine, 10x the sf0.1 range, 1M events): the
+    spine-window family must stay O(spine) — the shrinking-frame form
+    this repo explicitly avoids would be quadratic here and time out."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n = 1_000_000
+    start = pd.Timestamp("2024-01-01")
+    ts = start + pd.to_timedelta(
+        np.sort(rng.randint(0, 300 * 24 * 3600, size=n)), unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": ts,
+            "user_id": rng.randint(0, 5000, size=n).astype("int64"),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "signup", "error"], size=n
+            ),
+            "value": rng.uniform(0.01, 500.0, size=n).round(2),
+            "props": ["{}"] * n,
+        }
+    )
+    d = tmp_path / "big_sf"
+    d.mkdir()
+    src = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ]:
+        shutil.copy(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    df.to_parquet(d / "events.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+
+    from hadoop_jobanalyzer_spark.plans.registry import QUERIES
+
+    gapfill, _ = QUERIES["q153_gapfill_interpolation"]
+    rows = gapfill(spark, str(d)).count()
+    assert 400_000 < rows <= 300 * 24 * 60  # contiguous minute spine
+
+    rolling, _ = QUERIES["q163_rolling_correlation"]
+    hours = rolling(spark, str(d)).count()
+    assert 6_000 < hours <= 300 * 24
