@@ -2268,6 +2268,52 @@ GROUP BY 1 ORDER BY user_id
 """
 
 
+# --- q186: late-order priority census (TPC-H Q4 shape) -----------------------
+
+_Q186_LATE_DAYS = 90
+
+
+def q186_late_order_priority_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with AT LEAST ONE late line item (shipped
+    more than 90 days after the order date), counted per order priority —
+    the correlated EXISTS decorrelated to a LEFT SEMI join.
+
+    The semi join keeps the fact side single-scan and never duplicates an
+    order with several late items (the trap a plain inner join + distinct
+    would pay a shuffle to undo).  The lateness predicate compares two
+    timestamp columns directly — no epoch math needed.
+    Output: (o_orderpriority, n_late_orders), priority ascending."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > orders["o_orderdate"] + F.expr(f"INTERVAL {_Q186_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q186_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL {_Q186_LATE_DAYS} DAY
+)
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -2302,4 +2348,5 @@ MINING_QUERIES = {
     "q183_top_supplier_per_quarter": (q183_top_supplier_per_quarter, Q183_SQL),
     "q184_label_medoids": (q184_label_medoids, Q184_SQL),
     "q185_relaxed_funnel_conversion": (q185_relaxed_funnel_conversion, _q185_sql()),
+    "q186_late_order_priority_census": (q186_late_order_priority_census, Q186_SQL),
 }

@@ -496,6 +496,20 @@ def test_relaxed_funnel_dominates_strict(spark, sf_dir):
         assert rows[s["user_id"]]["n_converted"] >= 1
 
 
+def test_late_order_census_never_double_counts(spark, sf_dir):
+    """Semi-join semantics: the census total can never exceed the number
+    of distinct orders, even though late orders often have several late
+    items."""
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    fn, _ = MINING_QUERIES["q186_late_order_priority_census"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_late_orders"] for r in rows)
+    n_orders = load_tables(spark, sf_dir)["orders"].count()
+    assert 0 < total <= n_orders
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

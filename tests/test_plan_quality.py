@@ -223,6 +223,7 @@ def _n_exchanges(plan: str) -> int:
         ("q183_top_supplier_per_quarter", 3),  # rev agg + quarter window + sort
         ("q184_label_medoids", 2),  # one label shuffle into the Arrow stage
         ("q185_relaxed_funnel_conversion", 2),  # one user window + user agg
+        ("q186_late_order_priority_census", 2),  # semi join + priority agg
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
