@@ -2314,6 +2314,74 @@ GROUP BY 1 ORDER BY o_orderpriority
 """
 
 
+# --- q187: OHLC time-series bars ---------------------------------------------
+
+_Q187_BAR_S = 300  # 5-minute bars
+
+
+def q187_five_minute_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: the purchase-value stream rolled into 5-minute
+    bars with open/high/low/close/volume — the hypertable `time_bucket`
+    + first/last aggregation every metrics store runs.
+
+    Open and close are first/last BY EVENT TIME with the event id as the
+    deterministic tie-break, computed via `min_by`/`max_by` over a
+    (epoch_ms, event_id) packed ordering key — one aggregate pass, no
+    ranking window, no self-join.  Values are exact integer cents;
+    the mean is the single end division.
+    Output: (bar, n_trades, open_c, high_c, low_c, close_c, mean_c),
+    bar ascending."""
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    events = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    )
+    base = events.select(
+        (F.floor(epoch_s("ts") / _Q187_BAR_S)).cast("long").alias("bar"),
+        # packed total order: ms * 2^20 + event_id (ids fit comfortably)
+        (epoch_ms("ts") * F.lit(1 << 20) + F.col("event_id")).alias("ord"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        base.groupBy("bar")
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.min_by("cents", "ord").alias("open_c"),
+            F.max("cents").alias("high_c"),
+            F.min("cents").alias("low_c"),
+            F.max_by("cents", "ord").alias("close_c"),
+            F.sum("cents").alias("_sum"),
+        )
+        .select(
+            "bar",
+            "n_trades",
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            (F.col("_sum") / F.col("n_trades").cast("double")).alias("mean_c"),
+        )
+        .orderBy("bar")
+    )
+
+
+Q187_SQL = f"""
+WITH base AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // {_Q187_BAR_S} AS bar,
+         epoch_ms(ts) * {1 << 20} + event_id AS ord,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT bar, COUNT(*) AS n_trades,
+       arg_min(cents, ord) AS open_c,
+       MAX(cents) AS high_c,
+       MIN(cents) AS low_c,
+       arg_max(cents, ord) AS close_c,
+       SUM(cents) / CAST(COUNT(*) AS DOUBLE) AS mean_c
+FROM base GROUP BY 1 ORDER BY bar
+"""
+
+
 MINING_QUERIES = {
     "q153_gapfill_interpolation": (q153_gapfill_interpolation, Q153_SQL),
     "q154_part_name_edit_pairs": (q154_part_name_edit_pairs, Q154_SQL),
@@ -2349,4 +2417,5 @@ MINING_QUERIES = {
     "q184_label_medoids": (q184_label_medoids, Q184_SQL),
     "q185_relaxed_funnel_conversion": (q185_relaxed_funnel_conversion, _q185_sql()),
     "q186_late_order_priority_census": (q186_late_order_priority_census, Q186_SQL),
+    "q187_five_minute_bars": (q187_five_minute_bars, Q187_SQL),
 }

@@ -510,6 +510,38 @@ def test_late_order_census_never_double_counts(spark, sf_dir):
     assert 0 < total <= n_orders
 
 
+def test_ohlc_bar_invariants(spark, sf_dir):
+    """low <= open/close <= high in every bar; open/close recomputed
+    driver-side for the busiest bar."""
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+    from hadoop_jobanalyzer_spark.util import epoch_ms, epoch_s
+
+    fn, _ = MINING_QUERIES["q187_five_minute_bars"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low_c"] <= r["open_c"] <= r["high_c"]
+        assert r["low_c"] <= r["close_c"] <= r["high_c"]
+        assert r["low_c"] <= r["mean_c"] <= r["high_c"]
+    busiest = max(rows, key=lambda r: r["n_trades"])
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(epoch_s("ts") / 300).cast("long").alias("bar"),
+            epoch_ms("ts").alias("ms"),
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("bar") == busiest["bar"])
+        .collect()
+    )
+    ordered = sorted(ev, key=lambda r: (r["ms"], r["event_id"]))
+    assert ordered[0]["cents"] == busiest["open_c"]
+    assert ordered[-1]["cents"] == busiest["close_c"]
+    assert len(ordered) == busiest["n_trades"]
+
+
 def test_srp_planes_are_balanced_rademacher(spark, sf_dir):
     """The fixed hyperplanes are +-1 only and roughly balanced (md5 bit
     parity), and every vector lands in exactly one bucket."""

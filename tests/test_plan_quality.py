@@ -224,6 +224,7 @@ def _n_exchanges(plan: str) -> int:
         ("q184_label_medoids", 2),  # one label shuffle into the Arrow stage
         ("q185_relaxed_funnel_conversion", 2),  # one user window + user agg
         ("q186_late_order_priority_census", 2),  # semi join + priority agg
+        ("q187_five_minute_bars", 2),  # one bar agg (min_by/max_by) + sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
