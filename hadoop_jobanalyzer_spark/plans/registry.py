@@ -47,6 +47,13 @@ try:  # sketch/graph/search queries (HLL, KMV, triangles, phrase, setsim)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # warehouse shapes (remaining TPC-H forms: Q3/Q9/Q11/Q12/Q16/Q20)
+    from hadoop_jobanalyzer_spark.plans.warehouse_queries import WAREHOUSE_QUERIES
+
+    QUERIES.update(WAREHOUSE_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 try:  # behavioural / data-quality queries (streaks, Spearman, Benford, expectations)
     from hadoop_jobanalyzer_spark.plans.behavior_queries import BEHAVIOR_QUERIES
 

@@ -1,0 +1,396 @@
+"""Warehouse-shape queries q188+: the remaining classic TPC-H forms the
+registry had not yet expressed, adapted to this star schema (which has no
+partsupp table or l_shipmode column — the adaptations keep each query's
+*plan shape* intact: the decorrelated scalar subquery, the NOT-IN anti
+join, the nested per-group threshold, the conditional split aggregate).
+
+Same contract as the other plan modules: each query is a (DataFrame
+builder, DuckDB oracle SQL) pair; cross-row accumulation stays in BIGINT
+(floored cents / cent-pct units), float division happens at most once at
+the end, and every ordering carries a deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+# Integer revenue in floored cents: identical IEEE per-element math in both
+# engines, then exact BIGINT accumulation (the repo-wide determinism rule).
+# Built lazily — Column construction needs a live session in this build.
+def _rev_cents():
+    return F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+
+
+_REV_CENTS_SQL = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
+
+
+# --- q188: shipping-priority top 10 (TPC-H Q3 shape) -------------------------
+
+_Q188_SEGMENT = "BUILDING"
+_Q188_CUTOFF = "1998-06-15"
+
+
+def q188_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the 10 highest-revenue orders from one market
+    segment that were placed before the cutoff but still had line items
+    shipping after it.
+
+    Join order is chosen for the 100 TB case: customer is filtered to one
+    segment BEFORE its join to orders (Catalyst pushes the predicate into
+    the scan), orders is date-filtered at the scan, and the surviving
+    order keys meet the date-filtered lineitem last, so the only big-big
+    shuffle is orders><lineitem on the join key both sides already
+    aggregate on.  The final top-10 is a TakeOrderedAndProject (per
+    partition top-k + driver merge), never a full sort.
+    Output: (o_orderkey, revenue_c, o_orderdate, o_orderpriority),
+    revenue descending, orderkey the tie-break."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == _Q188_SEGMENT).select(
+        "c_custkey"
+    )
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit(_Q188_CUTOFF)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit(_Q188_CUTOFF)).select(
+        "l_orderkey", _rev_cents().alias("rev_c")
+    )
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_semi")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+        .select("o_orderkey", "revenue_c", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_c").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q188_SQL = f"""
+SELECT o_orderkey,
+       SUM({_REV_CENTS_SQL}) AS revenue_c,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{_Q188_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{_Q188_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{_Q188_CUTOFF}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- q189: product-margin by nation and year (TPC-H Q9 shape) ----------------
+
+_Q189_TOKEN = "red"
+
+
+def q189_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year for parts
+    whose name contains one token.  With no partsupp table, unit cost is
+    the part's retail price: profit = revenue - retailprice*quantity, all
+    in BIGINT cent units (the retail term scales by the same 100 as the
+    floored revenue cents so the subtraction is exact).
+
+    Scale shape: part is filtered by the token BEFORE joining (name
+    predicates prune at the scan; the filtered dim then broadcasts),
+    nation is a broadcast, and the two genuinely large joins —
+    lineitem><orders on orderkey — are the unavoidable fact shuffles.
+    Output: (n_name, o_year, profit_c) ordered by nation, year desc."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_name").contains(_Q189_TOKEN)).select(
+        "p_partkey", F.floor(F.col("p_retailprice") * 100).cast("long").alias("cost_c")
+    )
+    nation = t["nation"].select("n_nationkey", "n_name")
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    orders = t["orders"].select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _rev_cents().alias("rev_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .withColumn("profit_line_c", F.col("rev_c") - F.col("qty") * F.col("cost_c"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("profit_line_c").alias("profit_c"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+Q189_SQL = f"""
+SELECT n_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       SUM({_REV_CENTS_SQL}
+           - CAST(l_quantity AS BIGINT) * CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+       ) AS profit_c
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{_Q189_TOKEN}%'
+GROUP BY 1, 2
+ORDER BY n_name, o_year DESC
+"""
+
+
+# --- q190: supplier census per part attribute (TPC-H Q16 shape) --------------
+
+_Q190_EXCL_BRAND = "Brand#13"
+_Q190_EXCL_TYPE = "PROMO"
+_Q190_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+def q190_part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can ship each
+    (brand, type, size) combination, excluding one brand, one type, all
+    but eight sizes, and "complaint" suppliers (negative account balance
+    stands in for the comment-match; the NOT IN becomes a broadcast anti
+    join, the shape Spark plans for NOT IN on a non-nullable key).
+
+    The distinct (attrs, suppkey) set is reduced BEFORE the counting
+    aggregate — one exchange on the part key (the lineitem><part join),
+    then the distinct+count pipeline reuses that partitioning.
+    Output: (p_brand, p_type, p_size, supplier_cnt), count descending,
+    attrs the tie-break."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(
+        (F.col("p_brand") != _Q190_EXCL_BRAND)
+        & (F.col("p_type") != _Q190_EXCL_TYPE)
+        & F.col("p_size").isin(*_Q190_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complainers = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = t["lineitem"].select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(complainers),
+            li["l_suppkey"] == complainers["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count("*").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q190_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{_Q190_EXCL_BRAND}'
+  AND p_type <> '{_Q190_EXCL_TYPE}'
+  AND p_size IN {_Q190_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- q191: high-value parts vs global threshold (TPC-H Q11 shape) ------------
+
+_Q191_FRACTION_DEN = 2000  # keep parts holding > 1/2000 of total value
+
+
+def q191_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total shipped value exceeds a fixed
+    fraction of the global shipped value — the decorrelated scalar
+    subquery (HAVING > SUM(...)*f) planned as a 1-row broadcast joined
+    against the per-part aggregate.
+
+    Shipped value stays integer (quantity x floored retail cents), so the
+    threshold test is the exact cross-multiplied form
+    ``part_value * DEN > total`` — no float division anywhere.  The
+    per-part aggregate is one exchange on l_partkey; the global total
+    REUSES that aggregate (a second stage over the grouped result, not a
+    second scan of lineitem).
+    Output: (p_partkey, value_c) value descending, partkey tie-break."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].select(
+        "p_partkey", F.floor(F.col("p_retailprice") * 100).cast("long").alias("unit_c")
+    )
+    li = t["lineitem"].select("l_partkey", F.col("l_quantity").cast("long").alias("qty"))
+    per_part = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_partkey")
+        .agg(F.sum(F.col("qty") * F.col("unit_c")).alias("value_c"))
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_c") * _Q191_FRACTION_DEN > F.col("total_c"))
+        .select("p_partkey", "value_c")
+        .orderBy(F.col("value_c").desc(), "p_partkey")
+    )
+
+
+Q191_SQL = f"""
+WITH per_part AS (
+  SELECT p_partkey,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(FLOOR(p_retailprice * 100) AS BIGINT))
+           AS value_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_partkey
+)
+SELECT p_partkey, value_c
+FROM per_part
+WHERE value_c * {_Q191_FRACTION_DEN} > (SELECT SUM(value_c) FROM per_part)
+ORDER BY value_c DESC, p_partkey
+"""
+
+
+# --- q192: dominant suppliers of a part family (TPC-H Q20 shape) -------------
+
+_Q192_TOKEN = "blue"
+_Q192_SHARE_DEN = 10  # dominant = shipped more than 1/10 of the part's volume
+
+
+def q192_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate the supply of any part in
+    one name family — shipped more than a fixed share of that part's
+    total volume.  (partsupp availability becomes shipped-volume share;
+    the nested per-part aggregate threshold survives intact.)
+
+    The per-(part, supplier) aggregate is one exchange; the per-part
+    total comes from a window over that SAME partitioning (zero extra
+    shuffle, since partkey prefixes the grouping key).  The share test is
+    the cross-multiplied integer form.  Supplier names attach by
+    broadcast at the very end, after the heavy side has collapsed to at
+    most one row per supplier.
+    Output: (s_suppkey, s_name, n_dominant_parts), count descending,
+    suppkey tie-break."""
+    t = load_tables(spark, sf_dir)
+    fam = t["part"].filter(F.col("p_name").contains(_Q192_TOKEN)).select("p_partkey")
+    li = t["lineitem"].select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    per_ps = (
+        li.join(F.broadcast(fam), li["l_partkey"] == fam["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("qty_sp"))
+    )
+    part_total = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("qty_part", F.sum("qty_sp").over(part_total))
+        .filter(F.col("qty_sp") * _Q192_SHARE_DEN > F.col("qty_part"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
+    supp = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        dominant.join(F.broadcast(supp), dominant["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "n_dominant_parts")
+        .orderBy(F.col("n_dominant_parts").desc(), "s_suppkey")
+    )
+
+
+Q192_SQL = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty_sp
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%{_Q192_TOKEN}%')
+  GROUP BY l_partkey, l_suppkey
+),
+dominant AS (
+  SELECT l_suppkey, COUNT(*) AS n_dominant_parts
+  FROM (
+    SELECT l_partkey, l_suppkey, qty_sp,
+           SUM(qty_sp) OVER (PARTITION BY l_partkey) AS qty_part
+    FROM per_ps
+  )
+  WHERE qty_sp * {_Q192_SHARE_DEN} > qty_part
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_dominant_parts
+FROM dominant JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY n_dominant_parts DESC, s_suppkey
+"""
+
+
+# --- q193: late-shipment priority split per quarter (TPC-H Q12 shape) --------
+
+_Q193_LATE_DAYS = 60
+_Q193_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q193_late_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: among line items shipped more than N days after
+    their order date, how many belong to high-priority orders vs the
+    rest, per ship quarter (the ship-mode axis becomes ship quarter —
+    the conditional CASE-WHEN split aggregate over a fact><fact join is
+    the preserved shape).
+
+    One orderkey shuffle joins the two facts; the lateness predicate
+    applies DURING the join (no post-join filter stage), and the split is
+    two conditional sums in a single aggregate pass.
+    Output: (ship_q, high_line_count, low_line_count), quarter ascending."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    is_high = F.col("o_orderpriority").isin(*_Q193_HIGH).cast("long")
+    joined = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (
+            li["l_shipdate"]
+            > orders["o_orderdate"] + F.expr(f"INTERVAL {_Q193_LATE_DAYS} DAYS")
+        ),
+    )
+    return (
+        joined.select(
+            F.concat(
+                F.year("l_shipdate").cast("string"),
+                F.lit("-Q"),
+                F.quarter("l_shipdate").cast("string"),
+            ).alias("ship_q"),
+            is_high.alias("is_high"),
+        )
+        .groupBy("ship_q")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("ship_q")
+    )
+
+
+Q193_SQL = f"""
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR) || '-Q' ||
+         CAST(EXTRACT(quarter FROM l_shipdate) AS VARCHAR) AS ship_q,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {_Q193_LATE_DAYS} DAY
+GROUP BY 1 ORDER BY ship_q
+"""
+
+
+WAREHOUSE_QUERIES = {
+    "q188_shipping_priority": (q188_shipping_priority, Q188_SQL),
+    "q189_product_margin": (q189_product_margin, Q189_SQL),
+    "q190_part_supplier_census": (q190_part_supplier_census, Q190_SQL),
+    "q191_important_parts": (q191_important_parts, Q191_SQL),
+    "q192_dominant_suppliers": (q192_dominant_suppliers, Q192_SQL),
+    "q193_late_priority_split": (q193_late_priority_split, Q193_SQL),
+}

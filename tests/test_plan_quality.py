@@ -81,6 +81,8 @@ NESTED_LOOP_OK = {
     "q168_ann_recall_audit",
     # three 1-row count aggregates combined by broadcast (dedup audit)
     "q169_dedup_candidate_audit",
+    # 1-row global-total broadcast for the Q11 HAVING threshold
+    "q191_important_parts",
 }
 
 
