@@ -260,3 +260,53 @@ def pagerank_fixed(
             .alias("r"),
         )
     return ranks.select("v", F.col("r").alias("rank_fixed"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+    canonical: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a fully
+    deterministic update: each round every node adopts the most frequent
+    label among its neighbours, ties broken by the SMALLEST label — the
+    argmax is a (count desc, label asc) ``min_by`` over exact counts, so
+    any engine reproduces the same communities bit-for-bit.
+
+    A fixed round count is the contract (like ``pagerank_fixed``): no
+    convergence barrier, the loop unrolls into one plan.  Per round: one
+    shuffle to count (neighbour, label) votes and one ``min_by`` argmax
+    reusing that grouping's partitioning — the Pregel per-superstep cost.
+    The symmetrized edge list is partitioned by the vote-source key once
+    and persisted, so every round's join reuses the layout.
+
+    Pass ``canonical=True`` for a distinct a<b pair list (skips the
+    symmetrize-side dedup shuffle).  Returns (v, label) for every node
+    that has at least one edge.
+    """
+    a = F.col(src).alias("_a")
+    b = F.col(dst).alias("_b")
+    sym = edges.select(a, b).union(edges.select(b.alias("_a"), a.alias("_b")))
+    if not canonical:
+        sym = sym.filter(F.col("_a") != F.col("_b")).distinct()
+    sym = sym.repartition("_a").persist()
+
+    labels = sym.select(F.col("_a").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, F.col("_a") == F.col("v"))
+            .groupBy(F.col("_b").alias("v"), "label")
+            .agg(F.count("*").alias("_n"))
+        )
+        # argmax by (count desc, label asc): pack into one orderable key —
+        # min over (-count, label) lexicographic via min_by on a struct
+        labels = votes.groupBy("v").agg(
+            F.min_by("label", F.struct((-F.col("_n")).alias("k1"), F.col("label").alias("k2"))).alias(
+                "label"
+            )
+        )
+    return labels

@@ -1,0 +1,394 @@
+"""Corpus-analytics queries q194+: distribution distances between
+sources, tokenizer fertility, deterministic corpus-mixing apportionment,
+label-propagation communities, and an inverted-index posting relation.
+
+Same contract as the other plan modules: (DataFrame builder, DuckDB
+oracle SQL) pairs; exact BIGINT cross-row accumulation (cross-multiplied
+distribution compares, largest-remainder integer apportionment), float
+division at most once at the end, deterministic tie-breaks everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+# The repo-wide BPE-ish pre-tokenizer regex (pipeline_queries.q33).
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+# --- q194: pairwise source total-variation distance --------------------------
+
+
+def q194_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between every pair of sources' unigram
+    token distributions — the corpus-drift matrix a mixing pipeline
+    watches before re-weighting sources.
+
+    TV(a,b) = 1/2 * sum_t |p_a(t) - p_b(t)| is computed EXACTLY in
+    integers via the cross-multiplied form: the numerator
+    sum_t |c_a(t)*N_b - c_b(t)*N_a| needs only tokens present in BOTH
+    sources plus two correction terms — tokens exclusive to one side
+    contribute c*N_other, and sum of exclusive counts = N - (common
+    mass), so no full-outer join is ever planned.  The token self-join's
+    fan-out is bounded by (#sources)^2 per token, never by row count;
+    per-source totals are a #sources-row broadcast.  The single float
+    division tv_num / (2*N_a*N_b) happens once, at the end.
+    Output: (src_a, src_b, tv_num, tv), pairs ordered ascending."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    cnt = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    ca = cnt.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("c_a")
+    )
+    cb = cnt.select(
+        F.col("source").alias("src_b"), F.col("tok").alias("tok_b"), F.col("c").alias("c_b")
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    common = (
+        ca.join(cb, (ca["tok"] == cb["tok_b"]) & (ca["src_a"] < cb["src_b"]))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(
+            F.sum(F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))).alias(
+                "common_num"
+            ),
+            F.sum("c_a").alias("s_a"),
+            F.sum("c_b").alias("s_b"),
+        )
+    )
+    pairs = ta.join(tb, ta["src_a"] < tb["src_b"])  # #sources^2 grid, tiny
+    return (
+        pairs.join(common.drop("n_a", "n_b"), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.coalesce(F.col("common_num"), F.lit(0))
+                + (F.col("n_a") - F.coalesce(F.col("s_a"), F.lit(0))) * F.col("n_b")
+                + (F.col("n_b") - F.coalesce(F.col("s_b"), F.lit(0))) * F.col("n_a")
+            ).alias("tv_num"),
+            F.col("n_a"),
+            F.col("n_b"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "tv_num",
+            (F.col("tv_num") / (2.0 * F.col("n_a") * F.col("n_b"))).alias("tv"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+Q194_SQL = """
+WITH cnt AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY 1),
+common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         SUM(ABS(a.c * tb.n - b.c * ta.n)) AS common_num,
+         SUM(a.c) AS s_a, SUM(b.c) AS s_b
+  FROM cnt a
+  JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+  GROUP BY 1, 2
+)
+SELECT ta.source AS src_a, tb.source AS src_b,
+       COALESCE(common_num, 0)
+         + (ta.n - COALESCE(s_a, 0)) * tb.n
+         + (tb.n - COALESCE(s_b, 0)) * ta.n AS tv_num,
+       (COALESCE(common_num, 0)
+         + (ta.n - COALESCE(s_a, 0)) * tb.n
+         + (tb.n - COALESCE(s_b, 0)) * ta.n) / (2.0 * ta.n * tb.n) AS tv
+FROM tot ta
+JOIN tot tb ON ta.source < tb.source
+LEFT JOIN common ON common.src_a = ta.source AND common.src_b = tb.source
+ORDER BY src_a, src_b
+"""
+
+
+# --- q195: tokenizer fertility per language ----------------------------------
+
+
+def q195_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pre-tokens per
+    whitespace word — the subword-inflation diagnostic that decides
+    whether a tokenizer under-serves a language (fertility ~1 for
+    English-like text, higher where the regex fragments words).
+
+    Pure codegen: two `regexp_extract_all`/`split` sizes per row, summed
+    as BIGINTs per language; the fertility ratio is the one end-stage
+    division. Zero joins, one exchange.
+    Output: (lang, n_docs, n_words, n_tokens, fertility), lang asc."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("w"),
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("long").alias(
+                "t"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("t").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("n_words").cast("double")).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q195_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS n_words,
+       SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS n_tokens,
+       SUM(len(regexp_extract_all(text, '{_BPE_RE}')))
+         / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS fertility
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+# --- q196: corpus-mixing apportionment (largest remainder) -------------------
+
+_Q196_BUDGET = 10_000  # document budget to apportion across sources
+
+
+def q196_mixing_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixing allocator: split a global document
+    budget across sources proportional to token mass, using
+    largest-remainder (Hamilton) apportionment — the integer-exact way a
+    training pipeline turns mixing WEIGHTS into per-source sampling
+    COUNTS that add up to the budget exactly.
+
+    base = floor(B * tokens_src / total); the B - sum(base) leftover
+    seats go to the largest remainders (B*tokens_src mod total), source
+    name the tie-break.  All arithmetic is BIGINT; the only windows run
+    over the #sources-row aggregate, never the corpus.
+    Output: (source, n_tokens, base_alloc, extra, alloc), source asc;
+    sum(alloc) == budget by construction."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_src = (
+        docs.select("source", F.size(F.split("text", " ")).cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+    total = Window.partitionBy()  # #sources rows — driver-safe global window
+    rem_rank = Window.partitionBy().orderBy(
+        F.desc("rem"), F.asc("source")
+    )
+    return (
+        per_src.withColumn("total_t", F.sum("n_tokens").over(total))
+        .withColumn(
+            "base_alloc",
+            F.floor(F.lit(_Q196_BUDGET) * F.col("n_tokens") / F.col("total_t")).cast(
+                "long"
+            ),
+        )
+        .withColumn("rem", (F.lit(_Q196_BUDGET) * F.col("n_tokens")) % F.col("total_t"))
+        .withColumn("leftover", F.lit(_Q196_BUDGET) - F.sum("base_alloc").over(total))
+        .withColumn("rk", F.row_number().over(rem_rank))
+        .select(
+            "source",
+            "n_tokens",
+            "base_alloc",
+            F.when(F.col("rk") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("extra"),
+        )
+        .withColumn("alloc", F.col("base_alloc") + F.col("extra"))
+        .orderBy("source")
+    )
+
+
+Q196_SQL = f"""
+WITH per_src AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY 1
+),
+calc AS (
+  SELECT source, n_tokens,
+         SUM(n_tokens) OVER () AS total_t,
+         ({_Q196_BUDGET} * n_tokens) // SUM(n_tokens) OVER () AS base_alloc,
+         ({_Q196_BUDGET} * n_tokens) % SUM(n_tokens) OVER () AS rem
+  FROM per_src
+),
+ranked AS (
+  SELECT *, {_Q196_BUDGET} - SUM(base_alloc) OVER () AS leftover,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM calc
+)
+SELECT source, n_tokens, base_alloc,
+       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+FROM ranked ORDER BY source
+"""
+
+
+# --- q197: label-propagation communities -------------------------------------
+
+_Q197_ROUNDS = 2
+
+
+def q197_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after 2 deterministic label-propagation rounds on
+    the part co-purchase graph — the cheap community detector that needs
+    no modularity optimization (operators/graph.label_propagation; the
+    min_by-struct argmax makes every round engine-reproducible).
+
+    The per-round cost is one vote shuffle over the symmetrized persisted
+    edge list (shared with q120/q125/q131 via the edge cache).  The
+    oracle unrolls the same two rounds as CTEs.
+    Output: (label, community_size), size desc / label asc, limit 50."""
+    from hadoop_jobanalyzer_spark.operators.graph import label_propagation
+    from hadoop_jobanalyzer_spark.plans.sketch_queries import _copurchase_edges
+
+    labels = label_propagation(
+        _copurchase_edges(spark, sf_dir), rounds=_Q197_ROUNDS, canonical=True
+    )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("community_size"))
+        .orderBy(F.desc("community_size"), F.asc("label"))
+        .limit(50)
+    )
+
+
+Q197_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL
+  SELECT dst AS a, src AS b FROM edges
+),
+l0 AS (SELECT DISTINCT a AS v, a AS label FROM sym),
+v1 AS (
+  SELECT sym.b AS v, l0.label, COUNT(*) AS n
+  FROM sym JOIN l0 ON sym.a = l0.v GROUP BY 1, 2
+),
+l1 AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY n DESC, label ASC) AS rn
+    FROM v1
+  ) WHERE rn = 1
+),
+v2 AS (
+  SELECT sym.b AS v, l1.label, COUNT(*) AS n
+  FROM sym JOIN l1 ON sym.a = l1.v GROUP BY 1, 2
+),
+l2 AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY n DESC, label ASC) AS rn
+    FROM v2
+  ) WHERE rn = 1
+)
+SELECT label, COUNT(*) AS community_size
+FROM l2 GROUP BY label
+ORDER BY community_size DESC, label ASC
+LIMIT 50
+"""
+
+
+# --- q198: inverted-index posting relation -----------------------------------
+
+_Q198_TOP_TOKENS = 100
+
+
+def q198_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-index posting relation for the corpus' top tokens:
+    (token, doc_id, tf, first_pos, last_pos) — the materialized search
+    index BM25/phrase queries (q80, q121) would consult instead of
+    rescanning text at query time.
+
+    Token positions come from one `posexplode` of the whitespace split
+    (the same explode volume every token query pays); the top-token cut
+    (total tf desc, token asc) is a 1-row-per-token aggregate followed by
+    a bounded broadcast semi join, so the posting build only shuffles
+    rows belonging to the retained vocabulary.
+    Output ordered (token, doc_id); positions are 0-based."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    postings = pos.groupBy("token", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.max("pos").cast("long").alias("last_pos"),
+    )
+    top = (
+        postings.groupBy("token")
+        .agg(F.sum("tf").alias("total_tf"))
+        .orderBy(F.desc("total_tf"), F.asc("token"))
+        .limit(_Q198_TOP_TOKENS)
+        .select("token")
+    )
+    return (
+        postings.join(F.broadcast(top), "token", "left_semi")
+        .select("token", "doc_id", "tf", "first_pos", "last_pos")
+        .orderBy("token", "doc_id")
+    )
+
+
+Q198_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w[i] AS token, i - 1 AS pos
+  FROM (SELECT doc_id, w, UNNEST(generate_series(1, len(w))) AS i FROM toks)
+),
+postings AS (
+  SELECT token, doc_id, COUNT(*) AS tf,
+         CAST(MIN(pos) AS BIGINT) AS first_pos,
+         CAST(MAX(pos) AS BIGINT) AS last_pos
+  FROM pos GROUP BY 1, 2
+),
+top AS (
+  SELECT token FROM postings
+  GROUP BY token
+  ORDER BY SUM(tf) DESC, token ASC
+  LIMIT {_Q198_TOP_TOKENS}
+)
+SELECT token, doc_id, tf, first_pos, last_pos
+FROM postings
+WHERE token IN (SELECT token FROM top)
+ORDER BY token, doc_id
+"""
+
+
+CORPUS_QUERIES = {
+    "q194_source_tv_distance": (q194_source_tv_distance, Q194_SQL),
+    "q195_token_fertility": (q195_token_fertility, Q195_SQL),
+    "q196_mixing_apportionment": (q196_mixing_apportionment, Q196_SQL),
+    "q197_lpa_communities": (q197_lpa_communities, Q197_SQL),
+    "q198_inverted_index": (q198_inverted_index, Q198_SQL),
+}

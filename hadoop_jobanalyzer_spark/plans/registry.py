@@ -54,6 +54,13 @@ try:  # warehouse shapes (remaining TPC-H forms: Q3/Q9/Q11/Q12/Q16/Q20)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # corpus analytics (TV distance, fertility, mixing, LPA, inverted index)
+    from hadoop_jobanalyzer_spark.plans.corpus_queries import CORPUS_QUERIES
+
+    QUERIES.update(CORPUS_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 try:  # behavioural / data-quality queries (streaks, Spearman, Benford, expectations)
     from hadoop_jobanalyzer_spark.plans.behavior_queries import BEHAVIOR_QUERIES
 

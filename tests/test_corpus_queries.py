@@ -1,0 +1,146 @@
+"""Differential tests for the corpus-analytics query set (q194+)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.plans.corpus_queries import (
+    CORPUS_QUERIES,
+    _Q196_BUDGET,
+    _Q198_TOP_TOKENS,
+)
+
+from tests.oracle_utils import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(CORPUS_QUERIES))
+def test_corpus_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = CORPUS_QUERIES[name]
+    problems = compare(fn(spark, sf_dir), duck, sql)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(CORPUS_QUERIES))
+def test_corpus_query_nonempty(spark, sf_dir, name):
+    fn, _ = CORPUS_QUERIES[name]
+    assert fn(spark, sf_dir).count() > 0, f"{name} returned no rows at {sf_dir}"
+
+
+# --- semantic spot checks ----------------------------------------------------
+
+
+def test_tv_distance_is_a_metric_sample(spark, sf_dir):
+    """TV in [0, 1]; and the integer numerator reproduces the float (the
+    one division is exact per row)."""
+    fn, _ = CORPUS_QUERIES["q194_source_tv_distance"]
+    rows = fn(spark, sf_dir).collect()
+    n_sources = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["tv"] <= 1.0
+
+
+def test_tv_distance_identical_distribution_is_zero(spark):
+    """TV(a,b) == 0 when two sources have identical token distributions."""
+    from hadoop_jobanalyzer_spark.plans.corpus_queries import q194_source_tv_distance
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z", "en", "sA", 5),
+            (2, "x y z", "en", "sB", 5),
+            (3, "x q", "en", "sC", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        # satisfy load_tables: only documents is read by this query, but
+        # the loader opens every table; symlink the rest from testdata
+        import os
+
+        for t in [
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "embeddings",
+        ]:
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet"
+            )
+        rows = {
+            (r["src_a"], r["src_b"]): r["tv_num"]
+            for r in q194_source_tv_distance(spark, d).collect()
+        }
+    assert rows[("sA", "sB")] == 0
+    assert rows[("sA", "sC")] > 0
+
+
+def test_apportionment_sums_to_budget(spark, sf_dir):
+    fn, _ = CORPUS_QUERIES["q196_mixing_apportionment"]
+    rows = fn(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == _Q196_BUDGET
+    # every allocation within 1 of the exact proportional share
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        exact = _Q196_BUDGET * r["n_tokens"] / total
+        assert exact - 1 < r["alloc"] < exact + 1
+
+
+def test_lpa_labels_are_member_nodes(spark, sf_dir):
+    """Every community label is itself a node id (labels start as ids and
+    propagate — they can only be existing ids)."""
+    from hadoop_jobanalyzer_spark.operators.graph import label_propagation
+    from hadoop_jobanalyzer_spark.plans.sketch_queries import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=2, canonical=True)
+    nodes = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst").alias("v"))
+    ).distinct()
+    orphan_labels = (
+        labels.select(F.col("label").alias("v")).distinct()
+        .join(nodes, "v", "left_anti")
+        .count()
+    )
+    assert orphan_labels == 0
+    # total membership covers every node exactly once
+    assert labels.count() == nodes.count()
+    assert labels.select("v").distinct().count() == nodes.count()
+
+
+def test_inverted_index_tf_consistency(spark, sf_dir):
+    """Postings agree with a direct recount: sum(tf) over the index's
+    tokens equals the corpus frequency of those tokens, and positions are
+    within doc length."""
+    fn, _ = CORPUS_QUERIES["q198_inverted_index"]
+    idx = fn(spark, sf_dir)
+    assert idx.select("token").distinct().count() <= _Q198_TOP_TOKENS
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    direct = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf2"))
+    joined = idx.join(direct, ["token", "doc_id"], "left")
+    assert joined.filter(F.col("tf") != F.col("tf2")).count() == 0
+    bad_pos = idx.join(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n")), "doc_id"
+    ).filter((F.col("first_pos") < 0) | (F.col("last_pos") >= F.col("n")))
+    assert bad_pos.count() == 0

@@ -83,6 +83,8 @@ NESTED_LOOP_OK = {
     "q169_dedup_candidate_audit",
     # 1-row global-total broadcast for the Q11 HAVING threshold
     "q191_important_parts",
+    # #sources x #sources pair grid (two tiny derived dims on < inequality)
+    "q194_source_tv_distance",
 }
 
 
