@@ -765,6 +765,150 @@ GROUP BY obs_day ORDER BY obs_day
 """
 
 
+# --- q199: weekly cohort retention matrix ------------------------------------
+
+
+def q199_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic N-week retention triangle: users cohorted by the week of
+    their FIRST event; each later week's retention is the fraction of the
+    cohort active that week.
+
+    Weeks are exact integer epoch-week indexes (epoch_s // 604800 — no
+    calendar/locale dependence).  First-event lookup is one user-keyed
+    aggregate; the (user, cohort, offset) activity set is deduped BEFORE
+    counting so a chatty user counts once per week; cohort sizes come
+    from the offset-0 diagonal of the SAME aggregate (no second scan).
+    The retention rate is the single end division of exact counts.
+    Output: (cohort_week, week_offset, n_active, cohort_size, retention),
+    cohort asc / offset asc."""
+    from hadoop_jobanalyzer_spark.util import epoch_s
+
+    events = load_tables(spark, sf_dir)["events"]
+    weekly = events.select(
+        "user_id", (epoch_s("ts") / 604800).cast("long").alias("week")
+    )
+    first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        weekly.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = active.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q199_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY 1),
+active AS (
+  SELECT cohort_week, week - cohort_week AS week_offset,
+         COUNT(DISTINCT weekly.user_id) AS n_active
+  FROM weekly JOIN first ON weekly.user_id = first.user_id
+  GROUP BY 1, 2
+)
+SELECT a.cohort_week, a.week_offset, a.n_active,
+       s.n_active AS cohort_size,
+       a.n_active / CAST(s.n_active AS DOUBLE) AS retention
+FROM active a
+JOIN active s ON s.cohort_week = a.cohort_week AND s.week_offset = 0
+ORDER BY a.cohort_week, a.week_offset
+"""
+
+
+# --- q200: rolling 7-day median of daily revenue ------------------------------
+
+
+def q200_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day (lower) median of daily order revenue over a
+    contiguous day spine — the robust trend line a dashboard overlays on
+    noisy daily totals.
+
+    The spine is a `sequence(min_day, max_day)` explode of a 1-row
+    bounds aggregate (missing days participate as exact zeros, so the
+    window is truly 7 CALENDAR days, not 7 observed rows).  The median
+    is exact order-statistic selection: sort the <=7 collected BIGINT
+    cents in-row and take element (k+1)//2 — no interpolation, no float
+    accumulation; both engines sort the same integers.
+    Output: (day, revenue_c, med7_c), day ascending."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .select(
+            F.date_trunc("DAY", "o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("revenue_c"))
+    )
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    grid = spine.join(daily, spine["day"] == daily["d"], "left").select(
+        "day", F.coalesce(F.col("revenue_c"), F.lit(0)).alias("revenue_c")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    vals = F.array_sort(F.collect_list("revenue_c").over(w))
+    return grid.select(
+        "day",
+        "revenue_c",
+        F.element_at(vals, ((F.size(vals) + 1) / 2).cast("int")).alias("med7_c"),
+    ).orderBy("day")
+
+
+Q200_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS revenue_c
+  FROM orders GROUP BY 1
+),
+spine AS (
+  SELECT UNNEST(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY)) AS day
+  FROM daily
+),
+grid AS (
+  SELECT day, COALESCE(revenue_c, 0) AS revenue_c
+  FROM spine LEFT JOIN daily ON daily.d = spine.day
+),
+rolled AS (
+  SELECT day, revenue_c,
+         list_sort(list(revenue_c) OVER (
+           ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals
+  FROM grid
+)
+SELECT day, revenue_c, vals[(len(vals) + 1) // 2] AS med7_c
+FROM rolled ORDER BY day
+"""
+
+
 BEHAVIOR_QUERIES = {
     "q140_order_streaks": (q140_order_streaks, Q140_SQL),
     "q141_spearman_len_tokens": (q141_spearman_len_tokens, Q141_SQL),
@@ -779,4 +923,6 @@ BEHAVIOR_QUERIES = {
     "q150_ks_length_drift": (q150_ks_length_drift, Q150_SQL),
     "q151_incremental_daily_revenue": (q151_incremental_daily_revenue, Q151_SQL),
     "q152_rolling_active_users": (q152_rolling_active_users, Q152_SQL),
+    "q199_retention_matrix": (q199_retention_matrix, Q199_SQL),
+    "q200_rolling_median_revenue": (q200_rolling_median_revenue, Q200_SQL),
 }

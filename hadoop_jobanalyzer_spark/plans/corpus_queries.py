@@ -385,10 +385,185 @@ ORDER BY token, doc_id
 """
 
 
+# --- q201: deterministic epoch shuffle audit ---------------------------------
+
+_Q201_EPOCHS = 3
+
+
+def q201_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order generator audit: each epoch orders the
+    corpus by md5(doc_id || ':' || epoch) — the engine-portable seeded
+    shuffle a data loader replays exactly on any worker — and the audit
+    certifies each epoch is a true permutation (count == distinct) with
+    an order checksum any independent implementation can reproduce.
+
+    The checksum folds (rank, doc_id) pairs with two order-SENSITIVE
+    exact forms: sum(rank * doc_id) and sum(rank XOR doc_id) — both
+    depend on the PAIRING, so any reordering that is not the identity
+    permutation moves at least one of them (a concatenated-field
+    bit_xor would NOT: disjoint bit ranges make it pairing-blind).
+    Ranks come from `util.bucketed_global_rank` — md5-prefix bucket
+    windows in parallel plus a 256-row offset prefix sum, never a
+    single-partition ORDER BY over the corpus (the oracle's plain
+    ROW_NUMBER is rank-identical by construction); epochs are a 3-way
+    union of independent subplans, not a 3x scan of a joined blob.
+    Output: (epoch, n_docs, n_distinct, sum_fold, xor_fold, first_doc,
+    last_doc), epoch ascending."""
+    from hadoop_jobanalyzer_spark.util import bucketed_global_rank
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    per_epoch = []
+    for e in range(_Q201_EPOCHS):
+        key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{e}")))
+        ranked = bucketed_global_rank(
+            docs.select(
+                F.lit(e).cast("long").alias("epoch"), "doc_id", key.alias("k")
+            ),
+            F.conv(F.col("k").substr(1, 2), 16, 10).cast("long"),
+            [F.col("k").asc(), F.col("doc_id").asc()],
+        )
+        per_epoch.append(
+            ranked.groupBy("epoch").agg(
+                F.count("*").alias("n_docs"),
+                F.countDistinct("doc_id").alias("n_distinct"),
+                F.sum(F.col("rk") * F.col("doc_id")).alias("sum_fold"),
+                F.sum(F.col("rk").bitwiseXOR(F.col("doc_id"))).alias("xor_fold"),
+                F.min_by("doc_id", "k").alias("first_doc"),
+                F.max_by("doc_id", "k").alias("last_doc"),
+            )
+        )
+    out = per_epoch[0]
+    for df in per_epoch[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("epoch")
+
+
+Q201_SQL = f"""
+WITH epochs AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)) AS k
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {_Q201_EPOCHS - 1})) AS epoch) e
+),
+ranked AS (
+  SELECT epoch, doc_id, k,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k ASC, doc_id ASC) AS rk
+  FROM epochs
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       SUM(rk * doc_id) AS sum_fold,
+       SUM(xor(rk, doc_id)) AS xor_fold,
+       arg_min(doc_id, k) AS first_doc,
+       arg_max(doc_id, k) AS last_doc
+FROM ranked
+GROUP BY epoch ORDER BY epoch
+"""
+
+
+# --- q202: length-bucketed batch padding efficiency --------------------------
+
+_Q202_BATCH = 32
+
+
+def q202_batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching ROI report: total padding waste when documents are
+    batched {_Q202_BATCH} at a time under (a) length-sorted order vs (b)
+    seeded-random order — the exact accounting behind bucketed batching
+    in every training data loader (pad cost of a batch = occupancy *
+    max_len - sum_len, all BIGINT).
+
+    Each policy's global position comes from `util.bucketed_global_rank`
+    (parallel bucket windows + a bucket-table offset sum — no
+    single-partition ORDER BY over the corpus): the sorted policy
+    buckets by the length itself, the shuffled policy by the md5
+    prefix — each bucket a leading sort key, so ranks equal the plain
+    global ROW_NUMBER the oracle uses.  Then a floor-div batch id and
+    one aggregate; the two policies union.  The waste fraction is the
+    single end division.
+    Output: (policy, n_batches, n_tokens, pad_tokens, pad_fraction),
+    policy ascending."""
+    from hadoop_jobanalyzer_spark.util import bucketed_global_rank
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("len")
+    )
+    md5_key = F.md5(F.col("doc_id").cast("string"))
+    policies = {
+        "len_sorted": (F.col("len"), [F.col("doc_id").asc()]),
+        "md5_shuffled": (
+            F.conv(md5_key.substr(1, 2), 16, 10).cast("long"),
+            [md5_key.asc(), F.col("doc_id").asc()],
+        ),
+    }
+    parts = []
+    for name, (bucket, order) in policies.items():
+        ranked = bucketed_global_rank(docs, bucket, order)
+        batched = ranked.select(
+            "len",
+            F.floor((F.col("rk") - 1) / _Q202_BATCH).alias("batch"),
+        )
+        per_batch = batched.groupBy("batch").agg(
+            F.count("*").alias("occ"),
+            F.max("len").alias("mx"),
+            F.sum("len").alias("toks"),
+        )
+        parts.append(
+            per_batch.agg(
+                F.count("*").alias("n_batches"),
+                F.sum("toks").alias("n_tokens"),
+                F.sum(F.col("occ") * F.col("mx") - F.col("toks")).alias("pad_tokens"),
+            ).select(
+                F.lit(name).alias("policy"),
+                "n_batches",
+                "n_tokens",
+                "pad_tokens",
+                (
+                    F.col("pad_tokens")
+                    / (F.col("pad_tokens") + F.col("n_tokens")).cast("double")
+                ).alias("pad_fraction"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("policy")
+
+
+Q202_SQL = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+  FROM documents
+),
+ranked AS (
+  SELECT 'len_sorted' AS policy, len,
+         (ROW_NUMBER() OVER (ORDER BY len ASC, doc_id ASC) - 1) // {_Q202_BATCH}
+           AS batch
+  FROM lens
+  UNION ALL
+  SELECT 'md5_shuffled' AS policy, len,
+         (ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) - 1)
+           // {_Q202_BATCH} AS batch
+  FROM lens
+),
+per_batch AS (
+  SELECT policy, batch, COUNT(*) AS occ, MAX(len) AS mx, SUM(len) AS toks
+  FROM ranked GROUP BY 1, 2
+)
+SELECT policy, COUNT(*) AS n_batches, SUM(toks) AS n_tokens,
+       SUM(occ * mx - toks) AS pad_tokens,
+       SUM(occ * mx - toks)
+         / CAST(SUM(occ * mx - toks) + SUM(toks) AS DOUBLE) AS pad_fraction
+FROM per_batch
+GROUP BY policy ORDER BY policy
+"""
+
+
 CORPUS_QUERIES = {
     "q194_source_tv_distance": (q194_source_tv_distance, Q194_SQL),
     "q195_token_fertility": (q195_token_fertility, Q195_SQL),
     "q196_mixing_apportionment": (q196_mixing_apportionment, Q196_SQL),
     "q197_lpa_communities": (q197_lpa_communities, Q197_SQL),
     "q198_inverted_index": (q198_inverted_index, Q198_SQL),
+    "q201_epoch_shuffle_audit": (q201_epoch_shuffle_audit, Q201_SQL),
+    "q202_batch_padding_efficiency": (q202_batch_padding_efficiency, Q202_SQL),
 }

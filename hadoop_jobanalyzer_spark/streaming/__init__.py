@@ -26,6 +26,7 @@ from hadoop_jobanalyzer_spark.streaming.event_stream import (
     pattern_match_stream,
     read_events_stream,
     running_totals_stream,
+    scd2_enrich_stream,
     user_sessions_stream,
     view_purchase_join_stream,
     zscore_anomaly_stream,
@@ -49,6 +50,7 @@ __all__ = [
     "read_events_stream",
     "read_history_stream",
     "running_totals_stream",
+    "scd2_enrich_stream",
     "user_sessions_stream",
     "view_purchase_join_stream",
     "wasted_counts_stream",

@@ -562,3 +562,36 @@ def zscore_anomaly_stream(
     return base.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def scd2_enrich_stream(events: DataFrame, scd2_dim: DataFrame) -> DataFrame:
+    """Stream-static point-in-interval enrichment: every streaming event
+    joins the type-2 dimension row whose `[valid_from, valid_to)`
+    interval covers its event time — the streaming consumer of the SCD2
+    dimension q138 builds (q174 is the batch form).
+
+    Stream-static joins need no watermark and hold NO state: the static
+    side is re-planned per micro-batch, so a dimension refresh between
+    batches is picked up automatically (the lambda-free way to serve
+    slowly-changing lookups to a live stream).  The equi-key rides the
+    join so Spark plans a hash join with the range residual — never a
+    nested loop; events outside every interval pass through
+    null-extended (left join), which the caller can route to a
+    quarantine sink.
+
+    ``scd2_dim`` columns: (user_id, state, valid_from, valid_to).
+    Output: event columns + (state, valid_from).
+    """
+    dim = scd2_dim.select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "valid_from",
+        "valid_to",
+    )
+    return events.join(
+        dim,
+        (events["user_id"] == dim["d_user"])
+        & (events["ts"] >= dim["valid_from"])
+        & (events["ts"] < dim["valid_to"]),
+        "left",
+    ).drop("d_user", "valid_to")

@@ -57,3 +57,46 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_within: list[Column],
+    out: str = "rk",
+) -> DataFrame:
+    """Global 1-based rank by (``bucket`` asc, ``order_within``) WITHOUT a
+    single-partition window: the scalable form of ``ROW_NUMBER() OVER
+    (ORDER BY ...)`` whenever the leading sort key has bounded
+    cardinality (an md5 hex prefix, a length, a date).
+
+    The global rank decomposes into (a) a row_number WITHIN each bucket
+    (parallel windows, one shuffle partitioned by bucket) plus (b) the
+    bucket's global offset, a prefix sum over the bucket-count aggregate
+    (tiny: one row per distinct bucket — ITS single-partition window
+    touches the bucket table, not the data). This is exactly how a
+    distributed sort assigns stable global positions — range partitions
+    + local ranks + partition offsets — expressed declaratively.
+
+    An engine-independent oracle can use the plain global ROW_NUMBER
+    over the same total order: the ranks are identical by construction.
+    """
+    from pyspark.sql.window import Window
+
+    bucketed = df.withColumn("_bkt", bucket)
+    counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    offsets = counts.select(
+        "_bkt",
+        (
+            F.sum("_n").over(
+                Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("_off"),
+    ).fillna(0, subset=["_off"])
+    local = Window.partitionBy("_bkt").orderBy(*order_within)
+    return (
+        bucketed.withColumn("_lrk", F.row_number().over(local))
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn(out, (F.col("_off") + F.col("_lrk")).cast("long"))
+        .drop("_bkt", "_lrk", "_off")
+    )

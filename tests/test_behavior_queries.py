@@ -467,3 +467,30 @@ def test_rolling_active_matches_direct_window(spark, sf_dir):
         if users:
             want[d] = len(users)
     assert got == want
+
+
+def test_retention_matrix_diagonal_is_one(spark, sf_dir):
+    """Offset 0 retention is exactly 1.0 for every cohort, retention never
+    exceeds 1, and cohort sizes sum to the distinct-user count."""
+    fn, _ = BEHAVIOR_QUERIES["q199_retention_matrix"]
+    rows = fn(spark, sf_dir).collect()
+    diag = [r for r in rows if r["week_offset"] == 0]
+    assert all(r["retention"] == 1.0 for r in diag)
+    assert all(0 < r["retention"] <= 1.0 for r in rows)
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r["cohort_size"] for r in diag) == users
+
+
+def test_rolling_median_bounds(spark, sf_dir):
+    """The 7-day median lies within [min, max] of the window and equals
+    the daily value on any day whose whole window is constant."""
+    fn, _ = BEHAVIOR_QUERIES["q200_rolling_median_revenue"]
+    rows = fn(spark, sf_dir).collect()
+    days = [r["revenue_c"] for r in rows]
+    for i, r in enumerate(rows):
+        window = days[max(0, i - 6) : i + 1]
+        assert min(window) <= r["med7_c"] <= max(window)
+        assert r["med7_c"] == sorted(window)[(len(window) - 1) // 2]

@@ -144,3 +144,45 @@ def test_inverted_index_tf_consistency(spark, sf_dir):
         docs.select("doc_id", F.size(F.split("text", " ")).alias("n")), "doc_id"
     ).filter((F.col("first_pos") < 0) | (F.col("last_pos") >= F.col("n")))
     assert bad_pos.count() == 0
+
+
+def test_epoch_shuffle_is_permutation_and_epochs_differ(spark, sf_dir):
+    fn, _ = CORPUS_QUERIES["q201_epoch_shuffle_audit"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert all(r["n_docs"] == r["n_distinct"] for r in rows)
+    # different epochs produce different orders (first docs / checksums)
+    assert len({r["xor_fold"] for r in rows}) > 1
+
+
+def test_bucketed_global_rank_equals_plain_window(spark, sf_dir):
+    """The scalable decomposition reproduces ROW_NUMBER OVER (ORDER BY)
+    exactly."""
+    from pyspark.sql.window import Window
+
+    from hadoop_jobanalyzer_spark.util import bucketed_global_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    key = F.md5(F.col("doc_id").cast("string"))
+    fast = bucketed_global_rank(
+        docs.select("doc_id", key.alias("k")),
+        F.conv(F.col("k").substr(1, 2), 16, 10).cast("long"),
+        [F.col("k").asc(), F.col("doc_id").asc()],
+    )
+    slow = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(key.asc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rk2"),
+    )
+    assert fast.join(slow, "doc_id").filter(F.col("rk") != F.col("rk2")).count() == 0
+
+
+def test_sorted_batching_never_pads_more_than_shuffled(spark, sf_dir):
+    """Length-sorted batching is the padding-optimal contiguous grouping;
+    a seeded shuffle cannot beat it."""
+    fn, _ = CORPUS_QUERIES["q202_batch_padding_efficiency"]
+    rows = {r["policy"]: r for r in fn(spark, sf_dir).collect()}
+    assert rows["len_sorted"]["pad_tokens"] <= rows["md5_shuffled"]["pad_tokens"]
+    assert rows["len_sorted"]["n_tokens"] == rows["md5_shuffled"]["n_tokens"]

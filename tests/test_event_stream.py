@@ -765,3 +765,44 @@ def test_running_totals_survive_restart_from_checkpoint(spark, sf_dir, tmp_path)
     )
     want = {r["event_type"]: (r["n"], r["s"], r["m"]) for r in batch.collect()}
     assert latest == want
+
+
+def test_scd2_enrich_stream_matches_batch_lookup(spark, sf_dir, events_dir):
+    """Stream-static SCD2 enrichment: every streamed event lands on the
+    same dimension interval as the batch point-in-interval join (q174's
+    shape) — stream-static joins are stateless, so the 3-shard replay
+    must reproduce the batch join row-for-row, including null-extended
+    events outside every interval."""
+    from hadoop_jobanalyzer_spark.plans.sketch_queries import SKETCH_QUERIES
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+    from hadoop_jobanalyzer_spark.streaming import scd2_enrich_stream
+
+    scd2 = SKETCH_QUERIES["q138_scd2_intervals"][0](spark, sf_dir)
+    name = f"scd2e_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, events_dir).select("event_id", "ts", "user_id")
+    _run_to_memory(scd2_enrich_stream(stream, scd2), name, "append")
+    got = {
+        (r["event_id"], r["state"], str(r["valid_from"]))
+        for r in spark.table(name).collect()
+    }
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "ts", "user_id")
+    dim = scd2.select(
+        F.col("user_id").alias("d_user"), "state", "valid_from", "valid_to"
+    )
+    batch = ev.join(
+        dim,
+        (ev["user_id"] == dim["d_user"])
+        & (ev["ts"] >= dim["valid_from"])
+        & (ev["ts"] < dim["valid_to"]),
+        "left",
+    )
+    want = {
+        (r["event_id"], r["state"], str(r["valid_from"]))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    # q138's intervals partition each tracked user's full timeline, so
+    # every event of a tracked user matches exactly one interval; events
+    # of untracked users (the dim tracks user_id < 50) pass null-extended
+    assert any(s is not None for (_, s, _) in got)
