@@ -558,6 +558,142 @@ GROUP BY policy ORDER BY policy
 """
 
 
+# --- q204: dedup ROI — token savings per source --------------------------------
+
+
+def q204_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup return-on-investment: if the near-dup clusters (q40's
+    LSH -> verify -> connected components pipeline) keep only each
+    cluster's min-id document, how many documents and tokens does each
+    SOURCE save?  This is the number that justifies (or kills) a dedup
+    pass before training.
+
+    A document is removed iff doc_id != its component label (the label
+    IS the kept min id), so savings need no per-cluster subquery — one
+    join of the CC labels back to (source, token-count), then a
+    per-source conditional aggregate.  The single float division yields
+    the saved-token fraction.
+    Output: (source, n_docs, n_removed, tokens_total, tokens_saved,
+    saved_frac), source ascending."""
+    from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
+    from hadoop_jobanalyzer_spark.operators.graph import connected_components
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text",
+        n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=docs.select(F.col("doc_id").alias("id")), id_col="id",
+    )
+    meta = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    removed = F.col("id") != F.col("component")
+    return (
+        meta.join(cc, meta["doc_id"] == cc["id"])
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(removed.cast("long")).alias("n_removed"),
+            F.sum("toks").alias("tokens_total"),
+            F.sum(F.when(removed, F.col("toks")).otherwise(0)).alias("tokens_saved"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            "tokens_total",
+            "tokens_saved",
+            (F.col("tokens_saved") / F.col("tokens_total").cast("double")).alias(
+                "saved_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _q204_sql() -> str:
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import near_dup_ctes
+
+    return f"""
+WITH RECURSIVE {near_dup_ctes()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN d.doc_id <> component THEN 1 ELSE 0 END) AS n_removed,
+       SUM(len(string_split(text, ' '))) AS tokens_total,
+       SUM(CASE WHEN d.doc_id <> component
+                THEN len(string_split(text, ' ')) ELSE 0 END) AS tokens_saved,
+       SUM(CASE WHEN d.doc_id <> component
+                THEN len(string_split(text, ' ')) ELSE 0 END)
+         / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS saved_frac
+FROM documents d JOIN comp ON d.doc_id = comp.doc_id
+GROUP BY source ORDER BY source
+"""
+
+
+# --- q205: quality-filter ablation grid ----------------------------------------
+
+_Q205_MIN_CHARS = 200
+_Q205_MIN_WORDS = 30
+
+
+def q205_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation grid: the corpus censused under every
+    combination of three cheap filters — min length, min word count,
+    digit-heaviness (5 * digit_runs <= pre-tokens, the cross-multiplied
+    integer form) — so a pipeline owner reads off exactly how many
+    documents and tokens each filter (and each interaction) costs before
+    turning it on.
+
+    All three flags are codegen expressions on one scan; the grid is one
+    aggregate over at most 8 groups.
+    Output: (f_len, f_words, f_clean, n_docs, n_tokens), flags desc so
+    the fully-passing cell leads."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.size(F.split("text", " ")).cast("long")
+    digit_runs = F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("long")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("long")
+    return (
+        docs.select(
+            (F.col("n_chars") >= _Q205_MIN_CHARS).alias("f_len"),
+            (words >= _Q205_MIN_WORDS).alias("f_words"),
+            (digit_runs * 5 <= bpe).alias("f_clean"),
+            words.alias("w"),
+        )
+        .groupBy("f_len", "f_words", "f_clean")
+        .agg(F.count("*").alias("n_docs"), F.sum("w").alias("n_tokens"))
+        .orderBy(
+            F.col("f_len").desc(), F.col("f_words").desc(), F.col("f_clean").desc()
+        )
+    )
+
+
+Q205_SQL = f"""
+SELECT n_chars >= {_Q205_MIN_CHARS} AS f_len,
+       len(string_split(text, ' ')) >= {_Q205_MIN_WORDS} AS f_words,
+       len(regexp_extract_all(text, '[0-9]+')) * 5
+         <= len(regexp_extract_all(text, '{_BPE_RE}')) AS f_clean,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS n_tokens
+FROM documents
+GROUP BY 1, 2, 3
+ORDER BY f_len DESC, f_words DESC, f_clean DESC
+"""
+
+
 CORPUS_QUERIES = {
     "q194_source_tv_distance": (q194_source_tv_distance, Q194_SQL),
     "q195_token_fertility": (q195_token_fertility, Q195_SQL),
@@ -566,4 +702,6 @@ CORPUS_QUERIES = {
     "q198_inverted_index": (q198_inverted_index, Q198_SQL),
     "q201_epoch_shuffle_audit": (q201_epoch_shuffle_audit, Q201_SQL),
     "q202_batch_padding_efficiency": (q202_batch_padding_efficiency, Q202_SQL),
+    "q204_dedup_token_savings": (q204_dedup_token_savings, _q204_sql()),
+    "q205_filter_ablation": (q205_filter_ablation, Q205_SQL),
 }

@@ -386,6 +386,95 @@ GROUP BY 1 ORDER BY ship_q
 """
 
 
+# --- q203: RFM customer segmentation ------------------------------------------
+
+_Q203_Q = 4  # quartiles
+
+
+def q203_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation census: every customer scored 1-4 on Recency
+    (last order day), Frequency (order count) and Monetary (lifetime
+    cents), segment = 100*R + 10*F + M — the classic CRM grid.
+
+    Quartiles are assigned by the explicit rank formula
+    ``floor(4*(rank-1)/n) + 1`` (not NTILE, whose uneven-remainder
+    fill is awkward to reproduce rank-free), with ranks from
+    `util.bucketed_global_rank` — parallel bucket windows over the
+    per-customer aggregate, never a single-partition sort over all
+    customers. All accumulation is BIGINT (days, counts, cents); the
+    avg monetary is the single end division.
+    Output: (segment, n_customers, avg_monetary_c), segment asc."""
+    from hadoop_jobanalyzer_spark.util import bucketed_global_rank, epoch_s
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max((epoch_s("o_orderdate") / 86400).cast("long")).alias("r_day"),
+        F.count("*").alias("f_cnt"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("m_c"),
+    )
+    ranked = bucketed_global_rank(
+        per_cust, F.col("r_day"), [F.col("o_custkey").asc()], out="rk_r"
+    )
+    ranked = bucketed_global_rank(
+        ranked, F.col("f_cnt"), [F.col("o_custkey").asc()], out="rk_f"
+    )
+    ranked = bucketed_global_rank(
+        ranked,
+        (F.col("m_c") / 100000).cast("long"),
+        [F.col("m_c").asc(), F.col("o_custkey").asc()],
+        out="rk_m",
+    )
+    n = per_cust.agg(F.count("*").alias("n_cust"))
+
+    def quart(rk):
+        return (
+            F.floor(F.lit(_Q203_Q) * (F.col(rk) - 1) / F.col("n_cust")) + 1
+        ).cast("long")
+
+    return (
+        ranked.join(F.broadcast(n))
+        .select(
+            (
+                quart("rk_r") * 100 + quart("rk_f") * 10 + quart("rk_m")
+            ).alias("segment"),
+            "m_c",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum("m_c") / F.count("*").cast("double")).alias("avg_monetary_c"),
+        )
+        .orderBy("segment")
+    )
+
+
+Q203_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) AS r_day,
+         COUNT(*) AS f_cnt,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS m_c
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY r_day ASC, o_custkey ASC) AS rk_r,
+         ROW_NUMBER() OVER (ORDER BY f_cnt ASC, o_custkey ASC) AS rk_f,
+         ROW_NUMBER() OVER (ORDER BY m_c // 100000 ASC, m_c ASC, o_custkey ASC)
+           AS rk_m,
+         COUNT(*) OVER () AS n_cust
+  FROM per_cust
+)
+SELECT ({_Q203_Q} * (rk_r - 1) // n_cust + 1) * 100
+       + ({_Q203_Q} * (rk_f - 1) // n_cust + 1) * 10
+       + ({_Q203_Q} * (rk_m - 1) // n_cust + 1) AS segment,
+       COUNT(*) AS n_customers,
+       SUM(m_c) / CAST(COUNT(*) AS DOUBLE) AS avg_monetary_c
+FROM ranked
+GROUP BY 1 ORDER BY segment
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q188_shipping_priority": (q188_shipping_priority, Q188_SQL),
     "q189_product_margin": (q189_product_margin, Q189_SQL),
@@ -393,4 +482,5 @@ WAREHOUSE_QUERIES = {
     "q191_important_parts": (q191_important_parts, Q191_SQL),
     "q192_dominant_suppliers": (q192_dominant_suppliers, Q192_SQL),
     "q193_late_priority_split": (q193_late_priority_split, Q193_SQL),
+    "q203_rfm_segments": (q203_rfm_segments, Q203_SQL),
 }

@@ -186,3 +186,23 @@ def test_sorted_batching_never_pads_more_than_shuffled(spark, sf_dir):
     rows = {r["policy"]: r for r in fn(spark, sf_dir).collect()}
     assert rows["len_sorted"]["pad_tokens"] <= rows["md5_shuffled"]["pad_tokens"]
     assert rows["len_sorted"]["n_tokens"] == rows["md5_shuffled"]["n_tokens"]
+
+
+def test_dedup_savings_consistency(spark, sf_dir):
+    """Savings decompose: n_removed <= n_docs, tokens_saved <= tokens_total,
+    and global removed count equals docs minus distinct components."""
+    fn, _ = CORPUS_QUERIES["q204_dedup_token_savings"]
+    rows = fn(spark, sf_dir).collect()
+    assert all(r["n_removed"] <= r["n_docs"] for r in rows)
+    assert all(r["tokens_saved"] <= r["tokens_total"] for r in rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_filter_ablation_partitions_corpus(spark, sf_dir):
+    """The grid cells partition the corpus exactly (every doc in one cell)."""
+    fn, _ = CORPUS_QUERIES["q205_filter_ablation"]
+    rows = fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert len(rows) <= 8

@@ -85,6 +85,8 @@ NESTED_LOOP_OK = {
     "q191_important_parts",
     # #sources x #sources pair grid (two tiny derived dims on < inequality)
     "q194_source_tv_distance",
+    # 1-row customer-count broadcast for the quartile formula
+    "q203_rfm_segments",
 }
 
 
@@ -229,6 +231,24 @@ def _n_exchanges(plan: str) -> int:
         ("q185_relaxed_funnel_conversion", 2),  # one user window + user agg
         ("q186_late_order_priority_census", 2),  # semi join + priority agg
         ("q187_five_minute_bars", 2),  # one bar agg (min_by/max_by) + sort
+        ("q188_shipping_priority", 1),  # orderkey join + TakeOrdered (cust bcast)
+        ("q189_product_margin", 2),  # orderkey fact join + agg (dims broadcast)
+        ("q190_part_supplier_census", 3),  # anti/dim bcast + distinct + count
+        ("q191_important_parts", 4),  # part agg + 1-row total + threshold + sort
+        ("q192_dominant_suppliers", 4),  # (part,supp) agg reused by window + agg
+        ("q193_late_priority_split", 2),  # orderkey join + quarter CASE agg
+        ("q194_source_tv_distance", 14),  # token counts both sides + pair agg
+        ("q195_token_fertility", 2),  # one lang agg + sort, zero joins
+        ("q196_mixing_apportionment", 2),  # source agg + #sources-row windows
+        ("q197_lpa_communities", 9),  # 2 LPA vote rounds over persisted edges
+        ("q198_inverted_index", 4),  # postings agg + top-token cut + semi join
+        ("q199_retention_matrix", 7),  # weekly distinct + firsts + activity agg
+        ("q200_rolling_median_revenue", 2),  # day agg + day-spine window
+        ("q201_epoch_shuffle_audit", 16),  # 3 epochs x (bucket rank + fold agg)
+        ("q202_batch_padding_efficiency", 10),  # 2 policies x (rank + 2 aggs)
+        ("q203_rfm_segments", 25),  # 3 bucketed ranks over the CUSTOMER grain
+        ("q204_dedup_token_savings", 2),  # CC labels (persisted) + source agg
+        ("q205_filter_ablation", 2),  # one flag agg + 8-row sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

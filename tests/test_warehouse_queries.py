@@ -110,3 +110,19 @@ def test_late_priority_split_counts_partition(spark, sf_dir):
         & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
     ).count()
     assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == n_late
+
+
+def test_rfm_segments_cover_all_customers(spark, sf_dir):
+    """Every customer with an order lands in exactly one segment, and all
+    segment digits are in 1..4."""
+    fn, _ = WAREHOUSE_QUERIES["q203_rfm_segments"]
+    rows = fn(spark, sf_dir).collect()
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        s = r["segment"]
+        assert 111 <= s <= 444
+        assert all(1 <= int(d) <= 4 for d in str(s))
