@@ -909,6 +909,127 @@ FROM rolled ORDER BY day
 """
 
 
+# --- q207: functional-dependency audit ----------------------------------------
+
+
+def q207_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inference data profiling: do candidate functional
+    dependencies actually hold?  For each candidate LHS -> RHS, count
+    the LHS values that map to MORE than one RHS value — zero violations
+    means the FD holds and the column pair is safe to normalize out.
+
+    Each FD is one (LHS, distinct-RHS) aggregate — partial aggregation
+    collapses to the LHS domain before the exchange; the three audits
+    union into one 3-row report.
+    Output: (fd, n_lhs, n_violating, violation_rate), fd ascending."""
+    t = load_tables(spark, sf_dir)
+
+    def audit(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").alias("n_lhs"),
+            F.sum((F.col("n_rhs") > 1).cast("long")).alias("n_violating"),
+        ).select(
+            "fd",
+            "n_lhs",
+            "n_violating",
+            (F.col("n_violating") / F.col("n_lhs").cast("double")).alias(
+                "violation_rate"
+            ),
+        )
+
+    parts = [
+        audit(t["part"], "p_brand", "p_type", "part: brand -> type"),
+        audit(t["part"], "p_name", "p_brand", "part: name -> brand"),
+        audit(t["events"], "user_id", "event_type", "events: user -> type"),
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("fd")
+
+
+Q207_SQL = """
+WITH a1 AS (
+  SELECT 'part: brand -> type' AS fd, COUNT(*) AS n_lhs,
+         SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating
+  FROM (SELECT p_brand, COUNT(DISTINCT p_type) AS n_rhs FROM part GROUP BY 1)
+),
+a2 AS (
+  SELECT 'part: name -> brand' AS fd, COUNT(*) AS n_lhs,
+         SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating
+  FROM (SELECT p_name, COUNT(DISTINCT p_brand) AS n_rhs FROM part GROUP BY 1)
+),
+a3 AS (
+  SELECT 'events: user -> type' AS fd, COUNT(*) AS n_lhs,
+         SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating
+  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS n_rhs FROM events GROUP BY 1)
+)
+SELECT fd, n_lhs, n_violating,
+       n_violating / CAST(n_lhs AS DOUBLE) AS violation_rate
+FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+ORDER BY fd
+"""
+
+
+# --- q208: funnel-order integrity audit ----------------------------------------
+
+
+def q208_funnel_order_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-order sanity census: per user, does the first purchase
+    precede the first view?  Classifies every purchasing user as
+    view_first / purchase_first / purchase_only (plus view_only users
+    who never bought) — the integrity check that catches client-side
+    clock skew or dropped instrumentation before it poisons funnel
+    metrics downstream.
+
+    One conditional min aggregate per user (epoch-ms integers), then a
+    4-row census; ties (purchase at the same ms as the first view) count
+    as view_first, matching the funnel queries' >= semantics.
+    Output: (order_class, n_users), class ascending."""
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", epoch_ms("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "purchase", epoch_ms("ts"))).alias("p"),
+    )
+    cls = (
+        F.when(F.col("p").isNull() & F.col("v").isNotNull(), F.lit("view_only"))
+        .when(F.col("p").isNotNull() & F.col("v").isNull(), F.lit("purchase_only"))
+        .when(F.col("p") >= F.col("v"), F.lit("view_first"))
+        .when(F.col("p") < F.col("v"), F.lit("purchase_first"))
+        .otherwise(F.lit("no_funnel_events"))
+    )
+    return (
+        per_user.select(cls.alias("order_class"))
+        .groupBy("order_class")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("order_class")
+    )
+
+
+Q208_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p
+  FROM events GROUP BY 1
+)
+SELECT CASE
+         WHEN p IS NULL AND v IS NOT NULL THEN 'view_only'
+         WHEN p IS NOT NULL AND v IS NULL THEN 'purchase_only'
+         WHEN p >= v THEN 'view_first'
+         WHEN p < v THEN 'purchase_first'
+         ELSE 'no_funnel_events'
+       END AS order_class,
+       COUNT(*) AS n_users
+FROM per_user
+GROUP BY 1 ORDER BY order_class
+"""
+
+
 BEHAVIOR_QUERIES = {
     "q140_order_streaks": (q140_order_streaks, Q140_SQL),
     "q141_spearman_len_tokens": (q141_spearman_len_tokens, Q141_SQL),
@@ -925,4 +1046,6 @@ BEHAVIOR_QUERIES = {
     "q152_rolling_active_users": (q152_rolling_active_users, Q152_SQL),
     "q199_retention_matrix": (q199_retention_matrix, Q199_SQL),
     "q200_rolling_median_revenue": (q200_rolling_median_revenue, Q200_SQL),
+    "q207_fd_audit": (q207_fd_audit, Q207_SQL),
+    "q208_funnel_order_integrity": (q208_funnel_order_integrity, Q208_SQL),
 }

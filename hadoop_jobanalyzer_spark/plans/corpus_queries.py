@@ -694,6 +694,62 @@ ORDER BY f_len DESC, f_words DESC, f_clean DESC
 """
 
 
+# --- q206: training-batch lineage manifest --------------------------------------
+
+_Q206_BATCH = 32
+
+
+def q206_first_batch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage answer to "what exactly is in training batch 0?": the
+    first {_Q206_BATCH} documents of the epoch-0 deterministic shuffle
+    (q201's md5 order) with their source, language and token count — the
+    sample a debugging session pulls when a loss spike points at one
+    batch.
+
+    The rank comes from `util.bucketed_global_rank`; the batch cut
+    ``rk <= B`` prunes to {_Q206_BATCH} rows BEFORE the metadata join,
+    so the join is a broadcast of the batch, not a corpus shuffle.
+    Output: (step, doc_id, source, lang, n_tokens), step ascending."""
+    from hadoop_jobanalyzer_spark.util import bucketed_global_rank
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":0")))
+    ranked = bucketed_global_rank(
+        docs.select("doc_id", key.alias("k")),
+        F.conv(F.col("k").substr(1, 2), 16, 10).cast("long"),
+        [F.col("k").asc(), F.col("doc_id").asc()],
+        out="step",
+    ).filter(F.col("step") <= _Q206_BATCH)
+    meta = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        F.broadcast(ranked.select("step", "doc_id"))
+        .join(meta, "doc_id")
+        .select("step", "doc_id", "source", "lang", "n_tokens")
+        .orderBy("step")
+    )
+
+
+Q206_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0') ASC, doc_id ASC
+         ) AS step
+  FROM documents
+)
+SELECT step, d.doc_id, source, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+WHERE step <= {_Q206_BATCH}
+ORDER BY step
+"""
+
+
 CORPUS_QUERIES = {
     "q194_source_tv_distance": (q194_source_tv_distance, Q194_SQL),
     "q195_token_fertility": (q195_token_fertility, Q195_SQL),
@@ -704,4 +760,5 @@ CORPUS_QUERIES = {
     "q202_batch_padding_efficiency": (q202_batch_padding_efficiency, Q202_SQL),
     "q204_dedup_token_savings": (q204_dedup_token_savings, _q204_sql()),
     "q205_filter_ablation": (q205_filter_ablation, Q205_SQL),
+    "q206_first_batch_manifest": (q206_first_batch_manifest, Q206_SQL),
 }

@@ -494,3 +494,29 @@ def test_rolling_median_bounds(spark, sf_dir):
         window = days[max(0, i - 6) : i + 1]
         assert min(window) <= r["med7_c"] <= max(window)
         assert r["med7_c"] == sorted(window)[(len(window) - 1) // 2]
+
+
+def test_fd_audit_known_dependencies(spark, sf_dir):
+    """name -> brand has far fewer violating LHS values than user -> type
+    (a user always emits several event types), and rates are in [0,1]."""
+    fn, _ = BEHAVIOR_QUERIES["q207_fd_audit"]
+    rows = {r["fd"]: r for r in fn(spark, sf_dir).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert 0.0 <= r["violation_rate"] <= 1.0
+        assert r["n_violating"] <= r["n_lhs"]
+    assert rows["events: user -> type"]["violation_rate"] >= 0.5
+
+
+def test_funnel_order_census_covers_all_users(spark, sf_dir):
+    fn, _ = BEHAVIOR_QUERIES["q208_funnel_order_integrity"]
+    rows = fn(spark, sf_dir).collect()
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == users
+    assert {r["order_class"] for r in rows} <= {
+        "view_only", "purchase_only", "view_first", "purchase_first",
+        "no_funnel_events",
+    }

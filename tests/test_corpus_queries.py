@@ -206,3 +206,19 @@ def test_filter_ablation_partitions_corpus(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r["n_docs"] for r in rows) == n_docs
     assert len(rows) <= 8
+
+
+def test_first_batch_manifest_is_batch_zero(spark, sf_dir):
+    """Exactly B rows, steps 1..B, and every doc's metadata matches the
+    corpus row."""
+    from hadoop_jobanalyzer_spark.plans.corpus_queries import _Q206_BATCH
+
+    fn, _ = CORPUS_QUERIES["q206_first_batch_manifest"]
+    rows = fn(spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == list(range(1, _Q206_BATCH + 1))
+    docs = {
+        r["doc_id"]: (r["source"], r["lang"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert docs[r["doc_id"]] == (r["source"], r["lang"])

@@ -249,6 +249,9 @@ def _n_exchanges(plan: str) -> int:
         ("q203_rfm_segments", 25),  # 3 bucketed ranks over the CUSTOMER grain
         ("q204_dedup_token_savings", 2),  # CC labels (persisted) + source agg
         ("q205_filter_ablation", 2),  # one flag agg + 8-row sort
+        ("q206_first_batch_manifest", 4),  # bucket rank + batch-cut bcast join
+        ("q207_fd_audit", 9),  # 3 FDs x (2-phase distinct-RHS agg + 1-row)
+        ("q208_funnel_order_integrity", 3),  # user min agg + 4-row census
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
