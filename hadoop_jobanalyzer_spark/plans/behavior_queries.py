@@ -1030,6 +1030,154 @@ GROUP BY 1 ORDER BY order_class
 """
 
 
+# --- q209: join-size forecast (cardinality + skew before the join) -----------
+
+
+def q209_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style join diagnostics computed EXACTLY before running
+    the join: for each candidate equi-join, the output cardinality
+    (sum over keys of count_left * count_right) and the largest single
+    key's contribution — the number that predicts a skewed straggler
+    partition before it happens.
+
+    Each side collapses to its key-count table first (partial agg), so
+    the "forecast" join joins count tables, never facts; the forecast
+    for a fact-fact join costs two aggregates plus a key-domain join.
+    Output: (join_name, n_keys, join_rows, max_key_rows, skew_ratio),
+    join ascending; skew_ratio = max key contribution / mean."""
+    t = load_tables(spark, sf_dir)
+
+    def forecast(left: DataFrame, lk: str, right: DataFrame, rk: str, name: str):
+        cl = left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("ca"))
+        cr = right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("cb"))
+        per_key = cl.join(cr, "k").select(
+            "k", (F.col("ca") * F.col("cb")).alias("rows")
+        )
+        return per_key.agg(
+            F.lit(name).alias("join_name"),
+            F.count("*").alias("n_keys"),
+            F.sum("rows").alias("join_rows"),
+            F.max("rows").alias("max_key_rows"),
+        ).select(
+            "join_name",
+            "n_keys",
+            "join_rows",
+            "max_key_rows",
+            (
+                F.col("max_key_rows")
+                * F.col("n_keys")
+                / F.col("join_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+
+    parts = [
+        forecast(t["orders"], "o_orderkey", t["lineitem"], "l_orderkey",
+                 "orders x lineitem on orderkey"),
+        forecast(t["lineitem"], "l_partkey", t["lineitem"], "l_partkey",
+                 "lineitem x lineitem on partkey"),
+        forecast(t["events"], "user_id", t["events"], "user_id",
+                 "events x events on user_id"),
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("join_name")
+
+
+Q209_SQL = """
+WITH f1 AS (
+  SELECT 'orders x lineitem on orderkey' AS join_name,
+         COUNT(*) AS n_keys, SUM(rows) AS join_rows, MAX(rows) AS max_key_rows
+  FROM (
+    SELECT a.k, a.ca * b.cb AS rows
+    FROM (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1) a
+    JOIN (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1) b
+      USING (k)
+  )
+),
+f2 AS (
+  SELECT 'lineitem x lineitem on partkey' AS join_name,
+         COUNT(*) AS n_keys, SUM(rows) AS join_rows, MAX(rows) AS max_key_rows
+  FROM (
+    SELECT a.k, a.ca * b.cb AS rows
+    FROM (SELECT l_partkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1) a
+    JOIN (SELECT l_partkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1) b
+      USING (k)
+  )
+),
+f3 AS (
+  SELECT 'events x events on user_id' AS join_name,
+         COUNT(*) AS n_keys, SUM(rows) AS join_rows, MAX(rows) AS max_key_rows
+  FROM (
+    SELECT a.k, a.ca * b.cb AS rows
+    FROM (SELECT user_id AS k, COUNT(*) AS ca FROM events GROUP BY 1) a
+    JOIN (SELECT user_id AS k, COUNT(*) AS cb FROM events GROUP BY 1) b
+      USING (k)
+  )
+)
+SELECT join_name, n_keys, join_rows, max_key_rows,
+       max_key_rows * n_keys / CAST(join_rows AS DOUBLE) AS skew_ratio
+FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+ORDER BY join_name
+"""
+
+
+# --- q210: cumulative user-adoption curve --------------------------------------
+
+
+def q210_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user growth by day: how many users have EVER
+    been seen as of each day — the adoption curve behind every "total
+    users" dashboard tile, computed without a cumulative-distinct scan.
+
+    Distinct-accumulation rewrites to first-seen-day: one per-user min
+    aggregate, a per-day count of first appearances, and a running sum
+    over the contiguous day spine (missing days carry the curve flat).
+    The spine window is day-grain, never event-grain.
+    Output: (day, n_new, n_total), day ascending."""
+    from hadoop_jobanalyzer_spark.util import epoch_s
+
+    ev = load_tables(spark, sf_dir)["events"]
+    first = ev.groupBy("user_id").agg(
+        F.min((epoch_s("ts") / 86400).cast("long")).alias("d")
+    )
+    per_day = first.groupBy("d").agg(F.count("*").alias("n_new"))
+    bounds = ev.agg(
+        F.min((epoch_s("ts") / 86400).cast("long")).alias("lo"),
+        F.max((epoch_s("ts") / 86400).cast("long")).alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    grid = spine.join(per_day, spine["day"] == per_day["d"], "left").select(
+        "day", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return grid.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("n_total")
+    ).orderBy("day")
+
+
+Q210_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS d
+  FROM events GROUP BY 1
+),
+per_day AS (SELECT d, COUNT(*) AS n_new FROM first GROUP BY 1),
+bounds AS (
+  SELECT MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS lo,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS hi
+  FROM events
+),
+spine AS (SELECT UNNEST(generate_series(lo, hi)) AS day FROM bounds),
+grid AS (
+  SELECT day, COALESCE(n_new, 0) AS n_new
+  FROM spine LEFT JOIN per_day ON per_day.d = spine.day
+)
+SELECT day, n_new,
+       SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS n_total
+FROM grid ORDER BY day
+"""
+
+
 BEHAVIOR_QUERIES = {
     "q140_order_streaks": (q140_order_streaks, Q140_SQL),
     "q141_spearman_len_tokens": (q141_spearman_len_tokens, Q141_SQL),
@@ -1048,4 +1196,6 @@ BEHAVIOR_QUERIES = {
     "q200_rolling_median_revenue": (q200_rolling_median_revenue, Q200_SQL),
     "q207_fd_audit": (q207_fd_audit, Q207_SQL),
     "q208_funnel_order_integrity": (q208_funnel_order_integrity, Q208_SQL),
+    "q209_join_size_forecast": (q209_join_size_forecast, Q209_SQL),
+    "q210_adoption_curve": (q210_adoption_curve, Q210_SQL),
 }

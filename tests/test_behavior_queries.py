@@ -520,3 +520,29 @@ def test_funnel_order_census_covers_all_users(spark, sf_dir):
         "view_only", "purchase_only", "view_first", "purchase_first",
         "no_funnel_events",
     }
+
+
+def test_join_forecast_equals_actual_join_size(spark, sf_dir):
+    """The forecast join_rows EQUALS the materialized join's row count
+    (it is the exact sum-of-products identity, not an estimate)."""
+    fn, _ = BEHAVIOR_QUERIES["q209_join_size_forecast"]
+    rows = {r["join_name"]: r for r in fn(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    actual = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+    assert rows["orders x lineitem on orderkey"]["join_rows"] == actual
+    for r in rows.values():
+        assert r["skew_ratio"] >= 1.0  # max >= mean always
+
+
+def test_adoption_curve_monotone_and_totals(spark, sf_dir):
+    fn, _ = BEHAVIOR_QUERIES["q210_adoption_curve"]
+    rows = fn(spark, sf_dir).collect()
+    totals = [r["n_total"] for r in rows]
+    assert totals == sorted(totals)
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert totals[-1] == users
+    assert sum(r["n_new"] for r in rows) == users

@@ -252,6 +252,8 @@ def _n_exchanges(plan: str) -> int:
         ("q206_first_batch_manifest", 4),  # bucket rank + batch-cut bcast join
         ("q207_fd_audit", 9),  # 3 FDs x (2-phase distinct-RHS agg + 1-row)
         ("q208_funnel_order_integrity", 3),  # user min agg + 4-row census
+        ("q209_join_size_forecast", 9),  # 3 forecasts x (2 count aggs + key join)
+        ("q210_adoption_curve", 3),  # first-seen agg + day agg + spine window
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
