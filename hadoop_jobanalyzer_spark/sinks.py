@@ -193,6 +193,80 @@ def compact_partitions(
     return frag
 
 
+
+def write_stats_manifest(
+    spark, path: str, stat_cols: list[str], manifest_dir: str | None = None
+) -> str:
+    """Build a per-file min/max/count statistics manifest for a parquet
+    directory — the Delta/Iceberg data-skipping pattern on plain parquet.
+
+    At 100 TB a range predicate should decide which FILES to open from a
+    tiny manifest instead of touching every footer (cheap locally, but a
+    distributed listing + footer fetch per query at warehouse scale).
+    The manifest is computed distributively: one aggregate over the data
+    grouped by ``input_file_name()`` — per-file stats collapse map-side,
+    so the exchange carries one row per file.
+
+    Returns the manifest directory path (default: ``<path>_manifest``).
+    Rebuild after every write; ``read_pruned`` consumes it.
+    """
+    from pyspark.sql import functions as F
+
+    out = manifest_dir or path.rstrip("/") + "_manifest"
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def read_pruned(
+    spark, path: str, col: str, lo, hi, manifest_dir: str | None = None
+):
+    """Range-read ``[lo, hi]`` on ``col`` opening ONLY files whose
+    manifest interval overlaps — file-level skipping from
+    ``write_stats_manifest``, with the residual filter still applied (the
+    manifest prunes files; the predicate prunes rows within survivors).
+
+    The manifest is a one-file parquet: reading it costs one tiny scan,
+    after which the FileScan's input list is already minimal — no
+    directory listing of excluded files, no footer fetches. Falls back
+    to a plain filtered read when no manifest exists.
+
+    Returns (DataFrame, n_files_selected, n_files_total).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    mdir = manifest_dir or path.rstrip("/") + "_manifest"
+    predicate = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not os.path.isdir(mdir):
+        df = spark.read.parquet(path).filter(predicate)
+        return df, -1, -1
+    manifest = spark.read.parquet(mdir).select(
+        "file", f"min_{col}", f"max_{col}"
+    )
+    rows = manifest.collect()  # one row per data file — bounded, tiny
+    keep = [
+        r["file"]
+        for r in rows
+        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    ]
+    if not keep:
+        df = spark.read.parquet(path).filter(predicate).limit(0)
+        return df, 0, len(rows)
+    df = spark.read.parquet(*keep).filter(predicate)
+    return df, len(keep), len(rows)
+
+
 def format_nice(value: Any, indent: int = 0, key: str | None = None) -> str:
     """Recursive indented key=value dump (the reference's ``printNice``),
     expanding maps, struct Rows, and the parsed counters array."""

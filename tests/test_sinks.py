@@ -282,3 +282,39 @@ def test_read_evolved_merges_schemas(spark, tmp_path):
     assert set(merged.columns) == {"id", "a", "b"}
     rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
     assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 30)}
+
+
+def test_stats_manifest_prunes_files(spark, tmp_path):
+    """The manifest lets a range read open only overlapping files, and
+    the pruned result equals the naive filtered read exactly."""
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.sinks import read_pruned, write_stats_manifest
+
+    path = str(tmp_path / "facts")
+    # 10 files with disjoint id ranges: range-partition by id then write
+    df = spark.range(10_000).withColumn("v", F.col("id") % 97)
+    df.repartitionByRange(10, "id").write.parquet(path)
+    mdir = write_stats_manifest(spark, path, ["id", "v"])
+
+    got, n_sel, n_tot = read_pruned(spark, path, "id", 2_000, 2_999)
+    assert n_tot == 10
+    assert 1 <= n_sel <= 2  # disjoint ranges: at most 2 boundary files
+    naive = spark.read.parquet(path).filter(
+        (F.col("id") >= 2_000) & (F.col("id") <= 2_999)
+    )
+    assert got.count() == naive.count() == 1_000
+    assert got.agg(F.sum("v")).first()[0] == naive.agg(F.sum("v")).first()[0]
+
+    # empty-overlap range returns an empty frame but the right schema
+    empty, n_sel0, _ = read_pruned(spark, path, "id", 50_000, 60_000)
+    assert n_sel0 == 0 and empty.count() == 0
+    assert set(empty.columns) == {"id", "v"}
+
+    # manifest row-counts reconcile with the table
+    m = spark.read.parquet(mdir)
+    assert m.agg(F.sum("n_rows")).first()[0] == 10_000
+
+    # no manifest -> plain filtered read fallback
+    got2, n2, t2 = read_pruned(spark, path, "id", 0, 10, manifest_dir=str(tmp_path / "nope"))
+    assert (n2, t2) == (-1, -1) and got2.count() == 11
