@@ -475,6 +475,166 @@ GROUP BY 1 ORDER BY segment
 """
 
 
+# --- q211: ship-lag percentiles per priority -----------------------------------
+
+
+def q211_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 of order-to-ship lag (days) per order priority —
+    the SLA table, with percentiles as true order statistics.
+
+    Scale shape: per-GROUP percentiles are NOT a per-group sort — lags
+    are integer days, so the (priority, lag) count table is tiny
+    (priorities x distinct lags); the rank-crossing selection
+    (min lag whose running count reaches ceil(q*n)) runs its windows
+    over THAT table. The only big operation is the orderkey fact join.
+    Output: (o_orderpriority, n_lines, p50_lag_days, p95_lag_days),
+    priority ascending."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    lags = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag"),
+    )
+    counts = lags.groupBy("o_orderpriority", "lag").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("o_orderpriority")
+    cum = counts.select(
+        "o_orderpriority",
+        "lag",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    # rank crossing: min lag with cum*dnm >= q_num*n (integer compare)
+    p50 = F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lag")))
+    p95 = F.min(F.when(F.col("cum") * 20 >= F.col("n") * 19, F.col("lag")))
+    return (
+        cum.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_lines"),
+            p50.alias("p50_lag_days"),
+            p95.alias("p95_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q211_SQL = """
+WITH lags AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+counts AS (
+  SELECT o_orderpriority, lag, COUNT(*) AS c FROM lags GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, lag,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lag
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM counts
+)
+SELECT o_orderpriority, MAX(n) AS n_lines,
+       MIN(CASE WHEN cum * 2 >= n THEN lag END) AS p50_lag_days,
+       MIN(CASE WHEN cum * 20 >= n * 19 THEN lag END) AS p95_lag_days
+FROM cum
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+# --- q212: supplier scorecard (top 3 per nation) --------------------------------
+
+_Q212_LATE_DAYS = 60
+_Q212_TOP = 3
+
+
+def q212_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: revenue, shipped-line count, and late-line
+    fraction per supplier, ranked within nation; the top 3 earners per
+    nation survive. The multi-metric dimension rollup every procurement
+    dashboard runs.
+
+    One orderkey fact join computes revenue and lateness in the same
+    pass; the ranking window runs over the SUPPLIER-grain aggregate
+    (bounded by the dimension size, not the fact table). Supplier and
+    nation attach by broadcast.
+    Output: (n_name, s_name, revenue_c, n_lines, late_frac, rk),
+    nation asc / rank asc."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_orderdate")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate",
+                              _rev_cents().alias("rev_c"))
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q212_LATE_DAYS} DAYS")
+    ).cast("long")
+    per_supp = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("rev_c").alias("revenue_c"),
+            F.count("*").alias("n_lines"),
+            F.sum(late).alias("n_late"),
+        )
+    )
+    supp = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+    nation = t["nation"].select("n_nationkey", "n_name")
+    scored = (
+        per_supp.join(F.broadcast(supp), per_supp["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_c").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _Q212_TOP)
+        .select(
+            "n_name",
+            "s_name",
+            "revenue_c",
+            "n_lines",
+            (F.col("n_late") / F.col("n_lines").cast("double")).alias("late_frac"),
+            "rk",
+        )
+        .orderBy("n_name", "rk")
+    )
+
+
+Q212_SQL = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM({_REV_CENTS_SQL}) AS revenue_c,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL {_Q212_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS n_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+scored AS (
+  SELECT n_name, s_name, s_suppkey, revenue_c, n_lines, n_late
+  FROM per_supp
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+)
+SELECT n_name, s_name, revenue_c, n_lines,
+       n_late / CAST(n_lines AS DOUBLE) AS late_frac, rk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+           PARTITION BY n_name ORDER BY revenue_c DESC, s_suppkey ASC
+         ) AS BIGINT) AS rk
+  FROM scored
+)
+WHERE rk <= {_Q212_TOP}
+ORDER BY n_name, rk
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q188_shipping_priority": (q188_shipping_priority, Q188_SQL),
     "q189_product_margin": (q189_product_margin, Q189_SQL),
@@ -483,4 +643,6 @@ WAREHOUSE_QUERIES = {
     "q192_dominant_suppliers": (q192_dominant_suppliers, Q192_SQL),
     "q193_late_priority_split": (q193_late_priority_split, Q193_SQL),
     "q203_rfm_segments": (q203_rfm_segments, Q203_SQL),
+    "q211_ship_lag_percentiles": (q211_ship_lag_percentiles, Q211_SQL),
+    "q212_supplier_scorecard": (q212_supplier_scorecard, Q212_SQL),
 }

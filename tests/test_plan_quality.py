@@ -254,6 +254,8 @@ def _n_exchanges(plan: str) -> int:
         ("q208_funnel_order_integrity", 3),  # user min agg + 4-row census
         ("q209_join_size_forecast", 9),  # 3 forecasts x (2 count aggs + key join)
         ("q210_adoption_curve", 3),  # first-seen agg + day agg + spine window
+        ("q211_ship_lag_percentiles", 3),  # fact join + tiny (prio,lag) windows
+        ("q212_supplier_scorecard", 3),  # fact join + supplier-grain window
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

@@ -126,3 +126,46 @@ def test_rfm_segments_cover_all_customers(spark, sf_dir):
         s = r["segment"]
         assert 111 <= s <= 444
         assert all(1 <= int(d) <= 4 for d in str(s))
+
+
+def test_ship_lag_percentiles_match_numpy(spark, sf_dir):
+    """p50/p95 equal the lower-rank order statistics computed directly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    fn, _ = WAREHOUSE_QUERIES["q211_ship_lag_percentiles"]
+    rows = {r["o_orderpriority"]: r for r in fn(spark, sf_dir).collect()}
+    t_orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lags = (
+        t_li.join(t_orders, t_li["l_orderkey"] == t_orders["o_orderkey"])
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag"),
+        )
+        .collect()
+    )
+    by_prio: dict = {}
+    for r in lags:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r["lag"])
+    for prio, vals in by_prio.items():
+        vals.sort()
+        n = len(vals)
+        assert rows[prio]["n_lines"] == n
+        assert rows[prio]["p50_lag_days"] == vals[math.ceil(0.5 * n) - 1]
+        assert rows[prio]["p95_lag_days"] == vals[math.ceil(0.95 * n) - 1]
+
+
+def test_supplier_scorecard_shape(spark, sf_dir):
+    fn, _ = WAREHOUSE_QUERIES["q212_supplier_scorecard"]
+    rows = fn(spark, sf_dir).collect()
+    per_nation: dict = {}
+    for r in rows:
+        per_nation.setdefault(r["n_name"], []).append(r)
+    for nation, rs in per_nation.items():
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        revs = [r["revenue_c"] for r in rs]
+        assert revs == sorted(revs, reverse=True)
+        assert all(0.0 <= r["late_frac"] <= 1.0 for r in rs)
