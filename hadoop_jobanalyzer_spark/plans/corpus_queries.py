@@ -750,6 +750,138 @@ ORDER BY step
 """
 
 
+# --- q213: lang x source independence residuals ---------------------------------
+
+
+def q213_lang_source_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency audit of the (lang, source) grid: for every cell, the
+    exact integer deviation from independence
+    ``dev = obs*N - row_total*col_total`` (positive = lang
+    over-represented in that source) plus the squared-residual numerator
+    — the chi-square ingredients a corpus-balance monitor tracks without
+    ever dividing per cell.
+
+    One corpus aggregate builds the grid; row/col totals come from tiny
+    re-aggregations of the grid itself (never a second scan), joined
+    back by broadcast. All comparisons stay BIGINT; the normalized
+    residual is emitted as exact (num, den) pairs with the single float
+    division at the end.
+    Output: (lang, source, n_docs, dev, residual), lang/source asc."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    grid = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    rows_t = grid.groupBy("lang").agg(F.sum("obs").alias("row_t"))
+    cols_t = grid.groupBy("source").agg(F.sum("obs").alias("col_t"))
+    total = grid.agg(F.sum("obs").alias("n"))
+    return (
+        grid.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .join(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            F.col("obs").alias("n_docs"),
+            (F.col("obs") * F.col("n") - F.col("row_t") * F.col("col_t")).alias(
+                "dev"
+            ),
+            # (obs - e)/sqrt(e) with e = row*col/n, as one end expression:
+            # dev / (n * sqrt(row*col/n))
+            (
+                (F.col("obs") * F.col("n") - F.col("row_t") * F.col("col_t"))
+                / (
+                    F.col("n").cast("double")
+                    * F.sqrt(
+                        F.col("row_t").cast("double")
+                        * F.col("col_t").cast("double")
+                        / F.col("n").cast("double")
+                    )
+                )
+            ).alias("residual"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+Q213_SQL = """
+WITH grid AS (
+  SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+),
+rows_t AS (SELECT lang, SUM(obs) AS row_t FROM grid GROUP BY 1),
+cols_t AS (SELECT source, SUM(obs) AS col_t FROM grid GROUP BY 1),
+total AS (SELECT SUM(obs) AS n FROM grid)
+SELECT lang, source, obs AS n_docs,
+       obs * n - row_t * col_t AS dev,
+       (obs * n - row_t * col_t)
+         / (CAST(n AS DOUBLE)
+            * sqrt(CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                   / CAST(n AS DOUBLE))) AS residual
+FROM grid
+JOIN rows_t USING (lang)
+JOIN cols_t USING (source)
+CROSS JOIN total
+ORDER BY lang, source
+"""
+
+
+# --- q214: customer-value Gini coefficient --------------------------------------
+
+
+def q214_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer lifetime value — the
+    inequality number behind q115's Pareto curve, via the rank identity
+    G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over
+    value-ascending ranks.
+
+    Ranks come from `util.bucketed_global_rank` (bucket = coarse cents
+    prefix — no single-partition sort over customers); both fold sums
+    are BIGINT-exact, and G is computed from three exact integers in one
+    final expression identical in both engines.
+    Output: one row (n_customers, total_c, weighted_sum, gini)."""
+    from hadoop_jobanalyzer_spark.util import bucketed_global_rank
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("m_c")
+    )
+    ranked = bucketed_global_rank(
+        per_cust,
+        (F.col("m_c") / 100000).cast("long"),
+        [F.col("m_c").asc(), F.col("o_custkey").asc()],
+    )
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("m_c").alias("total_c"),
+        F.sum(F.col("rk") * F.col("m_c")).alias("weighted_sum"),
+    ).select(
+        "n_customers",
+        "total_c",
+        "weighted_sum",
+        (
+            2.0 * F.col("weighted_sum")
+            / (F.col("n_customers") * F.col("total_c")).cast("double")
+            - (F.col("n_customers") + 1) / F.col("n_customers").cast("double")
+        ).alias("gini"),
+    )
+
+
+Q214_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS m_c
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT m_c,
+         ROW_NUMBER() OVER (ORDER BY m_c // 100000 ASC, m_c ASC, o_custkey ASC)
+           AS rk
+  FROM per_cust
+)
+SELECT COUNT(*) AS n_customers, SUM(m_c) AS total_c,
+       SUM(rk * m_c) AS weighted_sum,
+       2.0 * SUM(rk * m_c) / CAST(COUNT(*) * SUM(m_c) AS DOUBLE)
+         - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE) AS gini
+FROM ranked
+"""
+
+
 CORPUS_QUERIES = {
     "q194_source_tv_distance": (q194_source_tv_distance, Q194_SQL),
     "q195_token_fertility": (q195_token_fertility, Q195_SQL),
@@ -761,4 +893,6 @@ CORPUS_QUERIES = {
     "q204_dedup_token_savings": (q204_dedup_token_savings, _q204_sql()),
     "q205_filter_ablation": (q205_filter_ablation, Q205_SQL),
     "q206_first_batch_manifest": (q206_first_batch_manifest, Q206_SQL),
+    "q213_lang_source_residuals": (q213_lang_source_residuals, Q213_SQL),
+    "q214_value_gini": (q214_value_gini, Q214_SQL),
 }

@@ -222,3 +222,45 @@ def test_first_batch_manifest_is_batch_zero(spark, sf_dir):
     }
     for r in rows:
         assert docs[r["doc_id"]] == (r["source"], r["lang"])
+
+
+def test_residual_devs_sum_to_zero_per_lang(spark, sf_dir):
+    """Independence deviations sum to zero along every row and column
+    (an identity of the contingency decomposition)."""
+    fn, _ = CORPUS_QUERIES["q213_lang_source_residuals"]
+    rows = fn(spark, sf_dir).collect()
+    by_lang: dict = {}
+    by_src: dict = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["dev"]
+        by_src[r["source"]] = by_src.get(r["source"], 0) + r["dev"]
+    # cells absent from the grid are exactly the zero-obs cells; their dev
+    # is -row*col which the identity needs — so sums over PRESENT cells
+    # equal the sum of the missing cells' row*col mass
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    srcs = {r["source"]: r["c"] for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    present = {(r["lang"], r["source"]) for r in rows}
+    for lang, s in by_lang.items():
+        missing = sum(
+            langs[lang] * srcs[src] for src in srcs if (lang, src) not in present
+        )
+        assert s == missing, (lang, s, missing)
+
+
+def test_gini_matches_pure_python(spark, sf_dir):
+    fn, _ = CORPUS_QUERIES["q214_value_gini"]
+    row = fn(spark, sf_dir).collect()[0]
+    vals = sorted(
+        r["m"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.expr("sum(cast(floor(o_totalprice * 100) as bigint))").alias("m"))
+        .collect()
+    )
+    n, tot = len(vals), sum(vals)
+    wsum = sum((i + 1) * v for i, v in enumerate(vals))
+    gini = 2.0 * wsum / (n * tot) - (n + 1) / n
+    assert row["n_customers"] == n and row["total_c"] == tot
+    assert abs(row["gini"] - gini) < 1e-12
+    assert 0.0 <= row["gini"] < 1.0

@@ -87,6 +87,8 @@ NESTED_LOOP_OK = {
     "q194_source_tv_distance",
     # 1-row customer-count broadcast for the quartile formula
     "q203_rfm_segments",
+    # 1-row grand-total broadcast for the independence products
+    "q213_lang_source_residuals",
 }
 
 
@@ -256,6 +258,8 @@ def _n_exchanges(plan: str) -> int:
         ("q210_adoption_curve", 3),  # first-seen agg + day agg + spine window
         ("q211_ship_lag_percentiles", 3),  # fact join + tiny (prio,lag) windows
         ("q212_supplier_scorecard", 3),  # fact join + supplier-grain window
+        ("q213_lang_source_residuals", 8),  # grid agg + 3 tiny re-agg broadcasts
+        ("q214_value_gini", 6),  # customer agg + bucketed rank + 1-row fold
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
