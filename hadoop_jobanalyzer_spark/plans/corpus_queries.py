@@ -882,6 +882,154 @@ FROM ranked
 """
 
 
+# --- q215: end-to-end clean -> dedup -> mix manifest -----------------------------
+
+_Q215_BUDGET = 300  # post-filter document budget across sources
+_Q215_MIN_CHARS = 200
+
+
+def q215_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone pipeline query: quality gate -> near-dup dedup ->
+    largest-remainder source caps -> deterministic selection, returning
+    the per-source manifest a training run would consume.  Each stage is
+    a registered operator elsewhere (q205 flags, q40 clusters, q196
+    apportionment, q201 order); this composes them into ONE plan, the
+    way the real pipeline ships.
+
+    Stages: (1) docs passing the length gate; (2) of those, keep only
+    near-dup cluster keepers (doc_id == CC component — the q112 policy);
+    (3) apportion the document budget across sources by surviving token
+    mass (Hamilton); (4) within each source take the first `alloc` docs
+    in md5 order (seeded, engine-portable).  Selection rank is a window
+    PARTITIONED by source (parallel), never a global sort.
+    Output: (source, alloc, n_selected, tokens_selected), source asc;
+    n_selected == min(alloc, survivors)."""
+    from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
+    from hadoop_jobanalyzer_spark.operators.graph import connected_components
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    gated = docs.filter(F.col("n_chars") >= _Q215_MIN_CHARS)
+    pairs = near_dup_pairs(
+        gated, "doc_id", "text",
+        n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=gated.select(F.col("doc_id").alias("id")), id_col="id",
+    )
+    keepers = (
+        gated.join(cc, gated["doc_id"] == cc["id"])
+        .filter(F.col("id") == F.col("component"))
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+        )
+    )
+    per_src = keepers.groupBy("source").agg(F.sum("toks").alias("n_tokens"))
+    tot = Window.partitionBy()
+    rem_rank = Window.partitionBy().orderBy(F.desc("rem"), F.asc("source"))
+    alloc = (
+        per_src.withColumn("total_t", F.sum("n_tokens").over(tot))
+        .withColumn(
+            "base",
+            F.floor(F.lit(_Q215_BUDGET) * F.col("n_tokens") / F.col("total_t")).cast(
+                "long"
+            ),
+        )
+        .withColumn("rem", (F.lit(_Q215_BUDGET) * F.col("n_tokens")) % F.col("total_t"))
+        .withColumn("leftover", F.lit(_Q215_BUDGET) - F.sum("base").over(tot))
+        .withColumn("rk", F.row_number().over(rem_rank))
+        .select(
+            "source",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )
+    sel_w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    selected = (
+        keepers.withColumn("sel", F.row_number().over(sel_w).cast("long"))
+        .join(F.broadcast(alloc), "source")
+        .filter(F.col("sel") <= F.col("alloc"))
+    )
+    return (
+        selected.groupBy("source", "alloc")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("toks").alias("tokens_selected"),
+        )
+        .select("source", "alloc", "n_selected", "tokens_selected")
+        .orderBy("source")
+    )
+
+
+def _q215_sql() -> str:
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import near_dup_ctes
+
+    # the shared dedup CTEs operate on the `documents` view; stage the
+    # length gate as a view-shadowing CTE is not possible, so the keeper
+    # logic re-applies the gate around the components
+    return f"""
+WITH RECURSIVE {near_dup_ctes()},
+gated AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS toks
+  FROM documents WHERE n_chars >= {_Q215_MIN_CHARS}
+),
+gpairs AS (
+  SELECT id_a, id_b FROM verified
+  WHERE id_a IN (SELECT doc_id FROM gated) AND id_b IN (SELECT doc_id FROM gated)
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM gpairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM gpairs
+),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM gated
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+keepers AS (
+  SELECT g.doc_id, g.source, CAST(g.toks AS BIGINT) AS toks
+  FROM gated g JOIN comp ON g.doc_id = comp.doc_id
+  WHERE comp.doc_id = comp.component
+),
+per_src AS (SELECT source, SUM(toks) AS n_tokens FROM keepers GROUP BY 1),
+calc AS (
+  SELECT source, n_tokens,
+         ({_Q215_BUDGET} * n_tokens) // SUM(n_tokens) OVER () AS base,
+         ({_Q215_BUDGET} * n_tokens) % SUM(n_tokens) OVER () AS rem
+  FROM per_src
+),
+alloc AS (
+  SELECT source,
+         CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                    <= {_Q215_BUDGET} - SUM(base) OVER () THEN 1 ELSE 0 END
+         AS BIGINT) AS alloc
+  FROM calc
+),
+ranked AS (
+  SELECT k.*, alloc.alloc,
+         ROW_NUMBER() OVER (
+           PARTITION BY k.source
+           ORDER BY md5(CAST(k.doc_id AS VARCHAR) || ':mix') ASC, k.doc_id ASC
+         ) AS sel
+  FROM keepers k JOIN alloc USING (source)
+)
+SELECT source, alloc, COUNT(*) AS n_selected, SUM(toks) AS tokens_selected
+FROM ranked WHERE sel <= alloc
+GROUP BY source, alloc
+ORDER BY source
+"""
+
+
 CORPUS_QUERIES = {
     "q194_source_tv_distance": (q194_source_tv_distance, Q194_SQL),
     "q195_token_fertility": (q195_token_fertility, Q195_SQL),
@@ -895,4 +1043,5 @@ CORPUS_QUERIES = {
     "q206_first_batch_manifest": (q206_first_batch_manifest, Q206_SQL),
     "q213_lang_source_residuals": (q213_lang_source_residuals, Q213_SQL),
     "q214_value_gini": (q214_value_gini, Q214_SQL),
+    "q215_training_mix_manifest": (q215_training_mix_manifest, _q215_sql()),
 }

@@ -264,3 +264,16 @@ def test_gini_matches_pure_python(spark, sf_dir):
     assert row["n_customers"] == n and row["total_c"] == tot
     assert abs(row["gini"] - gini) < 1e-12
     assert 0.0 <= row["gini"] < 1.0
+
+
+def test_training_mix_selected_within_alloc(spark, sf_dir):
+    """Per source: n_selected == min(alloc, survivors) and total selected
+    docs never exceed the budget."""
+    from hadoop_jobanalyzer_spark.plans.corpus_queries import _Q215_BUDGET
+
+    fn, _ = CORPUS_QUERIES["q215_training_mix_manifest"]
+    rows = fn(spark, sf_dir).collect()
+    assert sum(r["n_selected"] for r in rows) <= _Q215_BUDGET
+    for r in rows:
+        assert r["n_selected"] <= r["alloc"]
+        assert r["tokens_selected"] > 0

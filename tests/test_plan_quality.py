@@ -260,6 +260,9 @@ def _n_exchanges(plan: str) -> int:
         ("q212_supplier_scorecard", 3),  # fact join + supplier-grain window
         ("q213_lang_source_residuals", 8),  # grid agg + 3 tiny re-agg broadcasts
         ("q214_value_gini", 6),  # customer agg + bucketed rank + 1-row fold
+        # CC labels arrive via localCheckpoint (its own jobs ran already);
+        # the remaining plan is keepers + alloc windows + per-source selection
+        ("q215_training_mix_manifest", 6),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
