@@ -166,32 +166,41 @@ def near_dup_pairs(
         df, id_col, text_col, n_hashes, bands, ngram, max_bucket, sigs=sigs
     )
     df = spread(df)
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(tokens(text_col), ngram)).alias("sh")
+    # One per-doc shingle-SET table; candidates pull both docs' sets and the
+    # exact intersection is computed IN-ROW (shingles() is distinct per doc,
+    # so |array_intersect| is the exact n_common).  This replaces the old
+    # explode->equi-join->groupBy verify (pairs x shingles intermediate rows,
+    # plus two more corpus-wide size-subtree recomputes for n_a/n_b): the
+    # shingle subtree now runs once per join side as a narrow pass, the pair
+    # shuffle carries pair volume only, and n_a/n_b fall out of the same
+    # arrays for free.
+    doc_sets = df.select(
+        F.col(id_col), shingles(tokens(text_col), ngram).alias("_shs")
     )
-    sizes = df.select(
-        F.col(id_col), F.size(shingles(tokens(text_col), ngram)).alias("n_sh")
-    )
-    # shingles() is distinct per doc, so the inner join counts the exact
-    # intersection size per candidate pair
-    common = (
-        cands.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b", "n_shared_bands")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sizes_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sizes_a, "id_a")
-        .join(sizes_b, "id_b")
+        cands.join(
+            doc_sets.select(F.col(id_col).alias("id_a"), F.col("_shs").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(F.col(id_col).alias("id_b"), F.col("_shs").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+            F.size("_sa").alias("n_a"),
+            F.size("_sb").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 3
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter((F.col("n_common") > 0) & (F.col("jaccard") >= threshold))
         .select("id_a", "id_b", "n_shared_bands", "n_common", "n_a", "n_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
