@@ -1,0 +1,330 @@
+"""Pipeline-planning queries q216+: the meta-level reports a corpus team
+runs BEFORE committing to an expensive configuration — LSH banding
+selection from measured bucket volumes, small-file compaction planning,
+leakage-proof group k-fold splits, and template (header/footer)
+boilerplate detection.
+
+Same contract as the other plan modules: (DataFrame builder, DuckDB
+oracle SQL) pairs, integer-exact accumulation, deterministic ordering,
+engine-portable md5 hashing only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_jobanalyzer_spark.functions.text import tokens
+from hadoop_jobanalyzer_spark.operators.dedup import (
+    MINHASH_P,
+    _minhash_params,
+    minhash_signatures,
+)
+from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+# --- q216: LSH banding planner ------------------------------------------------
+
+# One 24-hash MinHash family, every (bands x rows) factorization of it.
+_Q216_N_HASHES = 24
+_Q216_BANDINGS = [(2, 12), (3, 8), (4, 6), (6, 4), (8, 3), (12, 2)]
+
+
+def q216_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven LSH banding selection: for every (bands, rows)
+    factorization of one 24-hash MinHash family, measure the bucket
+    profile the banding would actually produce on THIS corpus — bucket
+    count, multi-doc bucket count, largest bucket, and the pair-generation
+    workload sum_buckets C(sz, 2) (the exact number of candidate-pair
+    slots the verify stage would have to shuffle).
+
+    This is the planning step run before q23/q34: theory gives the
+    S-curve, but candidate VOLUME (the cost side) is data-dependent —
+    skewed corpora blow up low-rows bandings.  Signatures are computed
+    once; all six bandings explode from the same signature row (35
+    structs/doc, in-row), so the whole grid costs one signature pass +
+    one (bands, band, key) shuffle of counts — no pair is ever
+    materialized.  Scales: workload is computed from bucket SIZES, which
+    is why this planner is runnable at 100 TB while the q23 pair dump is
+    not.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=_Q216_N_HASHES, ngram=3
+    ).na.drop()
+    structs = [
+        F.struct(
+            F.lit(bands).alias("n_bands"),
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+            ).alias("bh"),
+        )
+        for bands, rows in _Q216_BANDINGS
+        for b in range(bands)
+    ]
+    buckets = (
+        sigs.select(F.explode(F.array(*structs)).alias("k"))
+        .groupBy("k.n_bands", "k.band", "k.bh")
+        .agg(F.count("*").alias("sz"))
+    )
+    return (
+        buckets.groupBy("n_bands")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("sz") > 1).cast("long")).alias("n_buckets_multi"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(
+                (F.col("sz") * (F.col("sz") - 1) / F.lit(2)).cast("long")
+            ).alias("pair_slots"),
+        )
+        .select(
+            "n_bands",
+            (F.lit(_Q216_N_HASHES) / F.col("n_bands")).cast("long").alias("n_rows"),
+            "n_buckets",
+            "n_buckets_multi",
+            "max_bucket",
+            "pair_slots",
+        )
+        .orderBy("n_bands")
+    )
+
+
+def _q216_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_minhash_params(_Q216_N_HASHES))
+    )
+    banded = " UNION ALL ".join(
+        "SELECT {bands} AS n_bands, {b} AS band, {concat} AS bh FROM m".format(
+            bands=bands,
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for bands, rows in _Q216_BANDINGS
+        for b in range(bands)
+    )
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+hashed AS (SELECT doc_id,
+                  ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P} AS h
+           FROM sh),
+m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS ({banded}),
+b AS (SELECT n_bands, band, bh, COUNT(*) AS sz FROM banded GROUP BY 1, 2, 3)
+SELECT n_bands,
+       CAST({_Q216_N_HASHES} / n_bands AS BIGINT) AS n_rows,
+       COUNT(*) AS n_buckets,
+       SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS n_buckets_multi,
+       MAX(sz) AS max_bucket,
+       CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS pair_slots
+FROM b
+GROUP BY n_bands
+ORDER BY n_bands
+"""
+
+
+# --- q217: small-file compaction plan -----------------------------------------
+
+_Q217_DOCS_PER_FILE = 20  # synthesize a file manifest from doc_id ranges
+_Q217_TARGET_BYTES = 1024  # compaction group target
+
+
+def q217_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse small-file compaction planner: bin-pack each source's
+    files (in file order) into rewrite groups of ~``_Q217_TARGET_BYTES``.
+
+    The file manifest is synthesized from the documents table (every
+    ``_Q217_DOCS_PER_FILE`` doc_ids per source = one file, size = text
+    bytes); a real deployment feeds the parquet footer manifest in.  The
+    plan uses the streaming bin-pack rule — group g owns the files whose
+    preceding cumulative bytes land in target*[g, g+1) — one window pass,
+    no iteration, deterministic.  Scales: the window runs over the FILE
+    manifest (metadata grain, ~1 row per 100 MB of data), partitioned by
+    source, never over the data itself.
+    Output per (source, grp): file span, file count, group bytes.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    files = (
+        docs.groupBy(
+            "source",
+            (F.col("doc_id") - F.col("doc_id") % _Q217_DOCS_PER_FILE).alias(
+                "file_id"
+            ),
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum(F.length("text")).alias("bytes"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "grp",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / _Q217_TARGET_BYTES
+        ),
+    )
+    return (
+        planned.groupBy("source", "grp")
+        .agg(
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("group_bytes"),
+        )
+        .orderBy("source", "grp")
+    )
+
+
+Q217_SQL = f"""
+WITH files AS (
+  SELECT source,
+         doc_id - doc_id % {_Q217_DOCS_PER_FILE} AS file_id,
+         COUNT(*) AS n_docs, SUM(LEN(text)) AS bytes
+  FROM documents GROUP BY 1, 2
+),
+planned AS (
+  SELECT *,
+         CAST(FLOOR(COALESCE(SUM(bytes) OVER (
+             PARTITION BY source ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / {_Q217_TARGET_BYTES}) AS BIGINT) AS grp
+  FROM files
+)
+SELECT source, grp, MIN(file_id) AS first_file, MAX(file_id) AS last_file,
+       COUNT(*) AS n_files, SUM(bytes) AS group_bytes
+FROM planned
+GROUP BY source, grp
+ORDER BY source, grp
+"""
+
+
+# --- q218: leakage-proof group k-fold -----------------------------------------
+
+_Q218_K = 5
+_Q218_PREFIX = 8  # docs sharing this token prefix are one leakage group
+
+
+def q218_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (the GroupKFold discipline): docs
+    that share an ``_Q218_PREFIX``-token prefix — template/near-dup
+    suspects — are ONE group, and the whole group lands in one fold, so
+    no near-duplicate ever straddles a train/eval boundary.
+
+    Fold = md5(group fingerprint) mod k: deterministic, append-stable
+    (new docs never move old groups), engine-portable.  One in-row
+    fingerprint pass + one fold aggregate; the group-distinct count is a
+    2-phase partial aggregate.  Output per fold: group/doc/token counts.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = tokens("text")
+    grp = F.md5(F.concat_ws(" ", F.slice(w, 1, _Q218_PREFIX)))
+    tagged = docs.select(
+        grp.alias("grp"),
+        F.size(w).alias("toks"),
+    ).withColumn(
+        "fold",
+        F.conv(F.substring(F.md5(F.col("grp")), 1, 8), 16, 10).cast("long")
+        % _Q218_K,
+    )
+    return (
+        tagged.groupBy("fold")
+        .agg(
+            F.countDistinct("grp").alias("n_groups"),
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+        )
+        .orderBy("fold")
+    )
+
+
+Q218_SQL = f"""
+WITH tagged AS (
+  SELECT md5(array_to_string(string_split(text, ' ')[1:{_Q218_PREFIX}], ' ')) AS grp,
+         LEN(string_split(text, ' ')) AS toks
+  FROM documents
+),
+folded AS (
+  SELECT grp, toks,
+         ('0x' || substr(md5(grp), 1, 8))::BIGINT % {_Q218_K} AS fold
+  FROM tagged
+)
+SELECT fold, COUNT(DISTINCT grp) AS n_groups, COUNT(*) AS n_docs,
+       SUM(toks) AS n_tokens
+FROM folded
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+# --- q219: header/footer boilerplate census -----------------------------------
+
+_Q219_MIN_DOCS = 2
+
+
+def q219_edge_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template boilerplate detector: the leading and trailing 2-token
+    grams that repeat across documents of the same source — the
+    header/footer signature a scraped-corpus cleaner strips before
+    training (cf. the per-line dedup rule in RefinedWeb/Gopher cleaning).
+
+    Both edge grams are computed in-row (no explode of the body), so the
+    shuffle carries exactly 2 short grams per doc regardless of document
+    length; one aggregate + the final sort.  Output: (source, kind, gram,
+    n_docs) for grams seen in >= {_Q219_MIN_DOCS} docs of one source.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = tokens("text")
+    edges = docs.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("head").alias("kind"),
+                    F.concat_ws(
+                        " ", F.element_at(w, 1), F.element_at(w, 2)
+                    ).alias("gram"),
+                ),
+                F.struct(
+                    F.lit("tail").alias("kind"),
+                    F.concat_ws(
+                        " ", F.element_at(w, -2), F.element_at(w, -1)
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("e"),
+    ).where(F.size(w) >= 2)
+    return (
+        edges.groupBy("source", F.col("e.kind").alias("kind"), F.col("e.gram").alias("gram"))
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= _Q219_MIN_DOCS)
+        .orderBy("source", "kind", "gram")
+    )
+
+
+Q219_SQL = f"""
+WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+edges AS (
+  SELECT source, 'head' AS kind, w[1] || ' ' || w[2] AS gram
+  FROM w WHERE len(w) >= 2
+  UNION ALL
+  SELECT source, 'tail', w[len(w) - 1] || ' ' || w[len(w)]
+  FROM w WHERE len(w) >= 2
+)
+SELECT source, kind, gram, COUNT(*) AS n_docs
+FROM edges
+GROUP BY source, kind, gram
+HAVING COUNT(*) >= {_Q219_MIN_DOCS}
+ORDER BY source, kind, gram
+"""
+
+
+PLANNER_QUERIES = {
+    "q216_lsh_banding_planner": (q216_lsh_banding_planner, _q216_sql()),
+    "q217_compaction_plan": (q217_compaction_plan, Q217_SQL),
+    "q218_group_kfold": (q218_group_kfold, Q218_SQL),
+    "q219_edge_boilerplate": (q219_edge_boilerplate, Q219_SQL),
+}

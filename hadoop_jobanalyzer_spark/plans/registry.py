@@ -75,6 +75,13 @@ try:  # mining / timeseries queries (gapfill, edit-distance, argmin, SRP-LSH)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # pipeline planners (LSH banding, compaction, group k-fold, boilerplate)
+    from hadoop_jobanalyzer_spark.plans.planner_queries import PLANNER_QUERIES
+
+    QUERIES.update(PLANNER_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 # The driver's correctness gate records at most 50 queries per round, in
 # registry iteration order (CORRECTNESS_r01.json stopped at exactly the
 # first 50 of 59).  To make the union of rounds cover everything AND keep

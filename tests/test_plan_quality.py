@@ -263,6 +263,10 @@ def _n_exchanges(plan: str) -> int:
         # CC labels arrive via localCheckpoint (its own jobs ran already);
         # the remaining plan is keepers + alloc windows + per-source selection
         ("q215_training_mix_manifest", 6),
+        ("q216_lsh_banding_planner", 5),  # sig agg + bucket agg + grid agg + sort
+        ("q217_compaction_plan", 3),  # file-manifest agg + source window + sort
+        ("q218_group_kfold", 3),  # 2-phase distinct-group fold agg + sort
+        ("q219_edge_boilerplate", 2),  # in-row edge grams; one agg + sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
