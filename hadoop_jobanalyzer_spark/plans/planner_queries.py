@@ -21,6 +21,7 @@ from hadoop_jobanalyzer_spark.operators.dedup import (
     _minhash_params,
     minhash_signatures,
 )
+from hadoop_jobanalyzer_spark.plans.pipeline_queries import near_dup_ctes
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
 
 # --- q216: LSH banding planner ------------------------------------------------
@@ -322,9 +323,212 @@ ORDER BY source, kind, gram
 """
 
 
+# --- q220: contrastive negative sampling --------------------------------------
+
+_Q220_N_ANCHORS = 4
+_Q220_K_NEG = 3
+
+
+def q220_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    of ``_Q220_N_ANCHORS`` seeded anchor docs, the ``_Q220_K_NEG``
+    md5-ranked negatives drawn from OUTSIDE the anchor's leakage group
+    (the q218 prefix fingerprint) — random-but-reproducible negatives
+    that can never be a near-duplicate of their anchor.
+
+    The anchor set is a bounded seeded selection (TakeOrdered on the md5
+    rank — top-k, never a full sort), broadcast against the corpus; the
+    per-anchor ranking window partitions on anchor_id, so state is
+    #anchors x corpus rows — bounded by the anchor budget, which is the
+    knob that keeps this runnable at 100 TB.
+    Output: (anchor_id, neg_id, rnk), k rows per anchor.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    grp = F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, _Q218_PREFIX)))
+    tagged = docs.select("doc_id", grp.alias("grp"))
+    anchors = (
+        tagged.orderBy(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("anchor"))), "doc_id"
+        )
+        .limit(_Q220_N_ANCHORS)
+        .select(
+            F.col("doc_id").alias("anchor_id"), F.col("grp").alias("anchor_grp")
+        )
+    )
+    ranked = (
+        F.broadcast(anchors)
+        .join(tagged, F.col("grp") != F.col("anchor_grp"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy(
+                    F.md5(F.concat_ws(":", F.col("anchor_id"), F.col("doc_id"))),
+                    "doc_id",
+                )
+            ),
+        )
+    )
+    return (
+        ranked.where(F.col("rnk") <= _Q220_K_NEG)
+        .select("anchor_id", F.col("doc_id").alias("neg_id"), "rnk")
+        .orderBy("anchor_id", "rnk")
+    )
+
+
+Q220_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:{_Q218_PREFIX}], ' ')) AS grp
+  FROM documents
+),
+anchors AS (
+  SELECT doc_id AS anchor_id, grp AS anchor_grp
+  FROM tagged
+  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':anchor'), doc_id
+  LIMIT {_Q220_N_ANCHORS}
+),
+ranked AS (
+  SELECT a.anchor_id, t.doc_id AS neg_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.anchor_id
+           ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':' || CAST(t.doc_id AS VARCHAR)),
+                    t.doc_id
+         ) AS rnk
+  FROM anchors a
+  JOIN tagged t ON t.grp <> a.anchor_grp
+)
+SELECT anchor_id, neg_id, rnk
+FROM ranked WHERE rnk <= {_Q220_K_NEG}
+ORDER BY anchor_id, rnk
+"""
+
+
+# --- q221: context-length truncation planner ----------------------------------
+
+_Q221_CTX_LENS = [32, 64, 128]
+
+
+def q221_truncation_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning: for each candidate sequence length, the
+    per-source fraction of tokens a train-time truncation would discard —
+    the report that decides the packing length before a training run.
+
+    The (source, ctx) grid is produced by an in-row 3-struct explode of
+    per-doc token counts (no join, no second scan); one aggregate, exact
+    integer token accounting, a single float division per output row.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.size(tokens("text"))
+    grid = docs.select(
+        "source",
+        toks.alias("toks"),
+        F.explode(
+            F.array(*[F.lit(c) for c in _Q221_CTX_LENS])
+        ).alias("ctx_len"),
+    )
+    return (
+        grid.groupBy("source", "ctx_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("toks") > F.col("ctx_len")).cast("long")).alias(
+                "docs_over"
+            ),
+            F.sum("toks").alias("total_tokens"),
+            F.sum(
+                F.greatest(F.col("toks") - F.col("ctx_len"), F.lit(0))
+            ).alias("tokens_lost"),
+        )
+        .withColumn(
+            "loss_frac", F.col("tokens_lost") / F.col("total_tokens")
+        )
+        .orderBy("source", "ctx_len")
+    )
+
+
+Q221_SQL = f"""
+WITH grid AS (
+  SELECT source, LEN(string_split(text, ' ')) AS toks, ctx_len
+  FROM documents, UNNEST([{", ".join(map(str, _Q221_CTX_LENS))}]) AS t(ctx_len)
+)
+SELECT source, ctx_len, COUNT(*) AS n_docs,
+       SUM(CASE WHEN toks > ctx_len THEN 1 ELSE 0 END) AS docs_over,
+       SUM(toks) AS total_tokens,
+       SUM(GREATEST(toks - ctx_len, 0)) AS tokens_lost,
+       SUM(GREATEST(toks - ctx_len, 0)) / SUM(toks) AS loss_frac
+FROM grid
+GROUP BY source, ctx_len
+ORDER BY source, ctx_len
+"""
+
+
+# --- q222: dedup threshold sweep ----------------------------------------------
+
+
+def q222_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold selection from ONE LSH+verify pass: histogram of
+    verified candidate-pair similarities in exact tenth-bins, with the
+    running pair count at-or-above each bin — the sweep a dedup operator
+    reads to pick its threshold, without re-running the pipeline per
+    candidate value.
+
+    Bins are integer-exact (``10*n_common DIV union``, never a float
+    floor); the cumulative is a 10-row window.  Costs exactly one q34
+    pipeline run (threshold 0) regardless of how many thresholds are
+    under consideration — that amortization is the point at 100 TB.
+    """
+    from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", n_hashes=8, bands=4, ngram=3, threshold=0.0
+    )
+    binned = pairs.select(
+        (
+            (F.lit(10) * F.col("n_common"))
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn("n_pairs_ge", F.sum("n_pairs").over(w))
+        .select(
+            "bin",
+            (F.col("bin") / F.lit(10.0)).alias("threshold_lo"),
+            "n_pairs",
+            "n_pairs_ge",
+        )
+        .orderBy("bin")
+    )
+
+
+def _q222_sql() -> str:
+    return f"""
+WITH {near_dup_ctes(0.0)},
+binned AS (
+  SELECT CAST((10 * n_common) // (n_a + n_b - n_common) AS BIGINT) AS bin
+  FROM verified
+),
+hist AS (SELECT bin, COUNT(*) AS n_pairs FROM binned GROUP BY bin)
+SELECT bin, bin / 10.0 AS threshold_lo, n_pairs,
+       SUM(n_pairs) OVER (ORDER BY bin DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS n_pairs_ge
+FROM hist
+ORDER BY bin
+"""
+
+
 PLANNER_QUERIES = {
     "q216_lsh_banding_planner": (q216_lsh_banding_planner, _q216_sql()),
     "q217_compaction_plan": (q217_compaction_plan, Q217_SQL),
     "q218_group_kfold": (q218_group_kfold, Q218_SQL),
     "q219_edge_boilerplate": (q219_edge_boilerplate, Q219_SQL),
+    "q220_negative_samples": (q220_negative_samples, Q220_SQL),
+    "q221_truncation_planner": (q221_truncation_planner, Q221_SQL),
+    "q222_dedup_threshold_sweep": (q222_dedup_threshold_sweep, _q222_sql()),
 }

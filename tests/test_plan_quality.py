@@ -89,6 +89,8 @@ NESTED_LOOP_OK = {
     "q203_rfm_segments",
     # 1-row grand-total broadcast for the independence products
     "q213_lang_source_residuals",
+    # bounded anchor set (TakeOrdered k rows) broadcast on a != inequality
+    "q220_negative_samples",
 }
 
 
@@ -267,6 +269,10 @@ def _n_exchanges(plan: str) -> int:
         ("q217_compaction_plan", 3),  # file-manifest agg + source window + sort
         ("q218_group_kfold", 3),  # 2-phase distinct-group fold agg + sort
         ("q219_edge_boilerplate", 2),  # in-row edge grams; one agg + sort
+        ("q220_negative_samples", 3),  # anchor TakeOrdered + per-anchor window
+        ("q221_truncation_planner", 2),  # in-row grid explode; one agg + sort
+        # composes the full q34 LSH+verify pipeline (intrinsic) + 10-row window
+        ("q222_dedup_threshold_sweep", 10),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

@@ -98,6 +98,64 @@ def test_group_kfold_is_leakage_free(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == docs.count()
 
 
+def test_negative_samples_avoid_leakage_groups(spark, sf_dir):
+    """Every negative comes from a different prefix group than its anchor,
+    and every anchor gets exactly k negatives."""
+    from hadoop_jobanalyzer_spark.plans.planner_queries import (
+        _Q218_PREFIX,
+        _Q220_K_NEG,
+        _Q220_N_ANCHORS,
+    )
+
+    fn, _ = PLANNER_QUERIES["q220_negative_samples"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == _Q220_N_ANCHORS * _Q220_K_NEG
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from hadoop_jobanalyzer_spark.functions.text import tokens
+
+    grp_of = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(tokens("text"), 1, _Q218_PREFIX))
+            ).alias("g"),
+        ).collect()
+    }
+    for r in rows:
+        assert grp_of[r["neg_id"]] != grp_of[r["anchor_id"]]
+        assert r["neg_id"] != r["anchor_id"]
+
+
+def test_truncation_loss_decreases_with_context(spark, sf_dir):
+    """Longer contexts never lose more tokens; totals are conserved
+    across the grid rows of one source."""
+    fn, _ = PLANNER_QUERIES["q221_truncation_planner"]
+    rows = fn(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["ctx_len"])
+        assert len({r["total_tokens"] for r in rs}) == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["tokens_lost"] >= b["tokens_lost"]
+            assert a["docs_over"] >= b["docs_over"]
+
+
+def test_threshold_sweep_cumulative_is_consistent(spark, sf_dir):
+    """n_pairs_ge is the suffix sum of n_pairs, and the bin-10 row (exact
+    duplicates among candidates) is where the cumulative starts."""
+    fn, _ = PLANNER_QUERIES["q222_dedup_threshold_sweep"]
+    rows = fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: -r["bin"])
+    running = 0
+    for r in rows:
+        running += r["n_pairs"]
+        assert r["n_pairs_ge"] == running
+        assert 0 <= r["bin"] <= 10
+
+
 def test_edge_boilerplate_counts_are_real(spark, sf_dir):
     """Recompute one reported gram's doc count directly."""
     fn, _ = PLANNER_QUERIES["q219_edge_boilerplate"]
