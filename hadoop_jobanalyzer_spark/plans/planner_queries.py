@@ -523,6 +523,307 @@ ORDER BY bin
 """
 
 
+# --- q223: watermark-delay planner --------------------------------------------
+
+
+def q223_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay selection for streaming ingest: replay each event
+    type's stream in a seeded-shuffled arrival order (the md5 permutation
+    a replay harness uses to simulate network disorder), measure how late
+    each event arrives behind the running event-time high-watermark, and
+    report the smallest power-of-two delay budget that captures >= 95% of
+    events — the number `withWatermark` actually needs.
+
+    Lateness buckets are exact BIT LENGTHS (base-2 string conversion, the
+    q106 pattern — no libm log); the 95% crossing is an integer
+    cross-multiplication (20*cum >= 19*n) over the tiny per-type bucket
+    table.  The per-type running max is inherently sequential — this
+    diagnostic runs over a bounded replay window (a day / an hour), never
+    the full corpus; the per-type window is the simulation, not the
+    production path.
+    Output: (event_type, n_events, n_late, max_late_ms, p95_delay_ms).
+    """
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    events = load_tables(spark, sf_dir)["events"]
+    arr = F.md5(F.concat_ws(":", F.col("event_id"), F.lit("arrival")))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(arr, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ms = epoch_ms("ts")
+    late = F.greatest(
+        F.coalesce(F.max(ms).over(w) - ms, F.lit(0)), F.lit(0)
+    )
+    lates = events.select("event_type", late.alias("late_ms"))
+    bucket = F.when(F.col("late_ms") == 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("late_ms").cast("string"), 10, 2))
+    )
+    hist = lates.groupBy("event_type", bucket.alias("b")).agg(
+        F.count("*").alias("n"), F.max("late_ms").alias("mx")
+    )
+    tw = Window.partitionBy("event_type")
+    cw = Window.partitionBy("event_type").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    stats = (
+        hist.withColumn("n_events", F.sum("n").over(tw))
+        .withColumn("n_late", F.sum(F.when(F.col("b") > 0, F.col("n")).otherwise(0)).over(tw))
+        .withColumn("max_late_ms", F.max("mx").over(tw))
+        .withColumn("cum", F.sum("n").over(cw))
+        .where(F.lit(20) * F.col("cum") >= F.lit(19) * F.col("n_events"))
+    )
+    best = stats.groupBy("event_type", "n_events", "n_late", "max_late_ms").agg(
+        F.min("b").alias("p95_b")
+    )
+    return best.select(
+        "event_type",
+        "n_events",
+        "n_late",
+        "max_late_ms",
+        F.when(F.col("p95_b") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), p95_b) - 1"))
+        .alias("p95_delay_ms"),
+    ).orderBy("event_type")
+
+
+Q223_SQL = """
+WITH lates AS (
+  SELECT event_type,
+         GREATEST(COALESCE(MAX(epoch_ms(ts)) OVER (
+             PARTITION BY event_type
+             ORDER BY md5(CAST(event_id AS VARCHAR) || ':arrival'), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) - epoch_ms(ts), 0), 0) AS late_ms
+  FROM events
+),
+hist AS (
+  SELECT event_type,
+         CASE WHEN late_ms = 0 THEN 0
+              ELSE LENGTH(format('{:b}', late_ms)) END AS b,
+         COUNT(*) AS n, MAX(late_ms) AS mx
+  FROM lates GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, b, n, mx,
+         SUM(n) OVER (PARTITION BY event_type) AS n_events,
+         SUM(CASE WHEN b > 0 THEN n ELSE 0 END)
+           OVER (PARTITION BY event_type) AS n_late,
+         MAX(mx) OVER (PARTITION BY event_type) AS max_late_ms,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+)
+SELECT event_type, n_events, n_late, max_late_ms,
+       CASE WHEN MIN(b) = 0 THEN 0
+            ELSE (1::BIGINT << MIN(b)) - 1 END AS p95_delay_ms
+FROM stats
+WHERE 20 * cum >= 19 * n_events
+GROUP BY event_type, n_events, n_late, max_late_ms
+ORDER BY event_type
+"""
+
+
+# --- q224: join-strategy advisor ----------------------------------------------
+
+# (table, [(column, kind)]) with kind 's' = string (exact byte length) and
+# 'n' = fixed-width 8-byte numeric/timestamp — the advisor's width model.
+_Q224_SCHEMAS = [
+    ("customer", [("c_custkey", "n"), ("c_name", "s"), ("c_nationkey", "n"), ("c_acctbal", "n"), ("c_mktsegment", "s")]),
+    ("lineitem", [("l_orderkey", "n"), ("l_partkey", "n"), ("l_suppkey", "n"), ("l_linenumber", "n"), ("l_quantity", "n"), ("l_extendedprice", "n"), ("l_discount", "n"), ("l_tax", "n"), ("l_returnflag", "s"), ("l_linestatus", "s"), ("l_shipdate", "n")]),
+    ("nation", [("n_nationkey", "n"), ("n_name", "s"), ("n_regionkey", "n")]),
+    ("orders", [("o_orderkey", "n"), ("o_custkey", "n"), ("o_orderstatus", "s"), ("o_totalprice", "n"), ("o_orderdate", "n"), ("o_orderpriority", "s")]),
+    ("part", [("p_partkey", "n"), ("p_name", "s"), ("p_brand", "s"), ("p_type", "s"), ("p_size", "n"), ("p_retailprice", "n")]),
+    ("region", [("r_regionkey", "n"), ("r_name", "s")]),
+    ("supplier", [("s_suppkey", "n"), ("s_name", "s"), ("s_nationkey", "n"), ("s_acctbal", "n")]),
+]
+_Q224_BROADCAST_BYTES = 10_000_000
+_Q224_SHUFFLE_BYTES = 1_000_000_000
+
+
+def q224_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE-style join-side sizing from exact byte accounting: per table,
+    the row count and an estimated in-memory size (exact string lengths +
+    8 bytes per fixed-width column), classified against the broadcast
+    (10 MB) and plain-shuffle (1 GB) thresholds a planner would use.
+
+    This is the advisory the engine's own `spark.sql.autoBroadcastJoin
+    Threshold` applies at plan time, made inspectable — the query a
+    capacity reviewer runs before pinning `broadcast()` hints.  Seven
+    independent single-row aggregates (each a pushed-down scan of only
+    the measured columns) unioned driver-side; no join, no shuffle
+    beyond each 1-row fold.
+    Output: (table_name, n_rows, est_bytes, strategy).
+    """
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for name, cols in _Q224_SCHEMAS:
+        width = sum(
+            (F.length(F.col(c)) if kind == "s" else F.lit(8))
+            for c, kind in cols
+        )
+        parts.append(
+            t[name].agg(
+                F.lit(name).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(width).alias("est_bytes"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.when(F.col("est_bytes") <= _Q224_BROADCAST_BYTES, F.lit("broadcast"))
+        .when(F.col("est_bytes") <= _Q224_SHUFFLE_BYTES, F.lit("shuffle"))
+        .otherwise(F.lit("shuffle_aqe_skew"))
+        .alias("strategy"),
+    ).orderBy("table_name")
+
+
+def _q224_sql() -> str:
+    selects = []
+    for name, cols in _Q224_SCHEMAS:
+        width = " + ".join(
+            f"LENGTH({c})" if kind == "s" else "8" for c, kind in cols
+        )
+        selects.append(
+            f"SELECT '{name}' AS table_name, COUNT(*) AS n_rows, "
+            f"SUM({width}) AS est_bytes FROM {name}"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+WITH sizes AS ({body})
+SELECT table_name, n_rows, est_bytes,
+       CASE WHEN est_bytes <= {_Q224_BROADCAST_BYTES} THEN 'broadcast'
+            WHEN est_bytes <= {_Q224_SHUFFLE_BYTES} THEN 'shuffle'
+            ELSE 'shuffle_aqe_skew' END AS strategy
+FROM sizes
+ORDER BY table_name
+"""
+
+
+# --- q225: write-size planner -------------------------------------------------
+
+_Q225_TARGET_BYTES = 65536
+
+
+def q225_write_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-file sizing before a partitioned write: per source, the
+    repartition count that lands `write_partitioned` files at
+    ~``_Q225_TARGET_BYTES`` — ceil(bytes/target) in exact integers — and
+    the docs-per-file that implies.  The planner half of the
+    `sinks.write_partitioned` feature: run this, pass `n_files` to the
+    writer's repartition, and small-file sprawl (the q217 cleanup) never
+    happens in the first place.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("bytes"))
+        .select(
+            "source",
+            "n_docs",
+            "bytes",
+            F.floor(
+                (F.col("bytes") + _Q225_TARGET_BYTES - 1) / _Q225_TARGET_BYTES
+            ).alias("n_files"),
+        )
+        .withColumn("docs_per_file", F.floor(F.col("n_docs") / F.col("n_files")))
+        .orderBy("source")
+    )
+
+
+Q225_SQL = f"""
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS bytes,
+       (SUM(n_chars) + {_Q225_TARGET_BYTES} - 1) // {_Q225_TARGET_BYTES} AS n_files,
+       COUNT(*) // ((SUM(n_chars) + {_Q225_TARGET_BYTES} - 1) // {_Q225_TARGET_BYTES})
+         AS docs_per_file
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- q226: session-timeout grid -----------------------------------------------
+
+_Q226_TIMEOUTS_S = [60, 300, 900]
+
+
+def q226_session_timeout_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap timeout selection from one pass: for each candidate
+    idle timeout, the session count and mean events-per-session the q36
+    sessionizer (or the streaming session window) would produce —
+    n_sessions(t) = n_users + #(gaps > t), so every candidate timeout is
+    three conditional counts over ONE lag-window pass, folded to a single
+    row and unpivoted in-row to the grid.
+    Output: (timeout_s, n_sessions, events_per_session).
+    """
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = epoch_ms("ts")
+    gaps = events.select(
+        "user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    )
+    folded = gaps.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        *[
+            F.sum((F.col("gap_ms") > t * 1000).cast("long")).alias(f"c{t}")
+            for t in _Q226_TIMEOUTS_S
+        ],
+    )
+    grid = folded.select(
+        "n_events",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("timeout_s"),
+                        (F.col("n_users") + F.col(f"c{t}")).alias("n_sessions"),
+                    )
+                    for t in _Q226_TIMEOUTS_S
+                ]
+            )
+        ).alias("g"),
+    )
+    return grid.select(
+        F.col("g.timeout_s").alias("timeout_s"),
+        F.col("g.n_sessions").alias("n_sessions"),
+        (F.col("n_events") / F.col("g.n_sessions")).alias("events_per_session"),
+    ).orderBy("timeout_s")
+
+
+def _q226_sql() -> str:
+    cs = ", ".join(
+        f"SUM(CASE WHEN gap_ms > {t} * 1000 THEN 1 ELSE 0 END) AS c{t}"
+        for t in _Q226_TIMEOUTS_S
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS timeout_s, n_users + c{t} AS n_sessions, "
+        f"n_events / (n_users + c{t}) AS events_per_session FROM folded"
+        for t in _Q226_TIMEOUTS_S
+    )
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_ms(ts) - LAG(epoch_ms(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+),
+folded AS (
+  SELECT COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users, {cs}
+  FROM gaps
+)
+SELECT * FROM ({rows}) ORDER BY timeout_s
+"""
+
+
 PLANNER_QUERIES = {
     "q216_lsh_banding_planner": (q216_lsh_banding_planner, _q216_sql()),
     "q217_compaction_plan": (q217_compaction_plan, Q217_SQL),
@@ -531,4 +832,8 @@ PLANNER_QUERIES = {
     "q220_negative_samples": (q220_negative_samples, Q220_SQL),
     "q221_truncation_planner": (q221_truncation_planner, Q221_SQL),
     "q222_dedup_threshold_sweep": (q222_dedup_threshold_sweep, _q222_sql()),
+    "q223_watermark_planner": (q223_watermark_planner, Q223_SQL),
+    "q224_join_strategy_advisor": (q224_join_strategy_advisor, _q224_sql()),
+    "q225_write_size_planner": (q225_write_size_planner, Q225_SQL),
+    "q226_session_timeout_grid": (q226_session_timeout_grid, _q226_sql()),
 }

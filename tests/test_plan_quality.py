@@ -273,6 +273,10 @@ def _n_exchanges(plan: str) -> int:
         ("q221_truncation_planner", 2),  # in-row grid explode; one agg + sort
         # composes the full q34 LSH+verify pipeline (intrinsic) + 10-row window
         ("q222_dedup_threshold_sweep", 10),
+        ("q223_watermark_planner", 2),  # one type window + tiny bucket windows
+        ("q224_join_strategy_advisor", 7),  # 7 independent 1-row table folds
+        ("q225_write_size_planner", 2),  # one source agg + sort
+        ("q226_session_timeout_grid", 2),  # one user lag window + 1-row fold
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

@@ -156,6 +156,74 @@ def test_threshold_sweep_cumulative_is_consistent(spark, sf_dir):
         assert 0 <= r["bin"] <= 10
 
 
+def test_watermark_planner_budget_is_sufficient(spark, sf_dir):
+    """Replaying with the reported p95 delay really does capture >= 95%
+    of each type's events, and the budget is 0 or a 2^b - 1 value."""
+    fn, _ = PLANNER_QUERIES["q223_watermark_planner"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_late"] <= r["n_events"]
+        d = r["p95_delay_ms"]
+        assert d == 0 or (d & (d + 1)) == 0  # 2^b - 1 shape
+        assert d <= max(r["max_late_ms"] * 2, 0)
+
+
+def test_join_advisor_small_dims_broadcast(spark, sf_dir):
+    """nation/region are always broadcast-class; est_bytes is positive
+    and lineitem dominates."""
+    fn, _ = PLANNER_QUERIES["q224_join_strategy_advisor"]
+    rows = {r["table_name"]: r for r in fn(spark, sf_dir).collect()}
+    assert rows["nation"]["strategy"] == "broadcast"
+    assert rows["region"]["strategy"] == "broadcast"
+    assert all(r["est_bytes"] > 0 for r in rows.values())
+    assert rows["lineitem"]["est_bytes"] == max(r["est_bytes"] for r in rows.values())
+
+
+def test_write_size_planner_covers_bytes(spark, sf_dir):
+    """n_files is the exact ceiling: (n_files-1)*target < bytes <=
+    n_files*target."""
+    from hadoop_jobanalyzer_spark.plans.planner_queries import _Q225_TARGET_BYTES
+
+    fn, _ = PLANNER_QUERIES["q225_write_size_planner"]
+    for r in fn(spark, sf_dir).collect():
+        assert (r["n_files"] - 1) * _Q225_TARGET_BYTES < r["bytes"]
+        assert r["bytes"] <= r["n_files"] * _Q225_TARGET_BYTES
+
+
+def test_session_grid_matches_q36_sessionizer(spark, sf_dir):
+    """The grid's session count at a timeout equals the number of
+    sessions the q36 sessionizer materializes at that timeout."""
+    from hadoop_jobanalyzer_spark.plans.planner_queries import _Q226_TIMEOUTS_S
+
+    fn, _ = PLANNER_QUERIES["q226_session_timeout_grid"]
+    grid = {r["timeout_s"]: r["n_sessions"] for r in fn(spark, sf_dir).collect()}
+    assert sorted(grid) == sorted(_Q226_TIMEOUTS_S)
+    # monotone: longer timeouts merge sessions
+    ts = sorted(grid)
+    for a, b in zip(ts, ts[1:]):
+        assert grid[a] >= grid[b]
+    # direct recount at one timeout via an independent sessionization
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+    from pyspark.sql.window import Window as W
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = epoch_ms("ts")
+    t = _Q226_TIMEOUTS_S[0]
+    n = (
+        events.select(
+            (
+                (ms - F.lag(ms).over(w) > t * 1000)
+                | F.lag(ms).over(w).isNull()
+            ).cast("long").alias("new_s")
+        )
+        .agg(F.sum("new_s"))
+        .collect()[0][0]
+    )
+    assert n == grid[t]
+
+
 def test_edge_boilerplate_counts_are_real(spark, sf_dir):
     """Recompute one reported gram's doc count directly."""
     fn, _ = PLANNER_QUERIES["q219_edge_boilerplate"]
