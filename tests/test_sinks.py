@@ -292,9 +292,15 @@ def test_stats_manifest_prunes_files(spark, tmp_path):
     from hadoop_jobanalyzer_spark.sinks import read_pruned, write_stats_manifest
 
     path = str(tmp_path / "facts")
-    # 10 files with disjoint id ranges: range-partition by id then write
+    # 10 files with EXPLICITLY disjoint id ranges. (repartitionByRange
+    # derives bounds by sampling, and the sampled split points shift with
+    # session history — under some orderings [2000, 2999] straddled three
+    # files and the <=2-boundary-files assertion below flaked.)
     df = spark.range(10_000).withColumn("v", F.col("id") % 97)
-    df.repartitionByRange(10, "id").write.parquet(path)
+    for k in range(10):
+        df.filter(
+            (F.col("id") >= k * 1_000) & (F.col("id") < (k + 1) * 1_000)
+        ).coalesce(1).write.mode("append").parquet(path)
     mdir = write_stats_manifest(spark, path, ["id", "v"])
 
     got, n_sel, n_tot = read_pruned(spark, path, "id", 2_000, 2_999)
