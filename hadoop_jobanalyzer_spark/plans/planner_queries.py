@@ -824,6 +824,266 @@ SELECT * FROM ({rows}) ORDER BY timeout_s
 """
 
 
+# --- q227: hopping-window aggregates ------------------------------------------
+
+_Q227_WIN_MS = 600_000  # 10-minute windows ...
+_Q227_HOP_MS = 300_000  # ... hopping every 5 minutes (each event in 2)
+
+
+def q227_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregates in batch — the overlap-window
+    shape of `F.window(ts, '10 minutes', '5 minutes')` / Structured
+    Streaming, expressed portably: with window = 2 x hop, every event
+    belongs to exactly two hop-aligned windows, produced by an in-row
+    2-struct explode (never a range join against a window spine).
+
+    The shuffle carries (window_start, event_type) cells — 2 rows per
+    event regardless of window width — and sums are exact DECIMAL with
+    one final round.  Output: (window_start_ms, event_type, n_events,
+    total_value).
+    """
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    events = load_tables(spark, sf_dir)["events"]
+    ms = epoch_ms("ts")
+    wins = events.select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        (F.floor(ms / _Q227_HOP_MS) - i) * _Q227_HOP_MS
+                    ).alias("w")
+                    for i in (0, 1)
+                ]
+            )
+        ).alias("window_start_ms"),
+    )
+    return (
+        wins.groupBy("window_start_ms", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("window_start_ms", "event_type")
+    )
+
+
+Q227_SQL = f"""
+WITH wins AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+         (epoch_ms(ts) // {_Q227_HOP_MS} - i) * {_Q227_HOP_MS} AS window_start_ms
+  FROM events, UNNEST([0, 1]) AS t(i)
+)
+SELECT window_start_ms, event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total_value
+FROM wins
+GROUP BY window_start_ms, event_type
+ORDER BY window_start_ms, event_type
+"""
+
+
+# --- q228: per-language distinctive terms (rational log-odds) -----------------
+
+_Q228_TOP_K = 5
+
+
+def q228_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-k most DISTINCTIVE tokens per language by smoothed odds
+    ratio against the rest of the corpus — the per-class keyword report
+    (Monroe et al.'s log-odds family) a corpus card prints per language.
+
+    The ranking statistic is the rank-equivalent rational form
+    (c_l + 1)(N_r + V) / (c_r + 1)(N_l + V) — integer cross products,
+    one float division at the end, no libm log anywhere, so Spark and
+    the oracle order identically (ties broken by token asc).  One
+    (lang, token) count shuffle feeds both the per-token rest-counts
+    (re-agg of the same table) and the per-lang totals (broadcast);
+    the top-k window runs per language over the scored table.
+    Output: (lang, token, c_lang, c_rest, score).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    # the (lang, token) count table feeds four consumers (scored join,
+    # per-token totals, per-lang totals, vocab fold) — persist it so the
+    # corpus-wide explode+agg subtree executes once, not four times
+    cnt = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    tok_tot = cnt.groupBy("token").agg(F.sum("c").alias("ct"))
+    lang_tot = cnt.groupBy("lang").agg(F.sum("c").alias("nl"))
+    vocab = tok_tot.agg(
+        F.count("*").alias("v"), F.sum("ct").alias("n")
+    )
+    scored = (
+        cnt.join(tok_tot, "token")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "token",
+            F.col("c").alias("c_lang"),
+            (F.col("ct") - F.col("c")).alias("c_rest"),
+            (
+                (F.col("c") + 1)
+                * (F.col("n") - F.col("nl") + F.col("v"))
+            ).alias("_num"),
+            (
+                (F.col("ct") - F.col("c") + 1) * (F.col("nl") + F.col("v"))
+            ).alias("_den"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("_num") / F.col("_den")).desc(), "token"
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= _Q228_TOP_K)
+        .select(
+            "lang",
+            "token",
+            "c_lang",
+            "c_rest",
+            (F.col("_num") / F.col("_den")).alias("score"),
+        )
+        .orderBy("lang", F.col("score").desc(), "token")
+    )
+
+
+Q228_SQL = f"""
+WITH cnt AS (
+  SELECT lang, tok AS token, COUNT(*) AS c
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+tok_tot AS (SELECT token, SUM(c) AS ct FROM cnt GROUP BY 1),
+lang_tot AS (SELECT lang, SUM(c) AS nl FROM cnt GROUP BY 1),
+vocab AS (SELECT COUNT(*) AS v, SUM(ct) AS n FROM tok_tot),
+scored AS (
+  SELECT cnt.lang, cnt.token, cnt.c AS c_lang, tok_tot.ct - cnt.c AS c_rest,
+         (cnt.c + 1) * (vocab.n - lang_tot.nl + vocab.v) AS num,
+         (tok_tot.ct - cnt.c + 1) * (lang_tot.nl + vocab.v) AS den
+  FROM cnt
+  JOIN tok_tot USING (token)
+  JOIN lang_tot USING (lang)
+  CROSS JOIN vocab
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(num AS DOUBLE) / den DESC, token ASC
+         ) AS rk
+  FROM scored
+)
+SELECT lang, token, c_lang, c_rest, CAST(num AS DOUBLE) / den AS score
+FROM ranked WHERE rk <= {_Q228_TOP_K}
+ORDER BY lang, score DESC, token
+"""
+
+
+# --- q229: quality-vs-duplication calibration ---------------------------------
+
+_Q229_BUCKETS = 5
+
+
+def q229_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a quality score against a duplication
+    signal: docs are ranked by lexical diversity (distinct-token ratio),
+    cut into quintiles by the exact rank formula, and each bucket reports
+    its observed template-duplication rate (the q218 prefix-fingerprint
+    group having >1 member).  A cleaner uses this to check that the
+    cheap quality score actually orders the dup-heavy mass last before
+    trusting it as a gate.
+
+    The global rank uses `util.bucketed_global_rank` (parallel bucket
+    windows + tiny offset prefix sum — never a 1-partition ORDER BY);
+    the dup flag is one group-size aggregate over the in-row
+    fingerprint.  Integer bucket math, one division per output row.
+    Output: (bucket, n_docs, n_dup, dup_frac).
+    """
+    from hadoop_jobanalyzer_spark.util import bucketed_global_rank
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = tokens("text")
+    grp = F.md5(F.concat_ws(" ", F.slice(w, 1, _Q218_PREFIX)))
+    base = docs.select(
+        "doc_id",
+        grp.alias("grp"),
+        # scaled-integer diversity: distinct tokens per 10^6 tokens —
+        # exact integer ordering, no float rank key (floor division on
+        # both engines; the numerator stays < 2^53 so the double floor
+        # is exact)
+        F.floor(
+            F.size(F.array_distinct(w)).cast("long")
+            * 1_000_000
+            / F.size(w)
+        ).alias("div_ppm"),
+    )
+    gsz = base.groupBy("grp").agg(F.count("*").alias("gsz"))
+    # bucketed_global_rank consumes its input three ways (in-bucket
+    # window, bucket counts, total) — persist the doc-grain flag table
+    flagged = (
+        base.join(gsz, "grp")
+        .select(
+            "doc_id", "div_ppm", (F.col("gsz") > 1).cast("long").alias("is_dup")
+        )
+        .persist()
+    )
+    ranked = bucketed_global_rank(
+        flagged,
+        bucket=F.floor(F.col("div_ppm") / 100_000),
+        order_within=[F.col("div_ppm"), F.col("doc_id")],
+        out="rk",
+    )
+    n_total = ranked.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            F.floor(
+                (_Q229_BUCKETS * (F.col("rk") - 1)) / F.col("n")
+            ).alias("bucket"),
+            "is_dup",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_dup").alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.col("n_dup") / F.col("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+Q229_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:{_Q218_PREFIX}], ' ')) AS grp,
+         (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+              * 1000000) // len(string_split(text, ' ')) AS div_ppm
+  FROM documents
+),
+gsz AS (SELECT grp, COUNT(*) AS gsz FROM base GROUP BY 1),
+flagged AS (
+  SELECT doc_id, div_ppm, CASE WHEN gsz > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM base JOIN gsz USING (grp)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY div_ppm, doc_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM flagged
+)
+SELECT CAST(FLOOR(({_Q229_BUCKETS} * (rk - 1)) / n) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs, SUM(is_dup) AS n_dup,
+       SUM(is_dup) / COUNT(*) AS dup_frac
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 PLANNER_QUERIES = {
     "q216_lsh_banding_planner": (q216_lsh_banding_planner, _q216_sql()),
     "q217_compaction_plan": (q217_compaction_plan, Q217_SQL),
@@ -836,4 +1096,7 @@ PLANNER_QUERIES = {
     "q224_join_strategy_advisor": (q224_join_strategy_advisor, _q224_sql()),
     "q225_write_size_planner": (q225_write_size_planner, Q225_SQL),
     "q226_session_timeout_grid": (q226_session_timeout_grid, _q226_sql()),
+    "q227_hopping_windows": (q227_hopping_windows, Q227_SQL),
+    "q228_distinctive_terms": (q228_distinctive_terms, Q228_SQL),
+    "q229_quality_dup_calibration": (q229_quality_dup_calibration, Q229_SQL),
 }

@@ -91,6 +91,10 @@ NESTED_LOOP_OK = {
     "q213_lang_source_residuals",
     # bounded anchor set (TakeOrdered k rows) broadcast on a != inequality
     "q220_negative_samples",
+    # 1-row vocab (V, N) fold broadcast into the scoring projection
+    "q228_distinctive_terms",
+    # 1-row total-count broadcast for the quintile formula
+    "q229_quality_dup_calibration",
 }
 
 
@@ -281,6 +285,13 @@ def _n_exchanges(plan: str) -> int:
         ("q224_join_strategy_advisor", 7),  # 7 independent 1-row table folds
         ("q225_write_size_planner", 2),  # one source agg + sort
         ("q226_session_timeout_grid", 2),  # one user lag window + 1-row fold
+        ("q227_hopping_windows", 2),  # in-row 2-hop explode; one cell agg + sort
+        # persisted (lang,token) count table; the formatted plan reprints the
+        # cached child's exchanges at each of its four scans
+        ("q228_distinctive_terms", 13),
+        # persisted doc-grain flag table consumed 3x by bucketed_global_rank
+        # (same reprint effect; executed cost is one build + tiny windows)
+        ("q229_quality_dup_calibration", 18),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

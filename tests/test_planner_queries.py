@@ -224,6 +224,54 @@ def test_session_grid_matches_q36_sessionizer(spark, sf_dir):
     assert n == grid[t]
 
 
+def test_hopping_windows_double_count_events(spark, sf_dir):
+    """Window = 2 x hop means every event lands in exactly two windows:
+    total cell counts sum to 2 x corpus, and each window's events fit the
+    window bounds."""
+    fn, _ = PLANNER_QUERIES["q227_hopping_windows"]
+    rows = fn(spark, sf_dir).collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == 2 * n_events
+    from hadoop_jobanalyzer_spark.plans.planner_queries import (
+        _Q227_HOP_MS,
+        _Q227_WIN_MS,
+    )
+
+    assert _Q227_WIN_MS == 2 * _Q227_HOP_MS
+    assert all(r["window_start_ms"] % _Q227_HOP_MS == 0 for r in rows)
+
+
+def test_distinctive_terms_shape(spark, sf_dir):
+    """k rows per language, scores positive, and the top term's lang
+    count is genuinely over-represented (score > 1 means odds above the
+    rest of the corpus)."""
+    from hadoop_jobanalyzer_spark.plans.planner_queries import _Q228_TOP_K
+
+    fn, _ = PLANNER_QUERIES["q228_distinctive_terms"]
+    rows = fn(spark, sf_dir).collect()
+    langs = {r["lang"] for r in rows}
+    for lang in langs:
+        sub = [r for r in rows if r["lang"] == lang]
+        assert len(sub) == _Q228_TOP_K
+        assert sub[0]["score"] >= sub[-1]["score"]
+        assert sub[0]["score"] > 1.0
+
+
+def test_calibration_buckets_partition_corpus(spark, sf_dir):
+    """Quintiles partition the corpus (sizes within 1 of n/5 each), and
+    dup counts never exceed bucket sizes."""
+    from hadoop_jobanalyzer_spark.plans.planner_queries import _Q229_BUCKETS
+
+    fn, _ = PLANNER_QUERIES["q229_quality_dup_calibration"]
+    rows = fn(spark, sf_dir).collect()
+    n = sum(r["n_docs"] for r in rows)
+    assert n == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == _Q229_BUCKETS
+    for r in rows:
+        assert 0 <= r["n_dup"] <= r["n_docs"]
+        assert abs(r["n_docs"] - n / _Q229_BUCKETS) <= 1
+
+
 def test_edge_boilerplate_counts_are_real(spark, sf_dir):
     """Recompute one reported gram's doc count directly."""
     fn, _ = PLANNER_QUERIES["q219_edge_boilerplate"]
