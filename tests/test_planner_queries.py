@@ -241,6 +241,43 @@ def test_hopping_windows_double_count_events(spark, sf_dir):
     assert all(r["window_start_ms"] % _Q227_HOP_MS == 0 for r in rows)
 
 
+def test_hopping_windows_match_sparks_builtin_window(spark, sf_dir):
+    """The portable 2-struct explode reproduces Spark's own
+    F.window(ts, '10 minutes', '5 minutes') sliding-window assignment
+    cell for cell — counts AND window starts."""
+    from hadoop_jobanalyzer_spark.plans.planner_queries import (
+        _Q227_HOP_MS,
+        _Q227_WIN_MS,
+    )
+    from hadoop_jobanalyzer_spark.util import epoch_ms
+
+    fn, _ = PLANNER_QUERIES["q227_hopping_windows"]
+    ours = {
+        (r["window_start_ms"], r["event_type"]): r["n_events"]
+        for r in fn(spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    builtin = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in (
+            events.groupBy(
+                F.window(
+                    F.col("ts").cast("timestamp"),
+                    f"{_Q227_WIN_MS // 1000} seconds",
+                    f"{_Q227_HOP_MS // 1000} seconds",
+                ).alias("win"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                epoch_ms(F.col("win.start")).alias("w"), "event_type", "n"
+            )
+            .collect()
+        )
+    }
+    assert ours == builtin
+
+
 def test_distinctive_terms_shape(spark, sf_dir):
     """k rows per language, scores positive, and the top term's lang
     count is genuinely over-represented (score > 1 means odds above the
