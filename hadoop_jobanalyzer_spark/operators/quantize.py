@@ -28,9 +28,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from hadoop_jobanalyzer_spark.functions.vectors import quantized, to_double
 
-# |err| is floored to integer units of 2^-20 (micro-ish) before any
-# cross-row sum — float accumulation order can then never change a result.
+# Error unit: 1/2^20. ERR_FIXED = Q_GRID * 512, so errors measured on the
+# Q_GRID integer lattice land in 2^-20 units with NO floating-point op ever
+# deciding a value (round-4 fix: a float floor used to pick err_bucket).
 ERR_FIXED = 1 << 20
+# Input grid: xi = round(x * 2048). Multiplying by a power of two is exact
+# in IEEE doubles, so the round (half-away-from-zero in both Spark and
+# DuckDB) is the only lattice snap and is bit-identical across engines.
+Q_GRID = 1 << 11
 
 
 def sq8_error_histogram(
@@ -41,17 +46,26 @@ def sq8_error_histogram(
 ) -> DataFrame:
     """Scalar-quantization (int8) reconstruction-error histogram.
 
-    Each dimension d is affinely mapped to codes 0..255 over the corpus
-    [min_d, max_d] range; dequantization returns the code's bin center.
-    Per vector, the per-element |error| (floored to 1/ERR_FIXED units)
-    is summed as an integer; vectors are histogrammed by
+    Inputs snap once to the Q_GRID lattice (xi = round(x * 2048) — exact
+    product, deterministic round); everything after is integer arithmetic:
+    per-dim mn/mx are integer min/max, ``code = (xi-mn)*256 // scale``
+    (clamped to 255), and the per-element error against the bin center is
+    the exact integer ``|512*(xi-mn) - (2*code+1)*scale|`` in 1/ERR_FIXED
+    units (ERR_FIXED = 512 * Q_GRID = 2^20). Vectors are histogrammed by
     ``total_err // bucket_width``.
+
+    The floor divisions use F.floor(long/long) ↔ DuckDB ``//``: with
+    numerators < 2^52 the double quotient cannot misround across an
+    integer boundary, so both are the exact integer floor.
 
     Output: (err_bucket, n_vecs, sum_err_fixed) — all integers.
     """
-    v = to_double(F.col(vec_col))
-    ex = df.select(F.posexplode(v).alias("dim", "x"))
-    stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    qv = F.transform(
+        to_double(F.col(vec_col)),
+        lambda x: F.round(x * Q_GRID).cast("long"),
+    )
+    ex = df.select(F.posexplode(qv).alias("dim", "xi"))
+    stats = ex.groupBy("dim").agg(F.min("xi").alias("mn"), F.max("xi").alias("mx"))
     srow = stats.agg(
         F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("_s")
     ).select(
@@ -59,25 +73,25 @@ def sq8_error_histogram(
         F.transform("_s", lambda t: t["mx"]).alias("_maxs"),
     )
 
-    def elem_err(x, i):
+    def elem_err(xi, i):
         mn = F.get(F.col("_mins"), i)
         mx = F.get(F.col("_maxs"), i)
         scale = mx - mn
-        code = F.when(
-            scale > 0,
-            F.least(F.lit(255), F.floor((x - mn) / scale * 256)),
-        ).otherwise(F.lit(0)).cast("long")
-        recon = mn + (code.cast("double") + 0.5) * scale / 256
-        return F.floor(F.abs(x - recon) * ERR_FIXED).cast("long")
+        code = F.least(
+            F.lit(255).cast("long"),
+            F.floor(((xi - mn) * 256) / scale).cast("long"),
+        )
+        ierr = F.abs((xi - mn) * 512 - (code * 2 + 1) * scale)
+        return F.when(scale > 0, ierr).otherwise(F.lit(0).cast("long"))
 
     total = F.aggregate(
-        F.transform(v, elem_err),
+        F.transform(qv, elem_err),
         F.lit(0).cast("long"),
         lambda acc, e: acc + e,
     )
     return (
         df.crossJoin(F.broadcast(srow))
-        .select((total / bucket_width).cast("long").alias("err_bucket"), total.alias("_t"))
+        .select(F.floor(total / bucket_width).cast("long").alias("err_bucket"), total.alias("_t"))
         .groupBy("err_bucket")
         .agg(F.count("*").alias("n_vecs"), F.sum("_t").alias("sum_err_fixed"))
         .orderBy("err_bucket")

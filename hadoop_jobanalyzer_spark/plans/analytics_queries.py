@@ -42,15 +42,15 @@ def q90_sq8_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q90_SQL = f"""
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         CAST(UNNEST(embedding) AS DOUBLE) AS x
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 2048) AS BIGINT) AS xi
   FROM embeddings
 ),
-stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+stats AS (SELECT dim, MIN(xi) AS mn, MAX(xi) AS mx FROM ex GROUP BY dim),
 e AS (
   SELECT vec_id,
          CASE WHEN mx > mn THEN
-           CAST(FLOOR(ABS(x - (mn + (CAST(LEAST(255, FLOOR((x - mn) / (mx - mn) * 256)) AS BIGINT)
-                 + 0.5) * (mx - mn) / 256)) * 1048576) AS BIGINT)
+           ABS((xi - mn) * 512
+               - (2 * LEAST(255, ((xi - mn) * 256) // (mx - mn)) + 1) * (mx - mn))
          ELSE 0 END AS ierr
   FROM ex JOIN stats USING (dim)
 ),

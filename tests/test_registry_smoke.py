@@ -36,6 +36,11 @@ def test_registry_orders_unverified_first():
     assert buckets == sorted(buckets), "reds, then never-verified, then greens"
     green_rounds = [greens[n] for n in order if n in greens]
     assert green_rounds == sorted(green_rounds), "greens must be stalest-first"
-    # the known-red fixes of round 2 must sit inside the driver's 50-row cap
-    for fixed in ("q52_event_gap_stats", "q56_token_packing"):
-        assert fixed in order[:50]
+    # whatever the artifacts say needs (re-)verification sits at the front:
+    # every red, then never-verified queries, fill the 50-row driver cap
+    # before any green does (derived from the artifacts, never hardcoded —
+    # a name pinned here would start failing the moment the driver records
+    # it green and rotation correctly moves it back).
+    must_front = [n for n in order if bucket(n) < 2]
+    for name in must_front[:50]:
+        assert name in order[:50], f"{name} (red/never-verified) outside the cap"
