@@ -168,11 +168,17 @@ def q34_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_ctes(threshold: float = 0.2) -> str:
+def near_dup_ctes(threshold: float = 0.2, doc_where: str | None = None) -> str:
     """The WITH-body (CTE chain) computing LSH-verified near-dup pairs —
     shared by the q34 oracle, the q40 clustering oracle (which adds a
     recursive connected-components CTE on top), and the q66 estimator
-    comparison (threshold 0 = keep every candidate)."""
+    comparison (threshold 0 = keep every candidate).
+
+    ``doc_where`` restricts the document population BEFORE shingling, so
+    the max_bucket=1000 band-bucket cap is evaluated on the same corpus
+    the Spark builder hands to near_dup_pairs — a bucket that crosses the
+    cap in the full corpus but not in a gated subset (or vice versa)
+    would otherwise yield different candidate sets (q215 lesson)."""
     from hadoop_jobanalyzer_spark.operators.dedup import MINHASH_P, _minhash_params
 
     mins = ", ".join(
@@ -187,7 +193,13 @@ def near_dup_ctes(threshold: float = 0.2) -> str:
         )
         for b in range(_BANDS)
     )
-    return f"""{_SHINGLES_CTE},
+    gate = f" WHERE {doc_where}" if doc_where else ""
+    shingles = f"""
+words AS (SELECT doc_id, {_WORDS} AS w FROM documents{gate}),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i))
+"""
+    return f"""{shingles},
 hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P} AS h FROM sh),
 m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS ({bands}),
