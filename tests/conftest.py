@@ -40,3 +40,12 @@ def sf_dir():
     if not os.path.isdir(TESTDATA):
         pytest.skip("testdata not available")
     return TESTDATA
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    from tests.oracle_utils import duck_connect
+
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()

@@ -24,16 +24,57 @@ def _normalize(df):
     return df
 
 
+#: DuckDB types that do not round-trip through pandas as int64 — the driver's
+#: representation-sensitive value hash mismatches them against Spark's BIGINT
+#: even when every value is equal (round-4 verdict: 27 reds, 31 latent).
+_BAD_ORACLE_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype class for cross-engine compatibility: the driver hashes
+    by representation, so int-vs-float/object on the same column is a fail
+    even when values compare numerically equal."""
+    k = dtype.kind  # numpy kind: i/u int, f float, b bool, O object, M datetime...
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    return k
+
+
+def oracle_type_problems(con, sql: str) -> list[str]:
+    """Plan-only scan (no execution) for oracle output types the driver's
+    hash cannot canonicalize against Spark."""
+    rel = con.sql(sql)
+    return [
+        f"oracle column {c} has driver-hostile type {t}"
+        for c, t in zip(rel.columns, map(str, rel.types))
+        if str(t) in _BAD_ORACLE_TYPES
+    ]
+
+
 def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
+    problems = oracle_type_problems(con, sql)
+    if problems:
+        return problems
     ours = spark_df.toPandas()
     theirs = con.execute(sql).df()
-    problems: list[str] = []
     if sorted(ours.columns) != sorted(theirs.columns):
         problems.append(f"columns: spark={sorted(ours.columns)} oracle={sorted(theirs.columns)}")
         return problems
     if len(ours) != len(theirs):
         problems.append(f"row count: spark={len(ours)} oracle={len(theirs)}")
+        return problems
+    for col in sorted(ours.columns):
+        ka, kb = _dtype_kind(ours[col].dtype), _dtype_kind(theirs[col].dtype)
+        # object-dtype is how pandas holds strings AND nullable ints — only
+        # flag the unambiguous int-vs-float split the driver's hash punishes.
+        if {ka, kb} == {"int", "float"}:
+            problems.append(
+                f"dtype mismatch on {col}: spark={ours[col].dtype} oracle={theirs[col].dtype}"
+            )
+    if problems:
         return problems
     a, b = _normalize(ours), _normalize(theirs)
     for col in a.columns:

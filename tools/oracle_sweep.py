@@ -25,7 +25,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     prefixes = tuple(sys.argv[2:])
 
-    from hadoop_jobanalyzer_spark.plans.registry import QUERIES
+    from hadoop_jobanalyzer_spark.plans import registry
     from hadoop_jobanalyzer_spark.session import get_spark
     from tests.oracle_utils import compare, duck_connect
 
@@ -33,14 +33,22 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
 
+    # Sweep exactly the driver's surface: oracle_sql() applies the BIGINT
+    # retype wrapper; the raw QUERIES SQL is NOT what the driver runs.
+    oracles = registry.oracle_sql()
     names = [
-        n for n in sorted(QUERIES) if not prefixes or n.startswith(prefixes)
+        n for n in sorted(registry.QUERIES) if not prefixes or n.startswith(prefixes)
     ]
     failed: list[str] = []
     t_all = time.time()
     for name in names:
-        fn, sql = QUERIES[name]
+        fn, _ = registry.QUERIES[name]
+        sql = oracles.get(name)
         t0 = time.time()
+        if sql is None:  # non-SQL-expressible: rows-only check, like the driver
+            df = fn(spark, sf_dir)
+            print(f"{name}: rows-only ({df.count()} rows)", flush=True)
+            continue
         try:
             problems = compare(fn(spark, sf_dir), con, sql)
         except Exception as exc:  # noqa: BLE001 — report and continue
