@@ -972,23 +972,21 @@ def q215_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q215_sql() -> str:
     from hadoop_jobanalyzer_spark.plans.pipeline_queries import near_dup_ctes
 
-    # the shared dedup CTEs operate on the `documents` view; stage the
-    # length gate as a view-shadowing CTE is not possible, so the keeper
-    # logic re-applies the gate around the components
+    # the length gate must apply BEFORE shingling (doc_where), not as a
+    # pair post-filter: the max_bucket=1000 band-bucket cap is evaluated on
+    # the corpus handed to near_dup_pairs, and a bucket that crosses the cap
+    # only in the ungated corpus would yield a different candidate set than
+    # the Spark builder's gated population
     return f"""
-WITH RECURSIVE {near_dup_ctes()},
+WITH RECURSIVE {near_dup_ctes(doc_where=f"n_chars >= {_Q215_MIN_CHARS}")},
 gated AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS toks
   FROM documents WHERE n_chars >= {_Q215_MIN_CHARS}
 ),
-gpairs AS (
-  SELECT id_a, id_b FROM verified
-  WHERE id_a IN (SELECT doc_id FROM gated) AND id_b IN (SELECT doc_id FROM gated)
-),
 edges AS (
-  SELECT id_a AS s, id_b AS d FROM gpairs
+  SELECT id_a AS s, id_b AS d FROM verified
   UNION
-  SELECT id_b AS s, id_a AS d FROM gpairs
+  SELECT id_b AS s, id_a AS d FROM verified
 ),
 reach(n, m) AS (
   SELECT doc_id, doc_id FROM gated

@@ -52,11 +52,22 @@ from hadoop_jobanalyzer_spark.plans.tables import load_tables
 from hadoop_jobanalyzer_spark.util import spread
 
 _WORDS = "string_split(text, ' ')"
-_SHINGLES_CTE = f"""
-words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+
+
+def _shingles_cte(doc_where: str | None = None) -> str:
+    """words/sh CTE pair: 3-gram word shingles per document.  ``doc_where``
+    restricts the document population BEFORE shingling so downstream
+    frequency-sensitive stages (the max_bucket=1000 band-bucket cap) see
+    the same corpus the Spark operator was handed (q215 lesson)."""
+    gate = f" WHERE {doc_where}" if doc_where else ""
+    return f"""
+words AS (SELECT doc_id, {_WORDS} AS w FROM documents{gate}),
 sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i))
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 
 # --- dedup -------------------------------------------------------------------
@@ -168,7 +179,9 @@ def q34_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_ctes(threshold: float = 0.2, doc_where: str | None = None) -> str:
+def near_dup_ctes(
+    threshold: float = 0.2, doc_where: str | None = None, max_bucket: int = 1000
+) -> str:
     """The WITH-body (CTE chain) computing LSH-verified near-dup pairs —
     shared by the q34 oracle, the q40 clustering oracle (which adds a
     recursive connected-components CTE on top), and the q66 estimator
@@ -193,18 +206,12 @@ def near_dup_ctes(threshold: float = 0.2, doc_where: str | None = None) -> str:
         )
         for b in range(_BANDS)
     )
-    gate = f" WHERE {doc_where}" if doc_where else ""
-    shingles = f"""
-words AS (SELECT doc_id, {_WORDS} AS w FROM documents{gate}),
-sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-       FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i))
-"""
-    return f"""{shingles},
+    return f"""{_shingles_cte(doc_where)},
 hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P} AS h FROM sh),
 m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS ({bands}),
--- mirror the operator's default max_bucket=1000 giant-bucket guard
-bkeep AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING COUNT(*) <= 1000),
+-- mirror the operator's max_bucket giant-bucket guard
+bkeep AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING COUNT(*) <= {max_bucket}),
 cands AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
   FROM banded a

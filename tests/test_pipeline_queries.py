@@ -307,3 +307,36 @@ def test_incremental_lsh_matches_full_batch(spark, sf_dir):
     assert got == want and len(got) > 0
     # the returned signatures extend the store for the next batch
     assert new_sigs.count() == new.count()
+
+
+def test_near_dup_gate_applies_before_bucket_cap(spark):
+    """q215 lesson: near_dup_ctes(doc_where=...) must restrict the corpus
+    BEFORE shingling so the max_bucket band-bucket cap sees the same
+    population the Spark builder hands to near_dup_pairs.  Construct a
+    bucket that crosses the cap only in the ungated corpus: 4 identical
+    docs (one shared band bucket of size 4), gate keeps 2, cap is 3."""
+    import duckdb
+    import pandas as pd
+
+    from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import near_dup_ctes
+
+    pdf = pd.DataFrame(
+        [(i, "alpha beta gamma delta epsilon", 300 if i < 2 else 10) for i in range(4)],
+        columns=["doc_id", "text", "n_chars"],
+    )
+    gated = spark.createDataFrame(pdf).filter("n_chars >= 200")
+    pairs = near_dup_pairs(gated, "doc_id", "text", max_bucket=3)
+    assert [(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()] == [(0, 1)]
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    gated_sql = (
+        f"WITH {near_dup_ctes(doc_where='n_chars >= 200', max_bucket=3)} "
+        "SELECT id_a, id_b FROM verified ORDER BY 1, 2"
+    )
+    assert con.execute(gated_sql).fetchall() == [(0, 1)]
+    # without the gate, the 4-doc bucket crosses the cap and every pair drops —
+    # the divergence the doc_where parameter exists to prevent
+    ungated_sql = f"WITH {near_dup_ctes(max_bucket=3)} SELECT id_a, id_b FROM verified"
+    assert con.execute(ungated_sql).fetchall() == []
