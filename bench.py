@@ -22,8 +22,11 @@ from hadoop_jobanalyzer_spark.plans import registry
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# min-of-N per query: JVM JIT + GC make single runs noisy by ~30%
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# median-of-N per query: JVM JIT + GC make single runs noisy by ~30%, and a
+# min hides sustained ambient load while a single run amplifies it — the
+# median is what stabilizes round-over-round reads (round-4 lesson: a 1.22x
+# apparent "slowdown" with zero plan changes).
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def sf_from_dir(path: str) -> float:
@@ -73,24 +76,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        best = None
+        runs: list[float] = []
         for _ in range(max(RUNS, 1)):
             t0 = time.perf_counter()
             try:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # a failing query must not sink the bench
-                best = -1.0
+                runs = [-1.0]
                 print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
                 break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)  # median
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     payload = {
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
+        "runs": RUNS,
+        "agg": "median",
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
     }

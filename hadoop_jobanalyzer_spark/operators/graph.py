@@ -235,9 +235,17 @@ def pagerank_fixed(
         sym = sym.filter(F.col("_a") != F.col("_b")).distinct()
     # partition by the contribution key once: every iteration's
     # edge x contrib join reuses this layout instead of re-shuffling the
-    # (large) edge list per round
-    sym = sym.repartition("_a").persist()
-    deg = sym.groupBy(F.col("_a").alias("v")).agg(F.count("*").alias("d")).persist()
+    # (large) edge list per round. Lazy localCheckpoint, not persist():
+    # it materializes on first action, every unrolled round reuses the
+    # blocks, AND the blocks are released by the ContextCleaner when the
+    # frame is dropped — a CacheManager .persist() here leaks one edge +
+    # one degree cache per CALL with no owner to unpersist them.
+    sym = sym.repartition("_a").localCheckpoint(eager=False)
+    deg = (
+        sym.groupBy(F.col("_a").alias("v"))
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
     base = int(0.15 * scale)  # floor(0.15 * 2^20) = 157286
 
     ranks = deg.select("v", F.lit(scale).cast("long").alias("r"))
@@ -280,7 +288,8 @@ def label_propagation(
     shuffle to count (neighbour, label) votes and one ``min_by`` argmax
     reusing that grouping's partitioning — the Pregel per-superstep cost.
     The symmetrized edge list is partitioned by the vote-source key once
-    and persisted, so every round's join reuses the layout.
+    and locally checkpointed, so every round's join reuses the layout and
+    the blocks are released when the result frame is dropped.
 
     Pass ``canonical=True`` for a distinct a<b pair list (skips the
     symmetrize-side dedup shuffle).  Returns (v, label) for every node
@@ -291,7 +300,9 @@ def label_propagation(
     sym = edges.select(a, b).union(edges.select(b.alias("_a"), a.alias("_b")))
     if not canonical:
         sym = sym.filter(F.col("_a") != F.col("_b")).distinct()
-    sym = sym.repartition("_a").persist()
+    # lazy localCheckpoint, not persist(): same reuse across the unrolled
+    # rounds, but released on GC instead of leaking one cache per call
+    sym = sym.repartition("_a").localCheckpoint(eager=False)
 
     labels = sym.select(F.col("_a").alias("v")).distinct().select(
         "v", F.col("v").alias("label")

@@ -242,24 +242,34 @@ def read_pruned(
 
     Returns (DataFrame, n_files_selected, n_files_total).
     """
-    import os
-
     from pyspark.sql import functions as F
 
     mdir = manifest_dir or path.rstrip("/") + "_manifest"
     predicate = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-    if not os.path.isdir(mdir):
+    # Resolve the manifest through the Hadoop FileSystem API, not
+    # os.path.isdir: on the deployment target the warehouse lives on
+    # hdfs:///s3a:// (or local paths spelled file:), where a driver-local
+    # stat would miss it and silently disable data skipping.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(mdir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         df = spark.read.parquet(path).filter(predicate)
         return df, -1, -1
     manifest = spark.read.parquet(mdir).select(
         "file", f"min_{col}", f"max_{col}"
     )
     rows = manifest.collect()  # one row per data file — bounded, tiny
-    keep = [
-        r["file"]
-        for r in rows
-        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
-    ]
+
+    def overlaps(r) -> bool:
+        mn, mx = r[f"min_{col}"], r[f"max_{col}"]
+        if mn is None or mx is None:
+            # all-NULL stats carry no range information — must keep the
+            # file and let the residual filter decide row by row
+            return True
+        return not (mx < lo or mn > hi)
+
+    keep = [r["file"] for r in rows if overlaps(r)]
     if not keep:
         df = spark.read.parquet(path).filter(predicate).limit(0)
         return df, 0, len(rows)

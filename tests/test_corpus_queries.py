@@ -277,3 +277,49 @@ def test_training_mix_selected_within_alloc(spark, sf_dir):
     for r in rows:
         assert r["n_selected"] <= r["alloc"]
         assert r["tokens_selected"] > 0
+
+
+def test_graph_operators_release_caches(spark):
+    """pagerank_fixed / label_propagation must not leak a CacheManager
+    entry per call: their intra-plan reuse is a lazy localCheckpoint
+    (RDD blocks, ContextCleaner-owned), so repeated invocations leave no
+    .persist() residue that only an explicit unpersist could release."""
+    import gc
+
+    from hadoop_jobanalyzer_spark.operators.graph import (
+        label_propagation,
+        pagerank_fixed,
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (5, 6)], ["src", "dst"]
+    )
+    # warm once so lazily-initialized session state doesn't count as growth
+    label_propagation(edges, rounds=2, canonical=True).collect()
+    pagerank_fixed(edges, iters=2, canonical=True).collect()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    base = n_persistent()
+
+    for _ in range(3):
+        label_propagation(edges, rounds=2, canonical=True).collect()
+        pagerank_fixed(edges, iters=2, canonical=True).collect()
+
+    # drop every reference, then let the ContextCleaner drain: block
+    # registrations must return to (at most) the baseline
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    import time
+
+    for _ in range(40):
+        if n_persistent() <= base:
+            break
+        time.sleep(0.5)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    assert n_persistent() <= base, (
+        f"leaked caches: {n_persistent()} persistent RDDs vs baseline {base}"
+    )

@@ -324,3 +324,52 @@ def test_stats_manifest_prunes_files(spark, tmp_path):
     # no manifest -> plain filtered read fallback
     got2, n2, t2 = read_pruned(spark, path, "id", 0, 10, manifest_dir=str(tmp_path / "nope"))
     assert (n2, t2) == (-1, -1) and got2.count() == 11
+
+
+def test_read_pruned_keeps_null_stats_files(spark, tmp_path):
+    """A file whose stat column is all-NULL has NULL min/max in the
+    manifest — it carries no range information, so pruning must KEEP it
+    (the residual filter decides row by row), never drop it or crash on
+    a None comparison."""
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.sinks import read_pruned, write_stats_manifest
+
+    path = str(tmp_path / "facts")
+    spark.range(100).withColumn("v", F.col("id").cast("long")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    # second file: v entirely NULL -> manifest min_v/max_v are NULL
+    spark.range(100, 200).withColumn(
+        "v", F.lit(None).cast("long")
+    ).coalesce(1).write.mode("append").parquet(path)
+    write_stats_manifest(spark, path, ["v"])
+
+    got, n_sel, n_tot = read_pruned(spark, path, "v", 0, 1_000)
+    assert n_tot == 2
+    assert n_sel == 2  # the NULL-stats file must survive pruning
+    assert got.count() == 100  # residual filter still drops the NULL rows
+
+
+def test_read_pruned_resolves_manifest_via_hadoop_fs(spark, tmp_path):
+    """The manifest must be found through the Hadoop FileSystem API: a
+    `file:` URI is not an os.path directory, but it IS the form paths take
+    on the deployment target (hdfs://, s3a://) — a driver-local stat would
+    silently disable data skipping there."""
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.sinks import read_pruned, write_stats_manifest
+
+    path = str(tmp_path / "facts")
+    df = spark.range(2_000).withColumn("v", F.col("id") % 7)
+    for k in range(2):
+        df.filter(
+            (F.col("id") >= k * 1_000) & (F.col("id") < (k + 1) * 1_000)
+        ).coalesce(1).write.mode("append").parquet(path)
+    mdir = write_stats_manifest(spark, path, ["id"])
+
+    got, n_sel, n_tot = read_pruned(
+        spark, path, "id", 0, 999, manifest_dir="file:" + mdir
+    )
+    assert (n_sel, n_tot) == (1, 2)  # skipping ACTIVE through the file: URI
+    assert got.count() == 1_000
