@@ -54,9 +54,11 @@ def sq8_error_histogram(
     units (ERR_FIXED = 512 * Q_GRID = 2^20). Vectors are histogrammed by
     ``total_err // bucket_width``.
 
-    The floor divisions use F.floor(long/long) ↔ DuckDB ``//``: with
-    numerators < 2^52 the double quotient cannot misround across an
-    integer boundary, so both are the exact integer floor.
+    The floor divisions are Spark's integral ``div`` ↔ DuckDB ``//``:
+    both numerators are non-negative, so truncating and floor division
+    coincide and the arithmetic never leaves 64-bit integer space — no
+    double quotient, no |x| bound to enforce (a float floor here would
+    silently misround once ``(xi-mn)*256`` crossed ~2^52).
 
     Output: (err_bucket, n_vecs, sum_err_fixed) — all integers.
     """
@@ -79,7 +81,7 @@ def sq8_error_histogram(
         scale = mx - mn
         code = F.least(
             F.lit(255).cast("long"),
-            F.floor(((xi - mn) * 256) / scale).cast("long"),
+            F.call_function("div", (xi - mn) * 256, scale),
         )
         ierr = F.abs((xi - mn) * 512 - (code * 2 + 1) * scale)
         return F.when(scale > 0, ierr).otherwise(F.lit(0).cast("long"))
@@ -91,7 +93,12 @@ def sq8_error_histogram(
     )
     return (
         df.crossJoin(F.broadcast(srow))
-        .select(F.floor(total / bucket_width).cast("long").alias("err_bucket"), total.alias("_t"))
+        .select(
+            F.call_function("div", total, F.lit(bucket_width).cast("long")).alias(
+                "err_bucket"
+            ),
+            total.alias("_t"),
+        )
         .groupBy("err_bucket")
         .agg(F.count("*").alias("n_vecs"), F.sum("_t").alias("sum_err_fixed"))
         .orderBy("err_bucket")

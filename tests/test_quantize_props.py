@@ -127,3 +127,39 @@ def test_duplicated_spans_full_copy_is_fully_duplicated(spark):
             duplicated_span_fraction(df, "doc_id", "text", span=4).collect()}
     assert rows[1]["dup_frac"] == 1.0 and rows[2]["dup_frac"] == 1.0
     assert rows[3]["dup_frac"] == 0.0
+
+
+def test_sq8_exact_for_extreme_magnitudes(spark):
+    """The histogram arithmetic never leaves 64-bit integer space (integral
+    div, not a float floor), so inputs with |x| far beyond 2^34 — where a
+    double quotient of (xi-mn)*256/scale would silently misround — still
+    bucket exactly.  Oracle: the same integer pipeline in pure Python."""
+    from hadoop_jobanalyzer_spark.operators.quantize import Q_GRID
+
+    w = 8192
+    vals = [0.0, 2.0**35, 2.0**35 + 1000.0, 2.0**40]
+    vecs = [[v] for v in vals]
+    got = {
+        r["err_bucket"]: (r["n_vecs"], r["sum_err_fixed"])
+        for r in sq8_error_histogram(
+            spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vecs)], ["doc_id", "emb"]
+            ),
+            "doc_id",
+            "emb",
+            bucket_width=w,
+        ).collect()
+    }
+
+    xis = [round(v * Q_GRID) for v in vals]
+    mn, mx = min(xis), max(xis)
+    scale = mx - mn
+    want: dict[int, list[int]] = {}
+    for xi in xis:
+        code = min(255, ((xi - mn) * 256) // scale)
+        err = abs((xi - mn) * 512 - (code * 2 + 1) * scale)
+        b = err // w
+        want.setdefault(b, [0, 0])
+        want[b][0] += 1
+        want[b][1] += err
+    assert got == {b: tuple(v) for b, v in want.items()}
