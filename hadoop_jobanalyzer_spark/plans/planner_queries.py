@@ -116,11 +116,14 @@ m AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS ({banded}),
 b AS (SELECT n_bands, band, bh, COUNT(*) AS sz FROM banded GROUP BY 1, 2, 3)
 SELECT n_bands,
-       CAST({_Q216_N_HASHES} / n_bands AS BIGINT) AS n_rows,
+       {_Q216_N_HASHES} // n_bands AS n_rows,
        COUNT(*) AS n_buckets,
        SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS n_buckets_multi,
        MAX(sz) AS max_bucket,
-       CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS pair_slots
+       -- integer // throughout: CAST(double AS BIGINT) ROUNDS in DuckDB but
+       -- TRUNCATES in Spark, and a float SUM misrounds for huge buckets;
+       -- the outer CAST only narrows the SUM-widened HUGEINT
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pair_slots
 FROM b
 GROUP BY n_bands
 ORDER BY n_bands
