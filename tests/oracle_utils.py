@@ -93,3 +93,14 @@ def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> list[str]:
             if len(problems) >= 5:
                 return problems
     return problems
+
+
+def driver_sql(name: str) -> str | None:
+    """The oracle SQL the DRIVER actually runs for ``name``:
+    ``registry.oracle_sql()`` applies the BIGINT retype wrapper
+    (``_BIGINT_CASTS``), so differential tests must resolve through it —
+    a raw module ``Q*_SQL`` constant can carry a HUGEINT output column
+    that the wrapper fixes."""
+    from hadoop_jobanalyzer_spark.plans import registry
+
+    return registry.oracle_sql().get(name)

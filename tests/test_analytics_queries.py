@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from hadoop_jobanalyzer_spark.plans.analytics_queries import ANALYTICS_QUERIES
 
-from tests.oracle_utils import compare, duck_connect
+from tests.oracle_utils import compare, driver_sql, duck_connect
 
 
 @pytest.fixture(scope="module")
@@ -18,7 +18,8 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(ANALYTICS_QUERIES))
 def test_analytics_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = ANALYTICS_QUERIES[name]
+    fn, _ = ANALYTICS_QUERIES[name]
+    sql = driver_sql(name)
     problems = compare(fn(spark, sf_dir), duck, sql)
     assert not problems, f"{name}: {problems}"
 

@@ -8,7 +8,7 @@ from pyspark.sql import Row, functions as F
 
 from hadoop_jobanalyzer_spark.plans.behavior_queries import BEHAVIOR_QUERIES
 
-from tests.oracle_utils import compare, duck_connect
+from tests.oracle_utils import compare, driver_sql, duck_connect
 
 
 @pytest.fixture(scope="module")
@@ -20,7 +20,8 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(BEHAVIOR_QUERIES))
 def test_behavior_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = BEHAVIOR_QUERIES[name]
+    fn, _ = BEHAVIOR_QUERIES[name]
+    sql = driver_sql(name)
     problems = compare(fn(spark, sf_dir), duck, sql)
     assert not problems, f"{name}: {problems}"
 

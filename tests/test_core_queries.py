@@ -5,7 +5,7 @@ import pytest
 
 from hadoop_jobanalyzer_spark.plans.core_queries import CORE_QUERIES
 
-from tests.oracle_utils import compare, duck_connect
+from tests.oracle_utils import compare, driver_sql, duck_connect
 
 
 @pytest.fixture(scope="module")
@@ -17,7 +17,8 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(CORE_QUERIES))
 def test_core_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = CORE_QUERIES[name]
+    fn, _ = CORE_QUERIES[name]
+    sql = driver_sql(name)
     problems = compare(fn(spark, sf_dir), duck, sql)
     assert not problems, f"{name}: {problems}"
 

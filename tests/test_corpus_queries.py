@@ -9,7 +9,7 @@ from hadoop_jobanalyzer_spark.plans.corpus_queries import (
     _Q198_TOP_TOKENS,
 )
 
-from tests.oracle_utils import compare, duck_connect
+from tests.oracle_utils import compare, driver_sql, duck_connect
 
 
 @pytest.fixture(scope="module")
@@ -21,7 +21,8 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(CORPUS_QUERIES))
 def test_corpus_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = CORPUS_QUERIES[name]
+    fn, _ = CORPUS_QUERIES[name]
+    sql = driver_sql(name)
     problems = compare(fn(spark, sf_dir), duck, sql)
     assert not problems, f"{name}: {problems}"
 

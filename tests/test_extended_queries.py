@@ -8,7 +8,7 @@ from hadoop_jobanalyzer_spark.operators.graph import component_sizes, connected_
 from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket, hash_sample
 from hadoop_jobanalyzer_spark.plans.extended_queries import EXTENDED_QUERIES
 
-from tests.oracle_utils import compare, duck_connect
+from tests.oracle_utils import compare, driver_sql, duck_connect
 
 
 @pytest.fixture(scope="module")
@@ -20,7 +20,8 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(EXTENDED_QUERIES))
 def test_extended_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = EXTENDED_QUERIES[name]
+    fn, _ = EXTENDED_QUERIES[name]
+    sql = driver_sql(name)
     if sql is None:
         pytest.skip("rows-only entry (non-SQL-expressible; own differential)")
     problems = compare(fn(spark, sf_dir), duck, sql)

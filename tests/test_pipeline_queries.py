@@ -11,7 +11,7 @@ from hadoop_jobanalyzer_spark.operators.similarity import knn_brute_force, knn_l
 from hadoop_jobanalyzer_spark.plans.pipeline_queries import PIPELINE_QUERIES
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
 
-from tests.oracle_utils import compare, duck_connect
+from tests.oracle_utils import compare, driver_sql, duck_connect
 
 
 @pytest.fixture(scope="module")
@@ -23,7 +23,8 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))
 def test_pipeline_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = PIPELINE_QUERIES[name]
+    fn, _ = PIPELINE_QUERIES[name]
+    sql = driver_sql(name)
     problems = compare(fn(spark, sf_dir), duck, sql)
     assert not problems, f"{name}: {problems}"
 

@@ -8,7 +8,7 @@ from hadoop_jobanalyzer_spark.plans.planner_queries import (
     _Q216_N_HASHES,
 )
 
-from tests.oracle_utils import compare, duck_connect
+from tests.oracle_utils import compare, driver_sql, duck_connect
 
 
 @pytest.fixture(scope="module")
@@ -20,7 +20,8 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(PLANNER_QUERIES))
 def test_planner_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = PLANNER_QUERIES[name]
+    fn, _ = PLANNER_QUERIES[name]
+    sql = driver_sql(name)
     problems = compare(fn(spark, sf_dir), duck, sql)
     assert not problems, f"{name}: {problems}"
 

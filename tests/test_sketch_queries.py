@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from hadoop_jobanalyzer_spark.plans.sketch_queries import SKETCH_QUERIES
 
-from tests.oracle_utils import compare, duck_connect
+from tests.oracle_utils import compare, driver_sql, duck_connect
 
 
 @pytest.fixture(scope="module")
@@ -18,7 +18,8 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(SKETCH_QUERIES))
 def test_sketch_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = SKETCH_QUERIES[name]
+    fn, _ = SKETCH_QUERIES[name]
+    sql = driver_sql(name)
     problems = compare(fn(spark, sf_dir), duck, sql)
     assert not problems, f"{name}: {problems}"
 

@@ -11,7 +11,7 @@ from hadoop_jobanalyzer_spark.plans.warehouse_queries import (
     _Q192_TOKEN,
 )
 
-from tests.oracle_utils import compare, duck_connect
+from tests.oracle_utils import compare, driver_sql, duck_connect
 
 
 @pytest.fixture(scope="module")
@@ -23,7 +23,8 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(WAREHOUSE_QUERIES))
 def test_warehouse_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = WAREHOUSE_QUERIES[name]
+    fn, _ = WAREHOUSE_QUERIES[name]
+    sql = driver_sql(name)
     problems = compare(fn(spark, sf_dir), duck, sql)
     assert not problems, f"{name}: {problems}"
 
