@@ -1213,11 +1213,20 @@ def q79_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs by support, with lift. The self-join is keyed on l_orderkey, so
     fan-out is bounded by order size (C(lines,2) per order — never a
     part x part product); per-part counts and the order total are partial
-    aggregations, the total a 1-row broadcast."""
+    aggregations, the total a 1-row broadcast.
+
+    The distinct basket table feeds FOUR consumers (both self-join sides,
+    per-part counts, the order total), so it is computed once: repartition
+    by the join key first — HashPartitioning(l_orderkey) satisfies the
+    dedup's (l_orderkey, l_partkey) clustering, so the distinct costs ONE
+    shuffle — then a lazy localCheckpoint pins that layout, making the
+    self-join exchange-free and the countDistinct(orderkey) map-side."""
     li = (
         load_tables(spark, sf_dir)["lineitem"]
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+        .localCheckpoint(eager=False)
     )
     pairs = (
         li.alias("a")

@@ -1260,11 +1260,18 @@ def q169_dedup_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
-    truth = ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2).select(
-        "id_a", "id_b"
+    # each pair set feeds two consumers (its own count + the hit join) —
+    # lazy localCheckpoint computes each once; ContextCleanup releases the
+    # blocks when the result frame is dropped
+    truth = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
-    cand = lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=8, bands=4, ngram=3).select(
-        "id_a", "id_b"
+    cand = (
+        lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=8, bands=4, ngram=3)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").alias("n_truth"))

@@ -75,13 +75,17 @@ def q216_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_buckets"),
             F.sum((F.col("sz") > 1).cast("long")).alias("n_buckets_multi"),
             F.max("sz").alias("max_bucket"),
+            # integral div end-to-end (mirrors the oracle's //): a float
+            # /2 then cast would misround for giant buckets
             F.sum(
-                (F.col("sz") * (F.col("sz") - 1) / F.lit(2)).cast("long")
+                F.call_function("div", F.col("sz") * (F.col("sz") - 1), F.lit(2).cast("long"))
             ).alias("pair_slots"),
         )
         .select(
             "n_bands",
-            (F.lit(_Q216_N_HASHES) / F.col("n_bands")).cast("long").alias("n_rows"),
+            F.call_function(
+                "div", F.lit(_Q216_N_HASHES).cast("long"), F.col("n_bands").cast("long")
+            ).alias("n_rows"),
             "n_buckets",
             "n_buckets_multi",
             "max_bucket",
