@@ -153,23 +153,31 @@ def cms_table(
     EXACT count of keys hashing into it (Cormode & Muthukrishnan 2005).
     Output: (row, bucket, cnt).
 
-    The counter table is a partial-aggregated count — every input
-    partition collapses to at most depth*width rows before the single
-    exchange, and two sketches merge by summing counters (the same
-    re-aggregation contract as the HLL register table). Point estimates
-    (``cms_estimate``) take the min across rows and can only
-    OVER-estimate — the one-sided error that makes CMS safe for
-    heavy-hitter screening at stream scale.
+    Hashing runs over the DISTINCT-key count table, not the raw rows: the
+    per-key count is a partial-aggregated groupBy (map-side collapse), so
+    the depth salted md5s are paid |keys| times instead of |rows| times —
+    at corpus scale keys ≪ rows and the hash stage shrinks by the key
+    multiplicity. Counters then re-aggregate by summing the key weights
+    (at most depth*width rows into the final exchange), and two sketches
+    merge by summing counters (the same re-aggregation contract as the
+    HLL register table). Point estimates (``cms_estimate``) take the min
+    across rows and can only OVER-estimate — the one-sided error that
+    makes CMS safe for heavy-hitter screening at stream scale.
     """
+    per_key = (
+        df.select(F.col(key_col).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count("*").alias("_n"))
+    )
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
-    keyed = df.select(F.col(key_col).alias("_k")).select("_k", rows)
+    keyed = per_key.select("_k", "_n", rows)
     bucket = F.when(F.col("row") == 0, _hash_mod(F.col("_k"), 0, width))
     for r in range(1, depth):
         bucket = bucket.when(F.col("row") == r, _hash_mod(F.col("_k"), r, width))
     return (
-        keyed.select("row", bucket.alias("bucket"))
+        keyed.select("row", bucket.alias("bucket"), "_n")
         .groupBy("row", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("_n").alias("cnt"))
     )
 
 

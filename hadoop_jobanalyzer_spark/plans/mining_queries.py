@@ -329,15 +329,21 @@ def q157_next_word_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (word, total, n_continuations, top_next, top_share),
     total desc / word asc, limit 20."""
     docs = load_tables(spark, sf_dir)["documents"]
-    bigrams = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(split(text, ' ')[i - 1] AS l,"
-                "             split(text, ' ')[i] AS r))"
-            )
-        ).alias("bg")
-    ).select("bg.l", "bg.r")
+    # split once in a codegen projection; the (interpreted) transform
+    # lambda then only indexes the array instead of re-splitting the text
+    # per element
+    bigrams = (
+        docs.select(F.split("text", " ").alias("_w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1),"
+                    " i -> struct(_w[i - 1] AS l, _w[i] AS r))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.l", "bg.r")
+    )
     pair_counts = bigrams.groupBy("l", "r").agg(F.count("*").alias("c"))
     rank = Window.partitionBy("l").orderBy(F.desc("c"), F.asc("r"))
     per_left = (
