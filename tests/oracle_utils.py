@@ -68,9 +68,13 @@ def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> list[str]:
         return problems
     for col in sorted(ours.columns):
         ka, kb = _dtype_kind(ours[col].dtype), _dtype_kind(theirs[col].dtype)
-        # object-dtype is how pandas holds strings AND nullable ints — only
-        # flag the unambiguous int-vs-float split the driver's hash punishes.
-        if {ka, kb} == {"int", "float"}:
+        # any cross-engine dtype-kind split risks the driver's
+        # representation-sensitive hash (int-vs-float is the proven killer;
+        # bool-vs-int and object-vs-numeric would fail the same way). The
+        # full registry measures ZERO kind splits at sf0.01, so this is a
+        # pure guard against future drift. Datetime unit differences
+        # (ns vs us) share kind 'M' and are driver-green (q132/q138).
+        if ka != kb:
             problems.append(
                 f"dtype mismatch on {col}: spark={ours[col].dtype} oracle={theirs[col].dtype}"
             )
