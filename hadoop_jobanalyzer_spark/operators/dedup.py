@@ -287,7 +287,9 @@ def minhash_est_vs_exact(
     consumer, which at 100 TB is two extra full corpus passes.
     Output: id_a < id_b, est_jaccard, jaccard, abs_err.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram).persist()
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram).localCheckpoint(
+        eager=False
+    )
     pairs = near_dup_pairs(
         df, id_col, text_col, n_hashes, bands, ngram,
         threshold=0.0, max_bucket=max_bucket, sigs=sigs,
@@ -446,8 +448,12 @@ def lsh_candidate_pairs_incremental(
     # new_bands again) — persist the narrow (id, band, bh) rows so the
     # signature explode/md5/min-agg subtree runs ONCE per side, not once
     # per branch (the q66-class recompute fix)
-    new_bands = banded(new_sigs, "new").persist()
-    all_bands = banded(stored_sigs.na.drop(), "old").unionByName(new_bands).persist()
+    new_bands = banded(new_sigs, "new").localCheckpoint(eager=False)
+    all_bands = (
+        banded(stored_sigs.na.drop(), "old")
+        .unionByName(new_bands)
+        .localCheckpoint(eager=False)
+    )
     if max_bucket is not None:
         sized = all_bands.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
         all_bands = all_bands.join(

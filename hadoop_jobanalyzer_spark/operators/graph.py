@@ -133,8 +133,9 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     agg, two adjacency joins. All equi-joins, deliberately unhinted: AQE
     broadcasts the degree/adjacency sides while they fit and degrades to
     shuffle joins at cluster scale — never a cartesian. The edge list,
-    degree table, and oriented list each feed 2+ branches, so they are
-    persisted for the operator's scope. The three scalars are 1-row
+    degree table, and oriented list each feed 2+ branches, so each is
+    lazily localCheckpoint-ed for the operator's scope (ContextCleaner
+    releases the blocks when the result frame is dropped). The three scalars are 1-row
     aggregates combined by broadcast join — no driver-side action.
     """
     e = (
@@ -144,14 +145,14 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # sum(d) = 2|E|; d*(d-1) is even — both /2 divisions exact below 2^53
     scalars = deg.agg(
@@ -177,7 +178,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("e")
         )
         .select("e.s", "e.t")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     adj = oriented.groupBy("s").agg(F.array_sort(F.collect_list("t")).alias("nb"))
     tri_row = (

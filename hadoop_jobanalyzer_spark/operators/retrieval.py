@@ -141,7 +141,7 @@ def tfidf_cosine_pairs(
             "w",
             F.least(F.floor(F.col("_n") / F.col("df")).cast("long"), F.lit(w_cap)),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     posted = term.select("w", F.explode("_post").alias("p"))
     norms = posted.groupBy(F.col("p.id").alias("_id")).agg(

@@ -47,7 +47,7 @@ def prefix_filter_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(F.col(text_col)), ngram)).alias("s"),
-    ).persist()  # shingles() is already distinct per doc
+    ).localCheckpoint(eager=False)  # shingles() is already distinct per doc
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
 

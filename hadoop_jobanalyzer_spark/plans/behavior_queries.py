@@ -412,7 +412,7 @@ def q147_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE and persisted — the pair join and both size lookups read the
     cached types-x-words rows instead of re-scanning events."""
     ev = load_tables(spark, sf_dir)["events"]
-    bm = _bitmap_relation(ev).persist()
+    bm = _bitmap_relation(ev).localCheckpoint(eager=False)
     a = bm.select(
         F.col("event_type").alias("type_a"), "word", F.col("bits").alias("ba")
     )

@@ -918,7 +918,7 @@ def q228_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", F.explode(tokens("text")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count("*").alias("c"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     tok_tot = cnt.groupBy("token").agg(F.sum("c").alias("ct"))
     lang_tot = cnt.groupBy("lang").agg(F.sum("c").alias("nl"))
@@ -1037,7 +1037,7 @@ def q229_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "div_ppm", (F.col("gsz") > 1).cast("long").alias("is_dup")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     ranked = bucketed_global_rank(
         flagged,

@@ -349,7 +349,7 @@ def q124_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "source", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     counts = chunks.groupBy("h").agg(F.count("*").alias("n_h"))
     dup = F.col("n_h") > 1
@@ -947,7 +947,9 @@ def q135_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     fps = winnow_fingerprints(docs, "doc_id", "text", ngram=3, window=4)
-    fpx = fps.withColumn("split", train_val_test(F.col("doc_id"))).persist()
+    fpx = fps.withColumn("split", train_val_test(F.col("doc_id"))).localCheckpoint(
+        eager=False
+    )
     keep = fpx.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("_df")
     ).filter(F.col("_df") <= _LEAK_MAX_DF)
