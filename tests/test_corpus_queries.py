@@ -324,3 +324,26 @@ def test_graph_operators_release_caches(spark):
     assert n_persistent() <= base, (
         f"leaked caches: {n_persistent()} persistent RDDs vs baseline {base}"
     )
+
+
+def test_per_call_operators_leave_cache_manager_empty(spark):
+    """The per-call multi-consumer operators reuse via lazy localCheckpoint
+    (RDD blocks, ContextCleaner-owned) — none may register a CacheManager
+    entry, because nothing ever unpersists those (r4 verdict class).
+    CacheManager registration is synchronous, so this check is exact."""
+    from hadoop_jobanalyzer_spark.operators.dedup import minhash_est_vs_exact
+    from hadoop_jobanalyzer_spark.operators.graph import triangle_stats
+    from hadoop_jobanalyzer_spark.operators.setsim import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"])
+    triangle_stats(edges).collect()
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    prefix_filter_jaccard_pairs(docs, "doc_id", "text", ngram=3).collect()
+    minhash_est_vs_exact(docs, "doc_id", "text").collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
