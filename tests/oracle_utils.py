@@ -5,6 +5,7 @@ names, and (column-name-sorted, row-sorted) values."""
 from __future__ import annotations
 
 import math
+import struct
 
 import duckdb
 
@@ -89,7 +90,14 @@ def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> list[str]:
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue
-                if x == y or (float_tol and abs(x - y) <= float_tol):
+                if float_tol:
+                    if x == y or abs(x - y) <= float_tol:
+                        continue
+                # default: BIT-exact doubles — `==` would accept -0.0 vs 0.0,
+                # which a representation-sensitive hash does not (the full
+                # registry measures bit-identical at sf0.01, so this costs
+                # nothing and pins the sign-of-zero class)
+                elif struct.pack("<d", x) == struct.pack("<d", y):
                     continue
                 problems.append(f"{col}[{i}]: spark={x!r} oracle={y!r}")
             elif x != y:
