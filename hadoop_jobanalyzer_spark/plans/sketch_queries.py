@@ -330,15 +330,17 @@ def q124_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-document granularity, robust to insertions where fixed spans
     (q94) are not.
 
-    Plan: one in-row chunking pass (one md5 per char position), explode
+    Plan: one in-row chunking pass (md5 only at codepoint-gated
+    positions — ~1/3 of them, see cdc_boundaries), explode
     to a chunk table (persisted — it feeds the global hash count and the
     per-source rollup), one groupBy on the chunk hash, one join back,
     one per-source agg. Everything between is codegen; the chunk table
     is a fraction of corpus size.
     Output: (source, n_docs, n_chunks, n_dup_chunks, dup_char_frac)."""
     from hadoop_jobanalyzer_spark.functions.text import cdc_boundaries, cdc_chunks_from
+    from hadoop_jobanalyzer_spark.util import spread
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = spread(load_tables(spark, sf_dir)["documents"])
     chunks = (
         docs.withColumn("_bpos", cdc_boundaries("text", _CDC_WINDOW))
         .select(
@@ -375,7 +377,8 @@ WITH b AS (
   SELECT doc_id, source, text,
          CASE WHEN len(text) < {_CDC_WINDOW} THEN []
               ELSE list_filter(generate_series({_CDC_WINDOW}, len(text)),
-                   i -> substr(md5(substr(text, i - {_CDC_WINDOW - 1}, {_CDC_WINDOW})), 1, 1) = '0')
+                   i -> ascii(substr(text, i, 1)) % 4 = 0
+                        AND substr(md5(substr(text, i - {_CDC_WINDOW - 1}, {_CDC_WINDOW})), 1, 1) = '0')
          END AS bpos
   FROM documents
 ),
