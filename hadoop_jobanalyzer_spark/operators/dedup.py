@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.functions.text import shingles, tokens
-from hadoop_jobanalyzer_spark.util import pair_structs as _pair_structs
+from hadoop_jobanalyzer_spark.util import materialize, pair_structs as _pair_structs
 from hadoop_jobanalyzer_spark.util import spread
 
 # Universal-hash family over md5-derived 32-bit shingle hashes:
@@ -287,9 +287,7 @@ def minhash_est_vs_exact(
     consumer, which at 100 TB is two extra full corpus passes.
     Output: id_a < id_b, est_jaccard, jaccard, abs_err.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram).localCheckpoint(
-        eager=False
-    )
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, ngram).transform(materialize)
     pairs = near_dup_pairs(
         df, id_col, text_col, n_hashes, bands, ngram,
         threshold=0.0, max_bucket=max_bucket, sigs=sigs,
@@ -448,11 +446,11 @@ def lsh_candidate_pairs_incremental(
     # new_bands again) — persist the narrow (id, band, bh) rows so the
     # signature explode/md5/min-agg subtree runs ONCE per side, not once
     # per branch (the q66-class recompute fix)
-    new_bands = banded(new_sigs, "new").localCheckpoint(eager=False)
+    new_bands = banded(new_sigs, "new").transform(materialize)
     all_bands = (
         banded(stored_sigs.na.drop(), "old")
         .unionByName(new_bands)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     if max_bucket is not None:
         sized = all_bands.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))

@@ -10,8 +10,9 @@ label each round), so convergence is O(log(longest path)) rounds instead of
 O(diameter). Each round is two shuffles (neighbor-min groupBy + the
 pointer-jump self-join) over a (node, label) table that never exceeds one
 row per node — the shape that survives 100 TB. Lineage is truncated every
-round with ``localCheckpoint`` (on a real cluster, set a checkpoint dir and
-use ``checkpoint`` for fault tolerance); convergence is detected with one
+round with ``util.materialize`` — reliable ``checkpoint()`` when the session
+has a checkpoint dir (the cluster deployment contract), executor-local
+``localCheckpoint()`` otherwise; convergence is detected with one
 count per round, which is a driver action by necessity — every distributed
 CC implementation (GraphX, GraphFrames) pays the same per-round barrier.
 """
@@ -19,6 +20,7 @@ CC implementation (GraphX, GraphFrames) pays the same per-round barrier.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from hadoop_jobanalyzer_spark.util import materialize, materialize_eager
 
 
 def connected_components(
@@ -45,7 +47,7 @@ def connected_components(
     # without this each iteration would recompute the (possibly expensive)
     # upstream pipeline that produced the edges — e.g. the full LSH+Jaccard
     # dedup when clustering near-dup pairs.
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(materialize_eager)
 
     if nodes is None:
         universe = sym.select(F.col("_a").alias(id_col)).distinct()
@@ -53,7 +55,7 @@ def connected_components(
         universe = nodes.select(F.col(id_col)).distinct()
 
     labels = universe.select(F.col(id_col), F.col(id_col).alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(materialize_eager)
 
     for _ in range(max_iter):
         # 1 shuffle: min label over direct neighbors
@@ -92,7 +94,7 @@ def connected_components(
         )
         # lazy checkpoint + count: one action both materializes the round
         # (truncating lineage) and measures convergence
-        jumped = jumped.localCheckpoint(eager=False)
+        jumped = jumped.transform(materialize)
         changed = jumped.filter(F.col("component") != F.col("_old")).count()
         labels = jumped.select(id_col, "component")
         if changed == 0:
@@ -134,7 +136,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     broadcasts the degree/adjacency sides while they fit and degrades to
     shuffle joins at cluster scale — never a cartesian. The edge list,
     degree table, and oriented list each feed 2+ branches, so each is
-    lazily localCheckpoint-ed for the operator's scope (ContextCleaner
+    lazily materialize-d for the operator's scope (ContextCleaner
     releases the blocks when the result frame is dropped). The three scalars are 1-row
     aggregates combined by broadcast join — no driver-side action.
     """
@@ -145,14 +147,14 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # sum(d) = 2|E|; d*(d-1) is even — both /2 divisions exact below 2^53
     scalars = deg.agg(
@@ -178,7 +180,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("e")
         )
         .select("e.s", "e.t")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     adj = oriented.groupBy("s").agg(F.array_sort(F.collect_list("t")).alias("nb"))
     tri_row = (
@@ -236,16 +238,16 @@ def pagerank_fixed(
         sym = sym.filter(F.col("_a") != F.col("_b")).distinct()
     # partition by the contribution key once: every iteration's
     # edge x contrib join reuses this layout instead of re-shuffling the
-    # (large) edge list per round. Lazy localCheckpoint, not persist():
+    # (large) edge list per round. Lazy materialize, not persist():
     # it materializes on first action, every unrolled round reuses the
     # blocks, AND the blocks are released by the ContextCleaner when the
     # frame is dropped — a CacheManager .persist() here leaks one edge +
     # one degree cache per CALL with no owner to unpersist them.
-    sym = sym.repartition("_a").localCheckpoint(eager=False)
+    sym = sym.repartition("_a").transform(materialize)
     deg = (
         sym.groupBy(F.col("_a").alias("v"))
         .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     base = int(0.15 * scale)  # floor(0.15 * 2^20) = 157286
 
@@ -301,9 +303,9 @@ def label_propagation(
     sym = edges.select(a, b).union(edges.select(b.alias("_a"), a.alias("_b")))
     if not canonical:
         sym = sym.filter(F.col("_a") != F.col("_b")).distinct()
-    # lazy localCheckpoint, not persist(): same reuse across the unrolled
+    # lazy materialize, not persist(): same reuse across the unrolled
     # rounds, but released on GC instead of leaking one cache per call
-    sym = sym.repartition("_a").localCheckpoint(eager=False)
+    sym = sym.repartition("_a").transform(materialize)
 
     labels = sym.select(F.col("_a").alias("v")).distinct().select(
         "v", F.col("v").alias("label")

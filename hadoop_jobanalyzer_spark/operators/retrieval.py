@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_jobanalyzer_spark.functions.text import tokens
+from hadoop_jobanalyzer_spark.util import materialize
 
 
 def bm25_topk(
@@ -141,7 +142,7 @@ def tfidf_cosine_pairs(
             "w",
             F.least(F.floor(F.col("_n") / F.col("df")).cast("long"), F.lit(w_cap)),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     posted = term.select("w", F.explode("_post").alias("p"))
     norms = posted.groupBy(F.col("p.id").alias("_id")).agg(

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.functions.text import shingles, tokens
+from hadoop_jobanalyzer_spark.util import materialize
 
 
 def prefix_filter_jaccard_pairs(
@@ -47,7 +48,7 @@ def prefix_filter_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(F.col(text_col)), ngram)).alias("s"),
-    ).localCheckpoint(eager=False)  # shingles() is already distinct per doc
+    ).transform(materialize)  # shingles() is already distinct per doc
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
 

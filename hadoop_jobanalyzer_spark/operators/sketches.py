@@ -146,28 +146,41 @@ def _hash_mod(key: Column, salt: int, mod: int) -> Column:
 
 
 def cms_table(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    pre_aggregate: bool = True,
 ) -> DataFrame:
     """Count-Min sketch as an exact, inspectable relation: ``depth``
     independent salted hash rows x ``width`` counters, each counter the
     EXACT count of keys hashing into it (Cormode & Muthukrishnan 2005).
     Output: (row, bucket, cnt).
 
-    Hashing runs over the DISTINCT-key count table, not the raw rows: the
-    per-key count is a partial-aggregated groupBy (map-side collapse), so
-    the depth salted md5s are paid |keys| times instead of |rows| times —
-    at corpus scale keys ≪ rows and the hash stage shrinks by the key
-    multiplicity. Counters then re-aggregate by summing the key weights
-    (at most depth*width rows into the final exchange), and two sketches
-    merge by summing counters (the same re-aggregation contract as the
-    HLL register table). Point estimates (``cms_estimate``) take the min
-    across rows and can only OVER-estimate — the one-sided error that
-    makes CMS safe for heavy-hitter screening at stream scale.
+    With ``pre_aggregate=True`` (default) hashing runs over the
+    DISTINCT-key count table, not the raw rows: the per-key count is a
+    partial-aggregated groupBy (map-side collapse), so the depth salted
+    md5s are paid |keys| times instead of |rows| times — the win when
+    key multiplicity ≫ 1 (e.g. l_partkey on lineitem, ~30 rows/key).
+    The trade is one extra exchange keyed on the raw key, whose volume
+    is the per-partition distinct-key count — when keys are NEAR-UNIQUE
+    (the heavy-tail regime CMS exists for) that shuffle approaches
+    |rows| and is skew-prone, while the hash saving vanishes: pass
+    ``pre_aggregate=False`` there to hash raw rows directly, keeping
+    the single (row, bucket) exchange whose map-side partials carry at
+    most depth*width rows per partition. Counters re-aggregate by
+    summing weights either way, and two sketches merge by summing
+    counters (the same re-aggregation contract as the HLL register
+    table). Point estimates (``cms_estimate``) take the min across rows
+    and can only OVER-estimate — the one-sided error that makes CMS
+    safe for heavy-hitter screening at stream scale.
     """
     per_key = (
         df.select(F.col(key_col).alias("_k"))
         .groupBy("_k")
         .agg(F.count("*").alias("_n"))
+        if pre_aggregate
+        else df.select(F.col(key_col).alias("_k"), F.lit(1).alias("_n"))
     )
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
     keyed = per_key.select("_k", "_n", rows)

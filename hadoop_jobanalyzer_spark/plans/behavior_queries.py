@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
+from hadoop_jobanalyzer_spark.util import materialize
 
 
 # --- q140: longest consecutive-day order streaks (gaps & islands) ------------
@@ -412,7 +413,7 @@ def q147_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE and persisted — the pair join and both size lookups read the
     cached types-x-words rows instead of re-scanning events."""
     ev = load_tables(spark, sf_dir)["events"]
-    bm = _bitmap_relation(ev).localCheckpoint(eager=False)
+    bm = _bitmap_relation(ev).transform(materialize)
     a = bm.select(
         F.col("event_type").alias("type_a"), "word", F.col("bits").alias("ba")
     )

@@ -31,7 +31,7 @@ from hadoop_jobanalyzer_spark.plans.pipeline_queries import (
     near_dup_ctes,
 )
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
-from hadoop_jobanalyzer_spark.util import epoch_ms, spread
+from hadoop_jobanalyzer_spark.util import epoch_ms, materialize, spread
 
 
 def _dec(col: str, scale: int = 2) -> F.Column:
@@ -1219,14 +1219,14 @@ def q79_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part counts, the order total), so it is computed once: repartition
     by the join key first — HashPartitioning(l_orderkey) satisfies the
     dedup's (l_orderkey, l_partkey) clustering, so the distinct costs ONE
-    shuffle — then a lazy localCheckpoint pins that layout, making the
+    shuffle — then a lazy materialize pins that layout, making the
     self-join exchange-free and the countDistinct(orderkey) map-side."""
     li = (
         load_tables(spark, sf_dir)["lineitem"]
         .select("l_orderkey", "l_partkey")
         .repartition("l_orderkey")
         .dropDuplicates(["l_orderkey", "l_partkey"])
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     pairs = (
         li.alias("a")

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
-from hadoop_jobanalyzer_spark.util import epoch_s
+from hadoop_jobanalyzer_spark.util import epoch_s, materialize
 
 
 # --- q153: minute gap-fill with linear interpolation -------------------------
@@ -1267,17 +1267,17 @@ def q169_dedup_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     # each pair set feeds two consumers (its own count + the hit join) —
-    # lazy localCheckpoint computes each once; ContextCleanup releases the
+    # lazy materialize computes each once; ContextCleaner releases the
     # blocks when the result frame is dropped
     truth = (
         ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     cand = (
         lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=8, bands=4, ngram=3)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").alias("n_truth"))

@@ -188,7 +188,7 @@ def corpus_dedup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     every downstream pipeline joins it, not re-runs LSH.  The pairs are
     ``.persist()``-ed (deliberate bounded session cache, like the
     co-purchase edge table); the CC labels are already materialized by the
-    iteration's localCheckpoints.
+    iteration's materialize steps.
     """
     per = _DEDUP_CACHE.setdefault(spark, {})
     if sf_dir not in per:
@@ -205,6 +205,32 @@ def corpus_dedup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
         )
         per[sf_dir] = (pairs, cc)
     return per[sf_dir]
+
+
+def release_corpus_dedup(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Evict the session's materialized dedup subtree(s): unpersist the
+    pairs table and drop the cache entry, for one ``sf_dir`` or all of
+    them. The session cache is deliberately unbounded across corpus dirs
+    (each entry is small — verified pairs, not signatures), so a driver
+    that visits many corpus snapshots in one session calls this between
+    snapshots instead of accumulating a cache per dir. Returns the number
+    of entries released.
+
+    Bench note: the FIRST consumer of a given (session, sf_dir) pays the
+    LSH build (q34/q40/q68/q71/q204 share the subtree) — per-query
+    timings for that family are ordering-dependent by design; compare
+    the family's total, or release between queries to measure cold."""
+    per = _DEDUP_CACHE.get(spark)
+    if not per:
+        return 0
+    keys = [sf_dir] if sf_dir is not None else list(per)
+    n = 0
+    for k in keys:
+        entry = per.pop(k, None)
+        if entry is not None:
+            entry[0].unpersist()
+            n += 1
+    return n
 
 
 def q34_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

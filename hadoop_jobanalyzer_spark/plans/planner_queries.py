@@ -23,6 +23,7 @@ from hadoop_jobanalyzer_spark.operators.dedup import (
 )
 from hadoop_jobanalyzer_spark.plans.pipeline_queries import near_dup_ctes
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
+from hadoop_jobanalyzer_spark.util import materialize
 
 # --- q216: LSH banding planner ------------------------------------------------
 
@@ -918,7 +919,7 @@ def q228_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", F.explode(tokens("text")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     tok_tot = cnt.groupBy("token").agg(F.sum("c").alias("ct"))
     lang_tot = cnt.groupBy("lang").agg(F.sum("c").alias("nl"))
@@ -1037,7 +1038,7 @@ def q229_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "div_ppm", (F.col("gsz") > 1).cast("long").alias("is_dup")
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     ranked = bucketed_global_rank(
         flagged,

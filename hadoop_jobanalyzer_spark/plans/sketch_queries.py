@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
+from hadoop_jobanalyzer_spark.util import materialize
 
 # portable 60-bit md5 hash, SQL form (the Spark form is
 # operators.sketches.portable_hash60)
@@ -128,6 +129,24 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
     return per[sf_dir]
+
+
+def release_copurchase_edges(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Evict the session's cached co-purchase edge table(s) — the
+    eviction hook symmetric to ``pipeline_queries.release_corpus_dedup``:
+    unpersist and drop the entry for one ``sf_dir`` or all. Returns the
+    number of entries released."""
+    per = _EDGE_CACHE.get(spark)
+    if not per:
+        return 0
+    keys = [sf_dir] if sf_dir is not None else list(per)
+    n = 0
+    for k in keys:
+        df = per.pop(k, None)
+        if df is not None:
+            df.unpersist()
+            n += 1
+    return n
 
 
 # --- q120: co-purchase triangle census ---------------------------------------
@@ -351,7 +370,7 @@ def q124_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "source", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     counts = chunks.groupBy("h").agg(F.count("*").alias("n_h"))
     dup = F.col("n_h") > 1
@@ -950,9 +969,7 @@ def q135_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     fps = winnow_fingerprints(docs, "doc_id", "text", ngram=3, window=4)
-    fpx = fps.withColumn("split", train_val_test(F.col("doc_id"))).localCheckpoint(
-        eager=False
-    )
+    fpx = fps.withColumn("split", train_val_test(F.col("doc_id"))).transform(materialize)
     keep = fpx.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("_df")
     ).filter(F.col("_df") <= _LEAK_MAX_DF)

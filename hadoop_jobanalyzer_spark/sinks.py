@@ -26,6 +26,7 @@ from collections.abc import Mapping
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
+from hadoop_jobanalyzer_spark.util import materialize_eager
 
 DEFAULT_DELIMITER = ", "  # reference default (bin/job_history:172-175)
 
@@ -116,9 +117,7 @@ def merge_parquet(
     # materialize before writing: Spark (correctly) refuses to overwrite a
     # path that is still being read by the same plan; the checkpoint bounds
     # that read to the affected partitions only
-    merged = keep.unionByName(updates.select(*existing.columns)).localCheckpoint(
-        eager=True
-    )
+    merged = keep.unionByName(updates.select(*existing.columns)).transform(materialize_eager)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -178,9 +177,7 @@ def compact_partitions(
     )
     # hash-repartition by the partition column: each fragmented value's
     # rows land in one task -> one output file per directory
-    compacted = existing.repartition(F.col(partition_col)).localCheckpoint(
-        eager=True
-    )
+    compacted = existing.repartition(F.col(partition_col)).transform(materialize_eager)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -253,7 +250,10 @@ def read_pruned(
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(mdir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
+    # a plain FILE squatting on the manifest path is "no manifest", not a
+    # parquet directory to read — fall back like the missing-path case
+    # (the old os.path.isdir did; fs.exists alone would proceed and raise)
+    if not fs.exists(jpath) or not fs.getFileStatus(jpath).isDirectory():
         df = spark.read.parquet(path).filter(predicate)
         return df, -1, -1
     manifest = spark.read.parquet(mdir).select(

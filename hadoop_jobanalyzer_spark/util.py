@@ -59,6 +59,44 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Compute-once a reused subtree with truncated lineage — the engine's
+    ONE materialization primitive for per-operator reuse (the two bounded
+    session caches keep explicit ``.persist()`` with eviction hooks).
+
+    Durability is session-configured, not hard-coded at call sites:
+
+    - **Checkpoint dir set** (``sc.setCheckpointDir(...)`` — the cluster
+      deployment contract): reliable ``checkpoint()``. Blocks live on the
+      shared filesystem (hdfs://, s3a://), so an executor loss or
+      dynamic-allocation decommission recomputes nothing and fails
+      nothing.
+    - **No checkpoint dir** (single-node / test / bench sessions):
+      ``localCheckpoint()``. Executor-local, zero-copy-fast, and
+      ContextCleaner-owned — blocks release when the frame is GC'd, so
+      per-call use cannot leak CacheManager entries (the r4 leak class).
+      The known trade: localCheckpoint blocks are unreplicated, so on a
+      multi-executor session WITHOUT a checkpoint dir an executor loss is
+      unrecoverable — long-lived cluster jobs must set a checkpoint dir.
+
+    Lazy by default (materializes on the consumer's first action — one
+    pass, like the plain localCheckpoint sites this replaced); pass
+    ``eager=True`` inside iterative loops that must pin a round before
+    measuring convergence. Either way the child prints as
+    ``Scan ExistingRDD`` in the formatted plan, so downstream shuffle
+    budgets (tests/test_plan_quality.py) are unaffected.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def materialize_eager(df: DataFrame) -> DataFrame:
+    """``materialize(df, eager=True)`` in ``.transform()``-friendly form."""
+    return materialize(df, eager=True)
+
+
 def bucketed_global_rank(
     df: DataFrame,
     bucket: Column,

@@ -50,8 +50,10 @@ def main() -> int:
             failures.append(name)
     # a PLAN_AUDIT.md diff after the audit means the committed artifact no
     # longer reflects HEAD's plans — regenerate and review before closing
+    # diff against HEAD, not the index: a regenerated audit that was staged
+    # but not committed must still fail the gate (ADVICE r5)
     dirty = subprocess.run(
-        ["git", "diff", "--quiet", "--", "PLAN_AUDIT.md"]
+        ["git", "diff", "--quiet", "HEAD", "--", "PLAN_AUDIT.md"]
     ).returncode
     if dirty:
         print("== plan-audit: PLAN_AUDIT.md diverges from HEAD — commit the regenerated audit", flush=True)
