@@ -52,6 +52,49 @@ def build_session() -> SparkSession:
     )
 
 
+def ratios_vs_committed(timings: dict[str, float]) -> dict | None:
+    """Per-query ratio distribution (this run / HEAD's committed
+    BENCH.json). Reads the prior file from git HEAD — the working-tree
+    copy is this run's own output — and summarizes median/quartiles plus
+    the worst movers, which is the ambient-load-proof way to compare
+    rounds. None when HEAD has no comparable bench (fresh clone, sf
+    mismatch)."""
+    import statistics
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        raw = subprocess.run(
+            ["git", "show", "HEAD:BENCH.json"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        )
+        if raw.returncode != 0:
+            return None
+        prior = json.loads(raw.stdout)
+    except Exception:
+        return None
+    if prior.get("sf") != sf_from_dir(SF_DIR):
+        return None
+    prev = prior.get("queries", {})
+    ratios = {
+        name: round(t / prev[name], 3)
+        for name, t in timings.items()
+        if t >= 0 and prev.get(name, 0) and prev[name] > 0
+    }
+    if not ratios:
+        return None
+    vals = sorted(ratios.values())
+    q = statistics.quantiles(vals, n=4) if len(vals) >= 4 else [vals[0], vals[len(vals) // 2], vals[-1]]
+    worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:5])
+    return {
+        "n": len(vals),
+        "p25": round(q[0], 3),
+        "median": round(q[1], 3),
+        "p75": round(q[2], 3),
+        "worst": worst,
+    }
+
+
 def main() -> None:
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -98,6 +141,11 @@ def main() -> None:
         "agg": "median",
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
+        # Totals on this host drift ±20% with ambient load at identical
+        # code (r5 lesson: 141.8/159.6/175.3 s across three same-code
+        # runs), so round-over-round reads must use the per-query ratio
+        # distribution vs the last COMMITTED bench, not totals.
+        "ratio_vs_prior": ratios_vs_committed(timings),
     }
     # Robustness against truncated stdout capture (BENCH_r02 lost its tail):
     # 1. a compact total-only line goes out FIRST,

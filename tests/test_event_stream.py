@@ -806,3 +806,89 @@ def test_scd2_enrich_stream_matches_batch_lookup(spark, sf_dir, events_dir):
     # every event of a tracked user matches exactly one interval; events
     # of untracked users (the dim tracks user_id < 50) pass null-extended
     assert any(s is not None for (_, s, _) in got)
+
+
+def test_stateful_totals_survive_mid_stream_kill(spark, sf_dir, tmp_path):
+    """Chaos restart over ``applyInPandasWithState`` with the DEFAULT
+    (HDFS-backed) state store: the query is stopped ABRUPTLY mid-stream —
+    not an availableNow drain — after some but not all micro-batches, then
+    rebuilt from the same checkpoint and drained. Recovery semantics
+    pinned: state rolls back to the last committed version, uncommitted
+    batches replay, the foreachBatch parquet sink is at-least-once (a
+    replayed batch re-appends an IDENTICAL monotone snapshot), and the
+    final latest-per-key totals equal the batch aggregate exactly —
+    nothing lost, nothing double-counted in state."""
+    from hadoop_jobanalyzer_spark.streaming import running_totals_stream
+
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    d = tmp_path / "kill_events"
+    d.mkdir()
+    n = len(df)
+    n_shards = 8
+    step = (n + n_shards - 1) // n_shards
+    for i, lo in enumerate(range(0, n, step)):
+        df.iloc[lo : lo + step].to_parquet(
+            d / f"shard{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    ckpt = str(tmp_path / "ckpt_kill")
+    out = str(tmp_path / "kill_out")
+    schema = spark.read.parquet(str(d)).schema
+
+    def build(trigger_available_now):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        w = (
+            running_totals_stream(stream)
+            .writeStream.foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # phase 1: free-running query, killed abruptly after >=2 committed
+    # micro-batches but before the stream is drained
+    import time
+
+    q = build(trigger_available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.recentProgress
+        if len(p) >= 2 and sum(x["numInputRows"] for x in p) > 0:
+            break
+        time.sleep(0.2)
+    assert q.isActive, "stream died before the kill"
+    q.stop()  # abrupt: no drain, mid-batch work is abandoned
+    q.awaitTermination(60)
+
+    # phase 2: rebuild from the SAME checkpoint, drain everything
+    q2 = build(trigger_available_now=True)
+    q2.awaitTermination(300)
+
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        k = r["event_type"]
+        if k not in latest or r["n_total"] > latest[k][0]:
+            latest[k] = (r["n_total"], r["sum_cents"], r["max_cents"])
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("m"),
+        )
+    )
+    want = {r["event_type"]: (r["n"], r["s"], r["m"]) for r in batch.collect()}
+    assert latest == want

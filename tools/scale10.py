@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Measured scale probe: wall-time slope sf0.1 -> x10 for the slowest
+registered queries.
+
+The plan audit argues the shapes are right at 100x; this tool MEASURES
+the claim one decade up. It synthesizes a x10 dataset from sf0.1 by
+disjoint-copy scaling — the uniform-growth model TPC-H itself uses
+(every key space grows with the data; join fan-outs and duplicate rates
+stay constant):
+
+- fact/dim keys are remapped per copy (key + copy * span), so each copy
+  is a disjoint key universe: the co-purchase graph becomes 10 disjoint
+  copies (degree distribution preserved) instead of a 10x-denser graph
+  on the same parts, which would be a different workload, not a bigger
+  one;
+- document text gets a per-copy word suffix, so shingle/chunk/simhash
+  statistics are preserved WITHIN a copy and never collide across
+  copies — naive duplication would plant 10-way exact-dup cliques and
+  grow candidate pairs 45x (quadratic in copies, again a different
+  workload);
+- events keep their timestamps (volume density grows, the horizon
+  doesn't — the streaming-replay model) with event/user ids remapped;
+- nation/region stay fixed (TPC-H dimensions do not scale).
+
+Usage:
+    python tools/scale10.py [--factor 10] [--runs 2] [--out DIR]
+
+Prints one JSON line per query: {"query", "t_base", "t_scaled",
+"slope"}; exits non-zero if any slope exceeds --max-slope (default 12 —
+linear plus overhead headroom). Writing the table into SCALE.md is the
+caller's job (round notes quote it).
+
+Run SOLO like bench.py — concurrent Spark sessions contaminate timings.
+Heap: the x10 run needs more than bench's 8g default (GC-locker stalls
+evict blocks at 8g) — this tool defaults SPARK_DRIVER_MEM to 24g.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+# the 10 most expensive queries per BENCH.json / VERDICT r5 plan audit
+PROBE_QUERIES = [
+    "q215_training_mix_manifest",
+    "q123_setsim_prefix_join",
+    "q120_copurchase_triangles",
+    "q124_cdc_chunk_dedup",
+    "q131_part_pagerank",
+    "q75_simhash_near_dups",
+    "q197_lpa_communities",
+    "q81_boilerplate_fraction",
+    "q223_watermark_planner",
+    "q169_dedup_candidate_audit",
+]
+
+# per-table (id columns to remap) — spans are far above any sf0.1 key
+_REMAP: dict[str, list[str]] = {
+    "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "customer": ["c_custkey"],
+    "embeddings": ["vec_id"],
+}
+_SPAN = 100_000_000  # > any sf0.1 key; keeps copies disjoint
+
+
+def build_scaled(spark, src: str, out: str, factor: int) -> None:
+    """Write the disjoint-copy x`factor` dataset under `out`."""
+    os.makedirs(out, exist_ok=True)
+    for t in ["nation", "region"]:
+        shutil.copy(os.path.join(src, f"{t}.parquet"), os.path.join(out, f"{t}.parquet"))
+    for t, keys in _REMAP.items():
+        base = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        copies = []
+        for c in range(factor):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, (F.col(k) + F.lit(c * _SPAN)).cast("long"))
+            if t == "documents" and c > 0:
+                # disjoint vocabulary per copy: same in-copy statistics,
+                # zero cross-copy shingle/chunk/band collisions
+                df = df.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", rf"$1c{c}")
+                ).withColumn("n_chars", F.length("text"))
+            copies.append(df)
+        scaled = copies[0]
+        for df in copies[1:]:
+            scaled = scaled.unionByName(df)
+        # ~factor output files: the scan parallelism a real corpus has
+        scaled.repartition(max(factor, 4)).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--max-slope", type=float, default=12.0)
+    ap.add_argument("--out", default="/tmp/hja_scale10")
+    ap.add_argument("--src", default=SRC)
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    import bench  # session config identical to the bench harness (heap aside)
+
+    spark = bench.build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    marker = os.path.join(args.out, f"_built_f{args.factor}")
+    if not os.path.exists(marker):
+        t0 = time.time()
+        build_scaled(spark, args.src, args.out, args.factor)
+        open(marker, "w").write("ok\n")
+        print(f"built x{args.factor} dataset at {args.out} in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+
+    from hadoop_jobanalyzer_spark.plans import registry
+
+    qs = registry.queries()
+
+    def best_of(fn, sf_dir: str) -> float:
+        ts = []
+        for _ in range(max(args.runs, 1)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # JIT/footer warm-up on both dirs
+    qs[PROBE_QUERIES[0]](spark, args.src).write.format("noop").mode("overwrite").save()
+    qs[PROBE_QUERIES[0]](spark, args.out).write.format("noop").mode("overwrite").save()
+
+    bad = []
+    for name in PROBE_QUERIES:
+        fn = qs[name]
+        t_base = best_of(fn, args.src)
+        t_scaled = best_of(fn, args.out)
+        slope = t_scaled / t_base if t_base > 0 else float("inf")
+        print(json.dumps({
+            "query": name,
+            "t_base": round(t_base, 2),
+            "t_scaled": round(t_scaled, 2),
+            "slope": round(slope, 1),
+        }), flush=True)
+        if slope > args.max_slope:
+            bad.append((name, slope))
+    spark.stop()
+    if bad:
+        print(f"SUPER-LINEAR: {bad}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
