@@ -27,6 +27,13 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any pandas interchange (toPandas / mapInPandas paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # util.materialize upgrades to reliable checkpoint() when the session
+    # has a checkpoint dir; reliable checkpoint files are NOT reclaimed by
+    # default, so a long-lived cluster session would accumulate one
+    # directory per materialized subtree. With this on, the ContextCleaner
+    # deletes a checkpoint's files when its frame is GC'd — the same
+    # ownership model the localCheckpoint path already has.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

@@ -70,7 +70,10 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
       deployment contract): reliable ``checkpoint()``. Blocks live on the
       shared filesystem (hdfs://, s3a://), so an executor loss or
       dynamic-allocation decommission recomputes nothing and fails
-      nothing.
+      nothing. Checkpoint files are reclaimed on frame GC because
+      ``session.ENGINE_CONF`` ships
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — keep
+      that set on foreign sessions or the files accumulate.
     - **No checkpoint dir** (single-node / test / bench sessions):
       ``localCheckpoint()``. Executor-local, zero-copy-fast, and
       ContextCleaner-owned — blocks release when the frame is GC'd, so

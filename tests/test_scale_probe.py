@@ -173,3 +173,47 @@ def test_timeseries_spine_at_10x_range(spark, tmp_path):
     rolling, _ = QUERIES["q163_rolling_correlation"]
     hours = rolling(spark, str(d)).count()
     assert 6_000 < hours <= 300 * 24
+
+
+def test_scale10_build_disjoint_copies(spark, sf_dir, tmp_path):
+    """tools/scale10.build_scaled at factor 2 on the tiny fixtures: row
+    counts double, key spaces are disjoint across copies (the uniform-
+    growth model — join fan-outs preserved, graphs become disjoint
+    copies), document text never collides across copies (dedup statistics
+    scale linearly instead of planting cross-copy dup cliques), and the
+    fixed TPC-H dimensions pass through unscaled."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from scale10 import build_scaled
+
+    out = str(tmp_path / "x2")
+    build_scaled(spark, str(sf_dir), out, factor=2)
+
+    for t, key in [("documents", "doc_id"), ("lineitem", "l_orderkey"),
+                   ("events", "event_id")]:
+        base = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        big = spark.read.parquet(f"{out}/{t}.parquet")
+        assert big.count() == 2 * base.count()
+        assert (
+            big.select(key).distinct().count()
+            == 2 * base.select(key).distinct().count()
+        )
+        lo = big.filter(F.col(key) < 100_000_000).count()
+        hi = big.filter(F.col(key) >= 100_000_000).count()
+        assert lo == base.count() and hi == base.count()
+
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    # no text collides across copies: every text value is globally unique
+    # exactly as often as it was unique within sf0.001
+    base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert (
+        docs.select("text").distinct().count()
+        == 2 * base_docs.select("text").distinct().count()
+    )
+    # n_chars recomputed for the suffixed copy
+    bad = docs.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0
+
+    nation = spark.read.parquet(f"{out}/nation.parquet")
+    assert nation.count() == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
