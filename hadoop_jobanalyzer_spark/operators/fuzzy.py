@@ -23,6 +23,7 @@ def blocked_levenshtein_pairs(
     block: Column,
     prefix_len: int = 40,
     max_dist: int = 8,
+    max_block: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs within a block whose ``prefix_len``-char
     prefixes are within ``max_dist`` edits.
@@ -31,12 +32,30 @@ def blocked_levenshtein_pairs(
     columns). Near-miss pairs straddling a block boundary are the method's
     documented recall tradeoff — callers wanting boundary overlap pass a
     coarser or doubled key. Output: id_a, id_b, lev.
+
+    Cost model: Σ C(|block|, 2) — per-block cardinality grows LINEARLY
+    with corpus size for a fixed key (lang × length-band densifies, it
+    doesn't widen), so the pair join is quadratic in growth unless the
+    caller bounds it (measured: ×10 corpus → 13.5× wall, tools/scale10
+    fleet sweep). ``max_block`` is that bound — blocks larger than the
+    cap are dropped whole before the self-join, the same giant-bucket
+    guard the LSH/shingle operators apply (``max_bucket``): an over-cap
+    block is the degenerate "everything looks alike" case where
+    edit-distance pairs stop being informative. At corpus scale pass a
+    cap (or a higher-entropy key); None preserves exact semantics for
+    bounded inputs.
     """
     keyed = spread(df).select(
         F.col(id_col),
         block.alias("_blk"),
         F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
     )
+    if max_block is not None:
+        sized = keyed.groupBy("_blk").agg(F.count("*").alias("_bsz"))
+        keyed = (
+            keyed.join(sized.filter(F.col("_bsz") <= max_block), "_blk")
+            .drop("_bsz")
+        )
     a = keyed.select(
         F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_pfx").alias("_pfx_a")
     )

@@ -321,3 +321,30 @@ def test_salted_join_matches_plain_join(spark):
         .filter("k = 'hot'").select("_salt").distinct().count()
     )
     assert spread_check > 1
+
+
+def test_blocked_levenshtein_max_block_guard(spark):
+    """max_block drops over-cap blocks WHOLE before the self-join (the
+    LSH max_bucket pattern applied to the fuzzy blocked join): a giant
+    block contributes zero pairs instead of C(n,2), and None preserves
+    exact semantics."""
+    from pyspark.sql import functions as F
+
+    from hadoop_jobanalyzer_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+    rows = [(i, "big", "alpha beta gamma") for i in range(5)] + [
+        (10, "small", "delta one"),
+        (11, "small", "delta two"),
+        (12, "small", "delta ten"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "blk", "text"])
+
+    uncapped = blocked_levenshtein_pairs(
+        docs, "doc_id", "text", F.col("blk"), prefix_len=20, max_dist=8
+    ).collect()
+    assert len(uncapped) == 10 + 3  # C(5,2) big + C(3,2) small
+
+    capped = blocked_levenshtein_pairs(
+        docs, "doc_id", "text", F.col("blk"), prefix_len=20, max_dist=8, max_block=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(10, 11), (10, 12), (11, 12)}

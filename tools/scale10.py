@@ -112,6 +112,12 @@ def main() -> int:
     ap.add_argument("--max-slope", type=float, default=12.0)
     ap.add_argument("--out", default="/tmp/hja_scale10")
     ap.add_argument("--src", default=SRC)
+    ap.add_argument(
+        "--all", action="store_true",
+        help="sweep EVERY registered query (1 run per dir) instead of "
+        "best-of-N on the 10 slowest — catches super-linear queries "
+        "hiding below the expensive tier",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
@@ -144,8 +150,14 @@ def main() -> int:
     qs[PROBE_QUERIES[0]](spark, args.src).write.format("noop").mode("overwrite").save()
     qs[PROBE_QUERIES[0]](spark, args.out).write.format("noop").mode("overwrite").save()
 
+    if args.all:
+        names = list(qs)
+        args.runs = 1
+    else:
+        names = PROBE_QUERIES
+
     bad = []
-    for name in PROBE_QUERIES:
+    for name in names:
         fn = qs[name]
         t_base = best_of(fn, args.src)
         t_scaled = best_of(fn, args.out)
