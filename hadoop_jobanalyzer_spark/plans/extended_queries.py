@@ -396,11 +396,21 @@ GROUP BY event_type ORDER BY event_type
 
 def q50_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance join: same-language, same-length-band documents
-    whose 40-char prefixes are within 8 edits."""
+    whose 40-char prefixes are within 8 edits.
+
+    Registered CAPPED (``max_block=500``): the (lang x length-band) key has
+    a fixed 30-key domain, so per-block cardinality densifies linearly with
+    the corpus and within-block pairs grow quadratically (measured 13.5x
+    wall at x10 data when uncapped — SCALE_SWEEP_r06). Blocks over the cap
+    are dropped whole, identically in the DuckDB oracle, so the contract
+    stays exact; at sf0.01 (max block 54) and sf0.1 (max block 451) the cap
+    is above every block and output is bit-identical to the uncapped form.
+    """
     t = load_tables(spark, sf_dir)
     block = F.concat_ws("|", F.col("lang"), (F.col("n_chars") / 100).cast("long"))
     return blocked_levenshtein_pairs(
-        t["documents"], "doc_id", "text", block, prefix_len=40, max_dist=8
+        t["documents"], "doc_id", "text", block,
+        prefix_len=40, max_dist=8, max_block=500,
     )
 
 
@@ -409,9 +419,14 @@ WITH keyed AS (
   SELECT doc_id, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk,
          substr(text, 1, 40) AS pfx
   FROM documents
+),
+capped AS (
+  SELECT doc_id, blk, pfx
+  FROM (SELECT keyed.*, COUNT(*) OVER (PARTITION BY blk) AS bsz FROM keyed)
+  WHERE bsz <= 500
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.pfx, b.pfx) AS lev
-FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.pfx, b.pfx) <= 8
 ORDER BY id_a, id_b
 """
