@@ -74,6 +74,15 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
       ``session.ENGINE_CONF`` ships
       ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — keep
       that set on foreign sessions or the files accumulate.
+      This path is always EAGER and persist-wrapped: a reliable
+      checkpoint otherwise runs the subtree TWICE (the action computes
+      the rows, then ``ReliableRDDCheckpointData`` re-runs the lineage
+      to write the checkpoint files), and the second, independent
+      evaluation is what downstream consumers would read — a correctness
+      hazard for any nondeterministic subtree. Persisting around an
+      eager checkpoint makes the write job read the cached blocks: one
+      compute, one cache read, and the checkpoint captures the SAME
+      evaluation the first action saw.
     - **No checkpoint dir** (single-node / test / bench sessions):
       ``localCheckpoint()``. Executor-local, zero-copy-fast, and
       ContextCleaner-owned — blocks release when the frame is GC'd, so
@@ -82,16 +91,21 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
       multi-executor session WITHOUT a checkpoint dir an executor loss is
       unrecoverable — long-lived cluster jobs must set a checkpoint dir.
 
-    Lazy by default (materializes on the consumer's first action — one
-    pass, like the plain localCheckpoint sites this replaced); pass
+    ``eager`` applies to the localCheckpoint path only (lazy by default:
+    materializes on the consumer's first action, one pass; pass
     ``eager=True`` inside iterative loops that must pin a round before
-    measuring convergence. Either way the child prints as
-    ``Scan ExistingRDD`` in the formatted plan, so downstream shuffle
-    budgets (tests/test_plan_quality.py) are unaffected.
+    measuring convergence). The reliable path ignores it — see above.
+    Either way the child prints as ``Scan ExistingRDD`` in the formatted
+    plan, so downstream shuffle budgets (tests/test_plan_quality.py) are
+    unaffected.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=eager)
 
 

@@ -20,10 +20,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 class _FakeDF:
-    """Records which checkpoint flavor materialize picked."""
+    """Records which checkpoint flavor materialize picked, and whether the
+    reliable path persist-wrapped the checkpoint (the double-compute
+    guard: an unpersisted reliable checkpoint re-runs the lineage in the
+    checkpoint-write job)."""
 
     def __init__(self, checkpoint_dir):
         self.called = None
+        self.events = []
         sc = self
 
         class _SS:
@@ -35,12 +39,22 @@ class _FakeDF:
     def getCheckpointDir(self):
         return self._dir
 
+    def persist(self):
+        self.events.append("persist")
+        return self
+
+    def unpersist(self):
+        self.events.append("unpersist")
+        return self
+
     def checkpoint(self, eager):
         self.called = ("checkpoint", eager)
+        self.events.append("checkpoint")
         return self
 
     def localCheckpoint(self, eager):
         self.called = ("localCheckpoint", eager)
+        self.events.append("localCheckpoint")
         return self
 
 
@@ -48,14 +62,20 @@ def test_materialize_dispatches_on_session_checkpoint_dir():
     df = _FakeDF(checkpoint_dir=None)
     materialize(df)
     assert df.called == ("localCheckpoint", False)
+    assert df.events == ["localCheckpoint"]
 
+    # the reliable path is always eager and persist-wrapped so the
+    # checkpoint-write job reads cached blocks instead of re-running the
+    # lineage (ADVICE r6, medium)
     df = _FakeDF(checkpoint_dir="hdfs:///checkpoints")
     materialize(df)
-    assert df.called == ("checkpoint", False)
+    assert df.called == ("checkpoint", True)
+    assert df.events == ["persist", "checkpoint", "unpersist"]
 
     df = _FakeDF(checkpoint_dir="hdfs:///checkpoints")
     materialize_eager(df)
     assert df.called == ("checkpoint", True)
+    assert df.events == ["persist", "checkpoint", "unpersist"]
 
 
 def test_materialize_default_is_local_and_truncates_lineage(spark):
@@ -88,6 +108,38 @@ def test_materialize_reliable_checkpoint_when_dir_set(spark, tmp_path):
         assert checkpoint_files, "no reliable checkpoint data written"
     finally:
         # Scala: var checkpointDir: Option[String] — reset to None
+        getattr(jsc_sc, "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+
+
+def test_materialize_reliable_checkpoint_evaluates_once(spark, tmp_path):
+    """Regression for the double-compute hazard (ADVICE r6, medium): an
+    unwrapped reliable checkpoint runs the subtree twice — once for the
+    action, once in ReliableRDDCheckpointData's checkpoint-write job — so
+    a 100-row subtree processes 200 rows and downstream consumers read a
+    SECOND, independent evaluation. The persist wrap must hold it to one
+    evaluation (the write job reads cached blocks)."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    sc = spark.sparkContext
+    jsc_sc = sc._jsc.sc()
+    acc = sc.accumulator(0)
+
+    @udf(LongType())
+    def tick(x):
+        acc.add(1)
+        return x
+
+    try:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        spark.catalog.clearCache()
+        out = materialize(spark.range(100).select(tick("id").alias("id")))
+        assert out.count() == 100
+        assert acc.value == 100, f"subtree evaluated {acc.value / 100:.0f}x"
+        # and the wrap released its cache entry (no r4-class leak)
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    finally:
         getattr(jsc_sc, "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
         assert sc.getCheckpointDir() is None
 

@@ -138,7 +138,24 @@ def main() -> int:
 
     qs = registry.queries()
 
+    def release_session_caches() -> None:
+        """Evict the two persisted session caches (corpus_dedup pairs,
+        co-purchase edges) so every (query, dir) measurement starts
+        cache-neutral: without this, caches for BOTH dirs accumulate
+        across the sweep (eviction pressure skews later slopes) and
+        cached-family queries measure whatever an earlier query happened
+        to build — the ordering dependence release_corpus_dedup's
+        docstring warns about (ADVICE r6). Within one measurement,
+        best-of-N still reads warm on runs 2+ — the steady-state regime
+        for the cached families, per SCALE.md methodology."""
+        from hadoop_jobanalyzer_spark.plans.pipeline_queries import release_corpus_dedup
+        from hadoop_jobanalyzer_spark.plans.sketch_queries import release_copurchase_edges
+
+        release_corpus_dedup(spark)
+        release_copurchase_edges(spark)
+
     def best_of(fn, sf_dir: str) -> float:
+        release_session_caches()
         ts = []
         for _ in range(max(args.runs, 1)):
             t0 = time.perf_counter()
