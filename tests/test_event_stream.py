@@ -892,3 +892,94 @@ def test_stateful_totals_survive_mid_stream_kill(spark, sf_dir, tmp_path):
     )
     want = {r["event_type"]: (r["n"], r["s"], r["m"]) for r in batch.collect()}
     assert latest == want
+
+
+def test_stateful_totals_soak_randomized_kills(spark, sf_dir, tmp_path):
+    """Soak variant of the mid-stream kill test: ~20 forced micro-batches
+    (20 input shards, maxFilesPerTrigger=1) interrupted by THREE abrupt
+    kills at seeded-random points, then a final drain from the same
+    checkpoint. One kill pins the recovery semantics; repeated kills at
+    different offsets exercise the state-store edge cases a single-kill
+    test can't reach — rollback over an already-rolled-back version,
+    replay of a batch whose sink output already exists, and resume with
+    zero new committed batches between kills. The invariant is unchanged:
+    latest-per-key totals equal the batch aggregate exactly — nothing
+    lost, nothing double-counted across any number of restarts."""
+    import random
+    import time
+
+    from hadoop_jobanalyzer_spark.streaming import running_totals_stream
+
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    d = tmp_path / "soak_events"
+    d.mkdir()
+    n = len(df)
+    n_shards = 20
+    step = (n + n_shards - 1) // n_shards
+    for i, lo in enumerate(range(0, n, step)):
+        df.iloc[lo : lo + step].to_parquet(
+            d / f"shard{i:02d}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    ckpt = str(tmp_path / "ckpt_soak")
+    out = str(tmp_path / "soak_out")
+    schema = spark.read.parquet(str(d)).schema
+
+    def build(trigger_available_now):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        w = (
+            running_totals_stream(stream)
+            .writeStream.foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # seeded, not wall-clock random: the kill offsets vary across the three
+    # phases but the test is reproducible
+    rng = random.Random(0xC0FFEE)
+    for phase in range(3):
+        want_batches = rng.randint(1, 4)
+        q = build(trigger_available_now=False)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.recentProgress
+            if len(p) >= want_batches:
+                break
+            time.sleep(0.1 + rng.random() * 0.3)  # jitter the kill point
+        assert q.isActive or q.exception() is None, f"phase {phase} died: {q.exception()}"
+        q.stop()  # abrupt: no drain, mid-batch work is abandoned
+        q.awaitTermination(60)
+
+    # final phase: drain everything from the same checkpoint
+    qf = build(trigger_available_now=True)
+    qf.awaitTermination(300)
+
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        k = r["event_type"]
+        if k not in latest or r["n_total"] > latest[k][0]:
+            latest[k] = (r["n_total"], r["sum_cents"], r["max_cents"])
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("m"),
+        )
+    )
+    want = {r["event_type"]: (r["n"], r["s"], r["m"]) for r in batch.collect()}
+    assert latest == want

@@ -12,18 +12,26 @@ Stages (each solo — never two Spark sessions at once):
   2. oracle sweep  — all queries vs DuckDB at sf0.01 (~4 min)
   3. pytest        — full suite (~20 min)
   4. bench         — writes BENCH.json at $SPARK_GRAFT_SF_DIR (sf0.1)
-  5. plan audit    — rewrites PLAN_AUDIT.md; fails on a dirty diff so a
+  5. scale slopes  — x10 wall-time slope on the 10 slowest (bound 12x);
+                     the regression tripwire for a plan change that goes
+                     quadratic. Runs only when the x10 dataset is already
+                     built (run tools/scale10.py once per machine to
+                     build it); skipped with a warning otherwise.
+  6. plan audit    — rewrites PLAN_AUDIT.md; fails on a dirty diff so a
                      plan-shape regression must be committed consciously
 
 Usage:
-    python tools/round_close.py [--fast]     # --fast skips bench + pytest
+    python tools/round_close.py [--fast]     # --fast skips bench + pytest + slopes
 """
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
+
+SCALE10_MARKER = "/tmp/hja_scale10/_built_f10"
 
 STAGES: list[tuple[str, list[str], bool]] = [
     # (name, argv, fast_mode_included)
@@ -31,6 +39,7 @@ STAGES: list[tuple[str, list[str], bool]] = [
     ("oracle-sweep", [sys.executable, "tools/oracle_sweep.py", "/root/testdata/sf0.01"], True),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], False),
     ("bench", [sys.executable, "bench.py"], False),
+    ("scale-slopes", [sys.executable, "tools/scale10.py"], False),
     ("plan-audit", [sys.executable, "tools/plan_audit.py"], True),
 ]
 
@@ -41,6 +50,13 @@ def main() -> int:
     for name, argv, in_fast in STAGES:
         if fast and not in_fast:
             print(f"== {name}: SKIPPED (--fast)", flush=True)
+            continue
+        if name == "scale-slopes" and not os.path.exists(SCALE10_MARKER):
+            print(
+                f"== {name}: SKIPPED (no x10 dataset at {SCALE10_MARKER} — "
+                "run tools/scale10.py once to build it)",
+                flush=True,
+            )
             continue
         print(f"== {name}: {' '.join(argv)}", flush=True)
         t0 = time.time()

@@ -118,6 +118,11 @@ def main() -> int:
         "best-of-N on the 10 slowest — catches super-linear queries "
         "hiding below the expensive tier",
     )
+    ap.add_argument(
+        "names", nargs="*", metavar="PREFIX",
+        help="probe only queries matching these name prefixes "
+        "(targeted re-measure after a plan change)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
@@ -170,6 +175,11 @@ def main() -> int:
     if args.all:
         names = list(qs)
         args.runs = 1
+    elif args.names:
+        names = [n for n in qs if n.startswith(tuple(args.names))]
+        if not names:
+            print(f"no queries match {args.names}", file=sys.stderr)
+            return 2
     else:
         names = PROBE_QUERIES
 
