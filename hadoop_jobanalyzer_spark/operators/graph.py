@@ -108,12 +108,18 @@ def component_sizes(components: DataFrame, id_col: str = "id") -> DataFrame:
     return components.join(sizes, "component").select(id_col, "component", "cluster_size")
 
 
-def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst", canonical: bool = False
+) -> DataFrame:
     """Global triangle census over an undirected edge list: one row
     ``(n_edges, n_wedges, n_triangles)``.
 
     Input may contain duplicates and either orientation; it is canonized
-    to distinct unordered pairs first. Triangles are counted by the
+    to distinct unordered pairs first. Pass ``canonical=True`` when the
+    input is ALREADY distinct with ``src < dst`` (the stored contract of
+    ``write_copurchase_edges_bucketed``) to skip the canonize shuffle —
+    the census then starts straight from storage with no Exchange before
+    the degree aggregate. Triangles are counted by the
     **degree-oriented edge iterator** (Cohen 2009; Schank's forward
     algorithm — the scheme distributed triangle counters converge on):
 
@@ -140,15 +146,21 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     releases the blocks when the result frame is dropped). The three scalars are 1-row
     aggregates combined by broadcast join — no driver-side action.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if canonical:
+        # caller guarantees distinct src < dst rows (e.g. a bucketed edge
+        # table): read them as-is — no canonize Exchange, no materialize
+        # (storage already serves multiple branches cheaply)
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .transform(materialize)
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .transform(materialize)
-    )
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

@@ -118,17 +118,71 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized edge table a graph workload would maintain."""
     per = _EDGE_CACHE.setdefault(spark, {})
     if sf_dir not in per:
-        li = load_tables(spark, sf_dir)["lineitem"]
-        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-        per[sf_dir] = (
-            a.join(b, "ok")
-            .filter(F.col("src") < F.col("dst"))
-            .select("src", "dst")
-            .distinct()
-            .persist()
-        )
+        per[sf_dir] = _build_copurchase_edges(spark, sf_dir).persist()
     return per[sf_dir]
+
+
+def _build_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical (src < dst) distinct co-purchase edge plan, uncached —
+    the shared lineage behind both the session cache and the bucketed
+    write."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def write_copurchase_edges_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "copurchase_edges",
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Materialize the co-purchase edge table as a BUCKETED catalog table —
+    the durable form of the session cache for cluster deployments.
+
+    The session-persisted edge cache dies with the session (and with any
+    executor under dynamic allocation); at warehouse scale the edge table
+    is maintained as storage, written once per corpus snapshot, and every
+    graph query reads it co-located. Bucketing by ``src`` (sorted
+    ``src, dst``) moves the adjacency-build shuffle to write time: a
+    ``groupBy("src")`` or self-join on ``src`` over this table plans with
+    no Exchange on the bucketed side (tests/test_bucketed.py pins it).
+    The rows are already canonical (src < dst, distinct), so consumers
+    pass ``triangle_stats(..., canonical=True)`` and skip the canonize
+    shuffle too.
+
+    ``n_buckets`` sizes future bucket-local parallelism — fixed at write
+    time, so choose for the target volume (64 here suits the sf0.1-x10
+    probe range; hundreds at 100 TB).
+    """
+    from hadoop_jobanalyzer_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        _build_copurchase_edges(spark, sf_dir),
+        name,
+        ["src"],
+        n_buckets,
+        sort_cols=["src", "dst"],
+        path=path,
+    )
+
+
+def copurchase_edges_from_table(
+    spark: SparkSession, name: str = "copurchase_edges"
+) -> DataFrame:
+    """Read the bucketed edge table written by
+    ``write_copurchase_edges_bucketed`` (bucket metadata rides along from
+    the catalog, so downstream src-keyed operations stay Exchange-free)."""
+    from hadoop_jobanalyzer_spark.sources.bucketed import read_table
+
+    return read_table(spark, name)
 
 
 def release_copurchase_edges(spark: SparkSession, sf_dir: str | None = None) -> int:

@@ -64,3 +64,69 @@ def test_bucketed_groupby_has_no_exchange(spark, tmp_path, no_broadcast):
         assert agg.count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS t_grp_b")
+
+
+def test_copurchase_edges_bucketed_roundtrip_and_census(spark, tmp_path, no_broadcast):
+    """The durable form of the co-purchase session cache: the bucketed
+    catalog table holds exactly the canonical edge set, adjacency-shaped
+    work over it (groupBy / self-join on src) plans with NO Exchange on
+    the bucketed side, and triangle_stats(canonical=True) reproduces the
+    session-cache census bit for bit while skipping the canonize shuffle."""
+    from hadoop_jobanalyzer_spark.operators.graph import triangle_stats
+    from hadoop_jobanalyzer_spark.plans.sketch_queries import (
+        _copurchase_edges,
+        copurchase_edges_from_table,
+        release_copurchase_edges,
+        write_copurchase_edges_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    write_copurchase_edges_bucketed(
+        spark, sf, name="t_copurch_b", n_buckets=4, path=str(tmp_path / "edges")
+    )
+    try:
+        tbl = copurchase_edges_from_table(spark, "t_copurch_b")
+
+        # content == the session cache's edge set
+        release_copurchase_edges(spark)
+        want = sorted(map(tuple, _copurchase_edges(spark, sf).collect()))
+        got = sorted(map(tuple, tbl.collect()))
+        assert got == want and len(got) > 0
+
+        # adjacency build over the bucketed table: write-time bucketing
+        # replaced the groupBy shuffle
+        adj = tbl.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nb"))
+        plan = _plan(adj)
+        assert "Exchange" not in plan, f"bucketed adjacency still shuffles:\n{plan}"
+
+        # self-join on src (wedge enumeration shape): no Exchange either side
+        joined = tbl.join(
+            tbl.select(F.col("src"), F.col("dst").alias("dst2")), "src"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, f"bucketed self-join still shuffles:\n{plan}"
+
+        # census parity: canonical path over storage == session-cache path
+        want_row = triangle_stats(_copurchase_edges(spark, sf)).collect()[0]
+        got_row = triangle_stats(tbl, canonical=True).collect()[0]
+        assert got_row == want_row
+        release_copurchase_edges(spark)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_copurch_b")
+
+
+def test_triangle_stats_canonical_skips_canonize(spark):
+    """canonical=True must (a) equal the default path on already-canonical
+    input and (b) drop the canonize distinct from the plan."""
+    from hadoop_jobanalyzer_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], ["src", "dst"]
+    )
+    d = triangle_stats(edges).collect()[0]
+    c = triangle_stats(edges, canonical=True).collect()[0]
+    assert d == c == (5, 8, 2)
+    # the default path canonizes through a distinct (HashAggregate pair +
+    # Exchange) before anything else; canonical input skips straight to
+    # the degree aggregate
+    assert "deduplicate" not in _plan(triangle_stats(edges, canonical=True)).lower()
