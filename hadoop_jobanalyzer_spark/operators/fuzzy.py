@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from hadoop_jobanalyzer_spark.util import spread
+from hadoop_jobanalyzer_spark.util import materialize, spread
 
 
 def blocked_levenshtein_pairs(
@@ -56,6 +56,10 @@ def blocked_levenshtein_pairs(
             keyed.join(sized.filter(F.col("_bsz") <= max_block), "_blk")
             .drop("_bsz")
         )
+        # the capped table feeds both sides of the self-join below;
+        # without this each side recomputes the scan + block-size
+        # aggregate + cap join (multi-consumer rule)
+        keyed = materialize(keyed)
     a = keyed.select(
         F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_pfx").alias("_pfx_a")
     )
