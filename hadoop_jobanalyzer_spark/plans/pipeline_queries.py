@@ -233,6 +233,67 @@ def release_corpus_dedup(spark: SparkSession, sf_dir: str | None = None) -> int:
     return n
 
 
+def write_dedup_clusters_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "dedup_clusters",
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Materialize the corpus's dedup-cluster labels as a BUCKETED catalog
+    table — the durable form of the ``corpus_dedup`` session cache, and
+    the second half of the co-bucketed corpus layout (the first is
+    ``write_documents_bucketed``).
+
+    At warehouse scale the cluster table is written once per corpus
+    snapshot (the LSH + verify + connected-components build runs exactly
+    once) and every downstream pipeline — keeper selection, token-savings
+    accounting, training-mix manifests — JOINS it to the documents table
+    by ``doc_id``. Bucketing both tables by ``doc_id`` with the same
+    bucket count moves that join's shuffle to write time: the label join
+    plans with no Exchange on either side (tests/test_bucketed.py).
+
+    Output schema: (doc_id, component) — component is the min doc_id
+    reachable through verified near-dup pairs, exactly the session
+    cache's labels.
+    """
+    from hadoop_jobanalyzer_spark.sources.bucketed import write_bucketed
+
+    _, cc = corpus_dedup(spark, sf_dir)
+    write_bucketed(
+        cc.select(F.col("id").alias("doc_id"), "component"),
+        name,
+        ["doc_id"],
+        n_buckets,
+        sort_cols=["doc_id"],
+        path=path,
+    )
+
+
+def write_documents_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "documents_bucketed",
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Write the documents table bucketed by ``doc_id`` — the storage
+    layout that makes every doc-grain enrichment join (dedup labels,
+    quality flags, fingerprints) Exchange-free when the enrichment table
+    is bucketed with the same key and count. Use the same ``n_buckets``
+    as ``write_dedup_clusters_bucketed``."""
+    from hadoop_jobanalyzer_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        load_tables(spark, sf_dir)["documents"],
+        name,
+        ["doc_id"],
+        n_buckets,
+        sort_cols=["doc_id"],
+        path=path,
+    )
+
+
 def q34_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale dedup composition: LSH candidates -> exact
     Jaccard verify (only candidate pairs ever expand shingles). Served

@@ -130,3 +130,50 @@ def test_triangle_stats_canonical_skips_canonize(spark):
     # Exchange) before anything else; canonical input skips straight to
     # the degree aggregate
     assert "deduplicate" not in _plan(triangle_stats(edges, canonical=True)).lower()
+
+
+def test_cobucketed_corpus_layout_label_join(spark, tmp_path, no_broadcast):
+    """The co-bucketed corpus layout: documents and dedup-cluster labels
+    both bucketed by doc_id (same count) — the doc-grain enrichment join
+    every downstream pipeline runs plans with NO Exchange on either side,
+    and the stored labels equal the session cache's CC labels exactly."""
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import (
+        corpus_dedup,
+        release_corpus_dedup,
+        write_dedup_clusters_bucketed,
+        write_documents_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    release_corpus_dedup(spark)
+    write_dedup_clusters_bucketed(
+        spark, sf, name="t_clusters_b", n_buckets=4, path=str(tmp_path / "cl")
+    )
+    write_documents_bucketed(
+        spark, sf, name="t_docs_b", n_buckets=4, path=str(tmp_path / "docs")
+    )
+    try:
+        labels = read_table(spark, "t_clusters_b")
+        docs = read_table(spark, "t_docs_b")
+
+        # stored labels == the session cache's labels
+        _, cc = corpus_dedup(spark, sf)
+        want = sorted(map(tuple, cc.select("id", "component").collect()))
+        got = sorted(map(tuple, labels.collect()))
+        assert got == want and len(got) > 0
+
+        # the doc-grain enrichment join: no Exchange on either side
+        joined = docs.join(labels, "doc_id").select("doc_id", "lang", "component")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"co-bucketed label join still shuffles:\n{plan}"
+        assert joined.count() == docs.count()
+
+        # keeper selection over the layout: groupBy(component) reshuffles
+        # (different key — expected), but the scan side arrives pruned
+        keepers = labels.groupBy("component").agg(F.min("doc_id").alias("keeper"))
+        assert keepers.count() == len({c for _, c in got})
+        release_corpus_dedup(spark)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_clusters_b")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
