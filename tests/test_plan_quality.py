@@ -153,6 +153,10 @@ def _n_exchanges(plan: str) -> int:
         ("q44_daily_event_pivot", 3),  # two-level pivot agg + final sort
         ("q53_lineitem_unpivot_stats", 2),  # metric agg + final sort
         ("q43_split_counts", 2),   # (lang, split) agg + final sort
+        # capped block table materialized once (Scan ExistingRDD child);
+        # the remaining plan is the broadcast self-join + range sort —
+        # a regression that re-duplicates the block-size agg fails here
+        ("q50_fuzzy_prefix_pairs", 2),
         ("q60_knn_multiprobe", 0),  # broadcast probes + TakeOrdered: no shuffle
         ("q62_repetition_signals", 4),  # spread + 2-level agg + sort
         ("q63_contamination", 7),  # 2 branches + distinct + agg + size join + sort
