@@ -101,11 +101,17 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        df.persist()
+        # skip the wrap when the caller already persisted the frame: the
+        # existing cache equally de-duplicates the two checkpoint jobs,
+        # and unpersisting here would evict the CALLER's cache
+        already_cached = df.storageLevel.useMemory or df.storageLevel.useDisk
+        if not already_cached:
+            df.persist()
         try:
             return df.checkpoint(eager=True)
         finally:
-            df.unpersist()
+            if not already_cached:
+                df.unpersist()
     return df.localCheckpoint(eager=eager)
 
 

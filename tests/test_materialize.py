@@ -25,11 +25,16 @@ class _FakeDF:
     guard: an unpersisted reliable checkpoint re-runs the lineage in the
     checkpoint-write job)."""
 
-    def __init__(self, checkpoint_dir):
+    def __init__(self, checkpoint_dir, cached=False):
         self.called = None
         self.events = []
         sc = self
 
+        class _Level:
+            useMemory = cached
+            useDisk = cached
+
+        self.storageLevel = _Level()
         class _SS:
             sparkContext = sc
 
@@ -76,6 +81,14 @@ def test_materialize_dispatches_on_session_checkpoint_dir():
     materialize_eager(df)
     assert df.called == ("checkpoint", True)
     assert df.events == ["persist", "checkpoint", "unpersist"]
+
+    # a frame the CALLER already persisted must not be unpersisted out
+    # from under them — the existing cache already de-duplicates the two
+    # checkpoint jobs
+    df = _FakeDF(checkpoint_dir="hdfs:///checkpoints", cached=True)
+    materialize(df)
+    assert df.called == ("checkpoint", True)
+    assert df.events == ["checkpoint"]
 
 
 def test_materialize_default_is_local_and_truncates_lineage(spark):
