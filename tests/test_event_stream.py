@@ -983,3 +983,98 @@ def test_stateful_totals_soak_randomized_kills(spark, sf_dir, tmp_path):
     )
     want = {r["event_type"]: (r["n"], r["s"], r["m"]) for r in batch.collect()}
     assert latest == want
+
+
+def test_stream_stream_join_survives_mid_stream_kill(spark, sf_dir, tmp_path):
+    """Abrupt-kill recovery for the SYMMETRIC-HASH-JOIN state store — a
+    different state backend path than the applyInPandasWithState kill
+    tests: the view/purchase stream-stream join is stopped mid-stream
+    after >=2 committed batches, rebuilt from the same checkpoint, and
+    drained. Both sides' buffered state must roll back to the last
+    committed version and uncommitted batches replay, so after deduping
+    the at-least-once sink the matched pairs equal the batch inner join
+    exactly — no pair lost with a view in pre-kill state and its purchase
+    post-restart, none double-counted."""
+    import time
+
+    from hadoop_jobanalyzer_spark.streaming import view_purchase_join_stream
+
+    # time-ordered shards: the short watermark then drops nothing
+    df = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    d = tmp_path / "ssj_events"
+    d.mkdir()
+    n = len(df)
+    n_shards = 10
+    step = (n + n_shards - 1) // n_shards
+    for i, lo in enumerate(range(0, n, step)):
+        df.iloc[lo : lo + step].to_parquet(
+            d / f"shard{i:02d}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    ckpt = str(tmp_path / "ckpt_ssj")
+    out = str(tmp_path / "ssj_out")
+    schema = spark.read.parquet(str(d)).schema
+
+    def build(trigger_available_now):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        w = (
+            view_purchase_join_stream(
+                stream, max_gap="2 days", watermark_delay="1 minute", how="inner"
+            )
+            .writeStream.foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    q = build(trigger_available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.recentProgress
+        if len(p) >= 2:
+            break
+        time.sleep(0.2)
+    assert q.isActive, f"stream died before the kill: {q.exception()}"
+    q.stop()  # abrupt: join state beyond the last commit is abandoned
+    q.awaitTermination(60)
+
+    q2 = build(trigger_available_now=True)
+    q2.awaitTermination(300)
+
+    # at-least-once sink: a replayed batch re-appends identical pairs
+    got = {
+        (r["view_id"], r["purchase_id"]): r["gap_ms"]
+        for r in spark.read.parquet(out).collect()
+    }
+
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("vid"), F.col("ts").alias("vts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    inner = v.join(
+        p,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 2 days")),
+    ).select(
+        "vid", "pid",
+        (F.unix_millis("pts") - F.unix_millis("vts")).cast("long").alias("gap_ms"),
+    )
+    want = {(r["vid"], r["pid"]): r["gap_ms"] for r in inner.collect()}
+    assert got == want and len(got) > 10
