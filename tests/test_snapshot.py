@@ -39,6 +39,7 @@ def test_publish_writes_manifest_and_tables(spark, snapshot):
     assert os.path.exists(os.path.join(root, MANIFEST_NAME))
     assert set(manifest["tables"]) == {
         "t7_documents", "t7_dedup_clusters", "t7_copurchase_edges",
+        "t7_minhash_sigs",
     }
     # doc-grain tables share the bucket spec (the co-location contract)
     docs_spec = manifest["tables"]["t7_documents"]
@@ -53,7 +54,9 @@ def test_publish_writes_manifest_and_tables(spark, snapshot):
 def test_read_snapshot_serves_consumers(spark, snapshot):
     root, manifest = snapshot
     t = read_corpus_snapshot(spark, root, prefix="t7")
-    assert set(t) == {"documents", "dedup_clusters", "copurchase_edges"}
+    assert set(t) == {
+        "documents", "dedup_clusters", "copurchase_edges", "minhash_sigs",
+    }
 
     # keeper selection over the snapshot == over the session cache
     from hadoop_jobanalyzer_spark.plans.pipeline_queries import corpus_dedup
@@ -88,3 +91,53 @@ def test_read_refuses_partial_publish(spark, snapshot):
     json.dump(bad, open(path, "w"))
     with pytest.raises(ValueError, match="partial or superseded"):
         read_corpus_snapshot(spark, root, prefix="t7")
+
+
+def test_incremental_ingest_flow(spark, snapshot):
+    """The ingest-time dedup regime end-to-end: a new batch (exact copies
+    of 20 corpus docs under fresh ids) computes signatures for ITSELF
+    only, band-joins the snapshot's stored signature table, and every
+    copy must surface as a candidate pair with its source doc sharing all
+    bands. Appending the batch updates documents + signatures (bucket
+    spec preserved) and the manifest, and the NEXT batch sees the
+    appended docs as 'old'."""
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS
+    from hadoop_jobanalyzer_spark.plans.snapshot import (
+        append_batch_to_snapshot,
+        incremental_dedup_candidates,
+        read_corpus_snapshot,
+    )
+
+    root, manifest = snapshot
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    assert manifest["tables"]["t7_minhash_sigs"]["rows"] == n_docs
+
+    base = docs.orderBy("doc_id").limit(20).collect()
+    offset = 10_000_000
+    batch = spark.createDataFrame(
+        [r.asDict() | {"doc_id": r["doc_id"] + offset} for r in base],
+        schema=docs.schema,
+    )
+
+    pairs, new_sigs = incremental_dedup_candidates(spark, batch, prefix="t7")
+    got = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in pairs.collect()}
+    for r in base:
+        key = (r["doc_id"], r["doc_id"] + offset)
+        assert got.get(key) == _BANDS, f"exact copy {key} not fully banded: {got.get(key)}"
+
+    m2 = append_batch_to_snapshot(spark, root, batch, new_sigs, prefix="t7")
+    assert m2["tables"]["t7_documents"]["rows"] == n_docs + 20
+    assert m2["tables"]["t7_minhash_sigs"]["rows"] == n_docs + 20
+    # the refreshed manifest still gates reads
+    t = read_corpus_snapshot(spark, root, prefix="t7")
+    assert t["documents"].count() == n_docs + 20
+
+    # a second batch copying one APPENDED doc must pair against it
+    batch2 = spark.createDataFrame(
+        [base[0].asDict() | {"doc_id": base[0]["doc_id"] + 2 * offset}],
+        schema=docs.schema,
+    )
+    pairs2, _ = incremental_dedup_candidates(spark, batch2, prefix="t7")
+    got2 = {(r["id_a"], r["id_b"]) for r in pairs2.collect()}
+    assert (base[0]["doc_id"] + offset, base[0]["doc_id"] + 2 * offset) in got2
