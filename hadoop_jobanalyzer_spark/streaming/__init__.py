@@ -1,5 +1,13 @@
-"""Structured Streaming: arriving job logs (history_stream) and the
-star-schema event stream (event_stream)."""
+"""Structured Streaming: arriving job logs (history_stream), the
+star-schema event stream (event_stream), and corpus ingest with
+arrival-time incremental dedup (corpus_ingest)."""
+
+from hadoop_jobanalyzer_spark.streaming.corpus_ingest import (
+    compact_ingest_delta,
+    make_ingest_batch,
+    read_ingested_documents,
+    start_corpus_ingest,
+)
 
 from hadoop_jobanalyzer_spark.streaming.history_stream import (
     attempt_finish_counts,
@@ -34,6 +42,10 @@ from hadoop_jobanalyzer_spark.streaming.event_stream import (
 
 __all__ = [
     "attempt_finish_counts",
+    "compact_ingest_delta",
+    "make_ingest_batch",
+    "read_ingested_documents",
+    "start_corpus_ingest",
     "attempt_sessions",
     "dedup_attempts_stream",
     "dedup_events_stream",

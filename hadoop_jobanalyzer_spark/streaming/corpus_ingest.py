@@ -1,0 +1,266 @@
+"""Streaming corpus ingest: incremental dedup at arrival time.
+
+The batch-side snapshot layer (`plans/snapshot.py`) publishes the corpus
+and its MinHash signature table once per snapshot; this module is the
+ARRIVAL path. Documents land as files, a Structured Streaming query picks
+them up in micro-batches, dedups each batch against everything already
+ingested (published base + previously-ingested delta), and lands the
+batch's keep/drop decisions and the kept docs/signatures in a replay-safe
+delta area. A separate compaction job folds the delta into the bucketed
+base tables — the base-plus-delta cadence the snapshot layer documents.
+
+Replay safety WITHOUT a commit ledger: every per-batch write is
+partitioned by ``_batch_id`` with dynamic partition overwrite (the
+`streaming/sinks.py` idempotent-writer contract), so a replayed
+micro-batch overwrites exactly its own partitions and never duplicates.
+The stream never appends to the bucketed snapshot tables directly —
+`saveAsTable(mode="append")` is NOT idempotent under micro-batch replay.
+
+Two replay subtleties this module gets right (both pinned by
+tests/test_corpus_ingest_stream.py):
+
+- **A replayed batch must not dedup against its own half-written
+  output.** The delta read inside the batch function prunes
+  ``_batch_id >= current`` (partition-column filter, so pruning happens
+  at file listing), otherwise a crash-then-replay of batch N would see
+  N's own docs in the delta and drop the whole batch as self-duplicates.
+- **Compaction is idempotent, not transactional.** It appends
+  delta-minus-base (a doc_id anti-join, bucket-co-located on both sides)
+  into the base tables, refreshes the manifest, then clears the delta.
+  A crash between append and clear re-runs safely: the anti-join finds
+  nothing left to append. Compaction is a single-writer maintenance job;
+  don't run it concurrently with a live ingest stream over the same root.
+
+Scale notes (100 TB regime): per batch, cost is O(batch) signature work
+plus a band-key join against the signature store — never a corpus
+re-shingle (`operators/dedup.lsh_candidate_pairs_incremental`). Band
+buckets are capped (``max_bucket``), so a pathological boilerplate band
+cannot quadratically explode a batch. Delta files accumulate one
+directory per micro-batch; compaction is the no-small-files backstop and
+restores the bucket co-location guarantee for downstream joins.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELTA_DIRS = ("ingest_delta/documents", "ingest_delta/minhash_sigs",
+              "ingest_delta/decisions")
+
+
+def _delta_path(root: str, kind: str) -> str:
+    return os.path.join(root, "ingest_delta", kind)
+
+
+def _read_delta(spark: SparkSession, root: str, kind: str) -> DataFrame | None:
+    """Delta frame for ``kind`` (with its ``_batch_id`` partition column),
+    or None when no batch has landed yet."""
+    path = _delta_path(root, kind)
+    if not os.path.isdir(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # dir exists but holds no parquet yet
+        return None
+
+
+def make_ingest_batch(
+    root: str,
+    prefix: str = "corpus",
+    min_shared_bands: int = 1,
+    max_bucket: int | None = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` function for a corpus-ingest stream.
+
+    Per micro-batch of documents (same schema as ``{prefix}_documents``;
+    doc_ids globally unique by ingest contract):
+
+    1. MinHash signatures for the BATCH ONLY; LSH band-join against the
+       published signature table plus the already-kept delta signatures
+       from batches ``< batch_id`` (replay prune — see module docstring).
+    2. Keep/drop: a new doc drops when it shares >= ``min_shared_bands``
+       bands with any already-ingested doc, or with a smaller-doc_id doc
+       of the same batch (deterministic leader-keeps rule, the same
+       min-id convention as the corpus dedup clusters).
+    3. Land kept docs, kept docs' signatures, and the full decision audit
+       (one row per batch doc) under ``root/ingest_delta``, each
+       partitioned by ``_batch_id`` with dynamic overwrite.
+
+    Only KEPT docs' signatures enter the delta store: a future doc
+    near-duplicating a dropped doc is caught through the kept
+    representative it was dropped against (banding is not transitive, but
+    the representative shares the very bands that caused the drop for
+    exact and near-exact duplicates — and the global rebuild at the next
+    full publish is the corrector, per the snapshot layer's contract).
+    """
+    from hadoop_jobanalyzer_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+    )
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base_sigs = spark.table(f"{prefix}_minhash_sigs")
+        delta_sigs = _read_delta(spark, root, "minhash_sigs")
+        stored = base_sigs
+        if delta_sigs is not None:
+            stored = stored.unionByName(
+                delta_sigs.filter(F.col("_batch_id") < batch_id)
+                .select(base_sigs.columns)
+            )
+
+        pairs, new_sigs = lsh_candidate_pairs_incremental(
+            batch_df, "doc_id", "text", stored,
+            n_hashes=_N_HASHES, bands=_BANDS, max_bucket=max_bucket, ngram=3,
+        )
+        new_ids = batch_df.select("doc_id")
+        flagged = (
+            pairs.filter(F.col("n_shared_bands") >= min_shared_bands)
+            # classify each partner: id_a < id_b always, and a batch id is
+            # "new"; a pair drops id_b when both are new (leader keeps),
+            # and drops the new side when the partner is already ingested
+            .join(
+                new_ids.select(F.col("doc_id").alias("id_a"), F.lit(True).alias("_a_new")),
+                "id_a", "left",
+            )
+            .join(
+                new_ids.select(F.col("doc_id").alias("id_b"), F.lit(True).alias("_b_new")),
+                "id_b", "left",
+            )
+            .select(
+                F.when(F.col("_a_new") & F.col("_b_new"), F.col("id_b"))
+                .when(F.col("_a_new").isNotNull() & F.col("_b_new").isNull(), F.col("id_a"))
+                .when(F.col("_a_new").isNull() & F.col("_b_new").isNotNull(), F.col("id_b"))
+                .alias("doc_id"),
+                (F.col("_a_new").isNotNull() & F.col("_b_new").isNotNull()).alias("_vs_new"),
+            )
+            .where(F.col("doc_id").isNotNull())
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.when(~F.col("_vs_new"), 1).otherwise(0)).alias("n_old_hits"),
+                F.sum(F.when(F.col("_vs_new"), 1).otherwise(0)).alias("n_new_hits"),
+            )
+        )
+        decisions = (
+            batch_df.select("doc_id")
+            .join(flagged, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_old_hits", F.lit(0)).alias("n_old_hits"),
+                F.coalesce("n_new_hits", F.lit(0)).alias("n_new_hits"),
+                (F.coalesce("n_old_hits", F.lit(0)) + F.coalesce("n_new_hits", F.lit(0)) == 0)
+                .alias("kept"),
+            )
+        )
+        # all three writes hang off the same decision frame — evaluate the
+        # LSH join once, not once per sink
+        decisions = decisions.persist()
+        try:
+            kept_ids = decisions.filter("kept").select("doc_id")
+            _overwrite_batch(
+                batch_df.join(kept_ids, "doc_id", "left_semi"),
+                _delta_path(root, "documents"), batch_id,
+            )
+            _overwrite_batch(
+                new_sigs.join(kept_ids, "doc_id", "left_semi"),
+                _delta_path(root, "minhash_sigs"), batch_id,
+            )
+            _overwrite_batch(decisions, _delta_path(root, "decisions"), batch_id)
+        finally:
+            decisions.unpersist()
+
+    return ingest
+
+
+def _overwrite_batch(df: DataFrame, path: str, batch_id: int) -> None:
+    """Land one batch's rows under ``path/_batch_id=N`` — dynamic partition
+    overwrite makes a replayed batch rewrite exactly its own directory."""
+    (
+        df.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(path)
+    )
+
+
+def start_corpus_ingest(
+    spark: SparkSession,
+    docs_path: str,
+    root: str,
+    checkpoint: str,
+    prefix: str = "corpus",
+    max_files_per_trigger: int = 1,
+    min_shared_bands: int = 1,
+    max_bucket: int | None = 1000,
+):
+    """Start an ``availableNow`` ingest pass over the parquet document
+    files under ``docs_path``. Returns the StreamingQuery; rerun with the
+    same checkpoint to pick up files that arrived since the last pass."""
+    stream = (
+        spark.readStream.schema(spark.table(f"{prefix}_documents").schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            make_ingest_batch(root, prefix, min_shared_bands, max_bucket)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ingested_documents(
+    spark: SparkSession, root: str, prefix: str = "corpus"
+) -> DataFrame:
+    """The live corpus view: published base plus the kept delta docs."""
+    base = spark.table(f"{prefix}_documents")
+    delta = _read_delta(spark, root, "documents")
+    if delta is None:
+        return base
+    return base.unionByName(delta.select(base.columns))
+
+
+def compact_ingest_delta(
+    spark: SparkSession, root: str, prefix: str = "corpus"
+) -> dict | None:
+    """Fold the ingest delta into the bucketed base tables and clear it.
+
+    Appends delta-minus-base (doc_id anti-join; both sides bucketed by
+    doc_id, so the join is co-located) through
+    `plans/snapshot.append_batch_to_snapshot`, which preserves the bucket
+    spec and refreshes the manifest's row counts. Idempotent: re-running
+    after a crash between append and clear appends nothing. Returns the
+    refreshed manifest, or None when there was no delta to fold.
+    """
+    from hadoop_jobanalyzer_spark.plans.snapshot import append_batch_to_snapshot
+    from hadoop_jobanalyzer_spark.util import materialize_eager
+
+    delta_docs = _read_delta(spark, root, "documents")
+    delta_sigs = _read_delta(spark, root, "minhash_sigs")
+    if delta_docs is None or delta_sigs is None:
+        return None
+    base = spark.table(f"{prefix}_documents")
+    # materialize BEFORE appending: the anti-joins read the very tables the
+    # append mutates, and a lazy frame would re-evaluate against the
+    # already-appended table at write time — the sigs append would then
+    # anti-join its own rows away (found by the compaction test)
+    new_docs = materialize_eager(
+        delta_docs.join(base.select("doc_id"), "doc_id", "left_anti")
+    )
+    new_sigs = materialize_eager(
+        delta_sigs.join(base.select("doc_id"), "doc_id", "left_anti")
+    )
+    manifest = append_batch_to_snapshot(spark, root, new_docs, new_sigs, prefix)
+    # the appended rows are durable and counted in the manifest; the delta
+    # (including the decision audit for compacted batches) has served its
+    # purpose — clear so the next stream pass starts from an empty delta
+    shutil.rmtree(os.path.join(root, "ingest_delta"), ignore_errors=True)
+    return manifest

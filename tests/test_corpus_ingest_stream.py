@@ -1,0 +1,242 @@
+"""Streaming corpus ingest (streaming/corpus_ingest.py): micro-batch
+incremental dedup against the published snapshot, replay-safe delta
+writes, and idempotent compaction into the bucketed base.
+
+Uses a minimal snapshot (documents + minhash signature tables + manifest
+— the two tables the ingest path touches) so the tests don't pay the
+full publish's edge/cluster builds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.streaming.corpus_ingest import (
+    compact_ingest_delta,
+    make_ingest_batch,
+    read_ingested_documents,
+    start_corpus_ingest,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+PREFIX = "ing"
+
+
+@pytest.fixture
+def snapshot(spark, tmp_path):
+    from hadoop_jobanalyzer_spark.operators.dedup import minhash_signatures
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _N_HASHES
+    from hadoop_jobanalyzer_spark.sources.bucketed import write_bucketed
+
+    root = str(tmp_path / "snap")
+    os.makedirs(root)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", _N_HASHES, 3)
+    tables = {}
+    for name, df, path in (
+        (f"{PREFIX}_documents", docs, "documents"),
+        (f"{PREFIX}_minhash_sigs", sigs, "minhash_sigs"),
+    ):
+        write_bucketed(
+            df, name, ["doc_id"], 4, sort_cols=["doc_id"],
+            path=os.path.join(root, path),
+        )
+        tables[name] = {"bucket_by": "doc_id", "n_buckets": 4,
+                        "rows": spark.table(name).count()}
+    with open(os.path.join(root, "_MANIFEST.json"), "w") as fh:
+        json.dump({"source": SF_DIR, "root": root, "tables": tables}, fh)
+    yield root
+    for name in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _doc_rows(spark, texts_by_id):
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    return spark.createDataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": "en", "source": "stream",
+             "n_chars": len(t)}
+            for i, t in texts_by_id.items()
+        ],
+        schema=schema,
+    )
+
+
+def _land_files(spark, stream_dir, df):
+    df.coalesce(1).write.mode("append").parquet(stream_dir)
+
+
+def _run_pass(spark, stream_dir, root, ckpt):
+    q = start_corpus_ingest(
+        spark, stream_dir, root, ckpt, prefix=PREFIX, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+
+def _decisions(spark, root):
+    path = os.path.join(root, "ingest_delta", "decisions")
+    return spark.read.parquet(path)
+
+
+def test_three_batch_ingest_dedups_against_base_then_delta(
+    spark, tmp_path, snapshot
+):
+    """Batch 0: exact copies of base docs -> all dropped against the
+    published store. Batch 1: fresh docs -> all kept, landed in the
+    delta. Batch 2: copies of batch 1 -> dropped against the DELTA (the
+    store the stream itself built), never against a corpus re-shingle."""
+    root = snapshot
+    stream_dir = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").orderBy("doc_id").limit(5).collect()
+    n_base = spark.table(f"{PREFIX}_documents").count()
+
+    copies = _doc_rows(
+        spark, {r["doc_id"] + 10_000_000: r["text"] for r in base}
+    )
+    _land_files(spark, stream_dir, copies)
+    _run_pass(spark, stream_dir, root, ckpt)
+    d0 = _decisions(spark, root).filter("_batch_id = 0")
+    assert d0.count() == 5
+    assert d0.filter("kept").count() == 0
+    assert d0.filter("n_old_hits > 0").count() == 5
+    # nothing kept -> the live corpus view is still just the base
+    assert read_ingested_documents(spark, root, PREFIX).count() == n_base
+
+    fresh = _doc_rows(
+        spark,
+        {
+            20_000_000 + i: " ".join(f"novel{i}tok{j}" for j in range(12))
+            for i in range(6)
+        },
+    )
+    _land_files(spark, stream_dir, fresh)
+    _run_pass(spark, stream_dir, root, ckpt)
+    d1 = _decisions(spark, root).filter("_batch_id = 1")
+    assert d1.count() == 6
+    assert d1.filter("kept").count() == 6
+    assert read_ingested_documents(spark, root, PREFIX).count() == n_base + 6
+
+    recopies = _doc_rows(
+        spark,
+        {
+            30_000_000 + i: " ".join(f"novel{i}tok{j}" for j in range(12))
+            for i in range(6)
+        },
+    )
+    _land_files(spark, stream_dir, recopies)
+    _run_pass(spark, stream_dir, root, ckpt)
+    d2 = _decisions(spark, root).filter("_batch_id = 2")
+    assert d2.count() == 6
+    assert d2.filter("kept").count() == 0
+    # the batch-2 copies matched previously-INGESTED docs (delta), which
+    # count as old: the stream's own output gates later arrivals
+    assert d2.filter("n_old_hits > 0").count() == 6
+    assert read_ingested_documents(spark, root, PREFIX).count() == n_base + 6
+
+
+def test_crash_after_write_replays_exactly_once(spark, tmp_path, snapshot):
+    """Kill after the batch's delta writes land but before the checkpoint
+    commit: the replayed batch must (a) not dedup against its own
+    half-written output — the _batch_id < current prune — so every fresh
+    doc is still KEPT, and (b) overwrite its own partitions rather than
+    duplicate them."""
+    root = snapshot
+    stream_dir = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    fresh = _doc_rows(
+        spark,
+        {
+            40_000_000 + i: " ".join(f"solo{i}word{j}" for j in range(12))
+            for i in range(4)
+        },
+    )
+    _land_files(spark, stream_dir, fresh)
+
+    inner = make_ingest_batch(root, PREFIX)
+    crashed = {"done": False}
+
+    def flaky(df, batch_id):
+        inner(df, batch_id)
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after write, before commit")
+
+    stream = (
+        spark.readStream.schema(spark.table(f"{PREFIX}_documents").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(flaky)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+        q.stop()
+    assert crashed["done"]
+    # the failed batch's output is on disk (uncommitted)
+    assert _decisions(spark, root).count() == 4
+
+    # restart from the same checkpoint: batch 0 replays over its own output
+    _run_pass(spark, stream_dir, root, ckpt)
+    d = _decisions(spark, root)
+    assert d.count() == 4  # overwritten, not appended
+    assert d.filter("kept").count() == 4  # did NOT self-dedup on replay
+    docs = spark.read.parquet(os.path.join(root, "ingest_delta", "documents"))
+    assert docs.count() == 4
+    assert docs.select("doc_id").distinct().count() == 4
+
+
+def test_compaction_folds_delta_and_is_idempotent(spark, tmp_path, snapshot):
+    root = snapshot
+    stream_dir = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    n_base = spark.table(f"{PREFIX}_documents").count()
+    fresh = _doc_rows(
+        spark,
+        {
+            50_000_000 + i: " ".join(f"fold{i}tok{j}" for j in range(12))
+            for i in range(3)
+        },
+    )
+    _land_files(spark, stream_dir, fresh)
+    _run_pass(spark, stream_dir, root, ckpt)
+
+    # preserve the delta to replay a crash-between-append-and-clear below
+    saved = str(tmp_path / "delta_copy")
+    shutil.copytree(os.path.join(root, "ingest_delta"), saved)
+
+    manifest = compact_ingest_delta(spark, root, PREFIX)
+    assert manifest["tables"][f"{PREFIX}_documents"]["rows"] == n_base + 3
+    assert manifest["tables"][f"{PREFIX}_minhash_sigs"]["rows"] == n_base + 3
+    assert spark.table(f"{PREFIX}_documents").count() == n_base + 3
+    assert not os.path.exists(os.path.join(root, "ingest_delta"))
+    # live view == base after fold (delta cleared, rows moved into base)
+    assert read_ingested_documents(spark, root, PREFIX).count() == n_base + 3
+
+    # nothing to fold -> no-op
+    assert compact_ingest_delta(spark, root, PREFIX) is None
+
+    # crash window replay: delta still on disk after its rows were already
+    # appended -> re-running compaction must append NOTHING (anti-join)
+    shutil.copytree(saved, os.path.join(root, "ingest_delta"))
+    manifest2 = compact_ingest_delta(spark, root, PREFIX)
+    assert manifest2["tables"][f"{PREFIX}_documents"]["rows"] == n_base + 3
+    assert spark.table(f"{PREFIX}_documents").count() == n_base + 3
+
+    # post-compaction arrivals dedup against the folded base table
+    recopy = _doc_rows(
+        spark, {60_000_000: " ".join(f"fold0tok{j}" for j in range(12))}
+    )
+    _land_files(spark, stream_dir, recopy)
+    _run_pass(spark, stream_dir, root, ckpt)
+    d = _decisions(spark, root).filter("doc_id = 60000000").collect()
+    assert len(d) == 1 and not d[0]["kept"] and d[0]["n_old_hits"] > 0
