@@ -82,6 +82,13 @@ try:  # pipeline planners (LSH banding, compaction, group k-fold, boilerplate)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # publication gates (k-anonymity, semantic-dedup manifest)
+    from hadoop_jobanalyzer_spark.plans.curation_queries import CURATION_QUERIES
+
+    QUERIES.update(CURATION_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 # The driver's correctness gate records at most 50 queries per round, in
 # registry iteration order (CORRECTNESS_r01.json stopped at exactly the
 # first 50 of 59).  To make the union of rounds cover everything AND keep
@@ -226,6 +233,7 @@ _BIGINT_CASTS: dict[str, tuple[str, ...]] = {
     "q226_session_timeout_grid": ("n_sessions",),
     "q228_distinctive_terms": ("c_rest",),
     "q229_quality_dup_calibration": ("n_dup",),
+    "q230_k_anonymity": ("n_rows", "rows_at_risk"),
     "q90_sq8_error_histogram": ("err_bucket",),
 }
 
