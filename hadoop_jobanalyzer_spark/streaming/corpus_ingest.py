@@ -191,22 +191,31 @@ def _overwrite_batch(df: DataFrame, path: str, batch_id: int) -> None:
 
 def start_corpus_ingest(
     spark: SparkSession,
-    docs_path: str,
+    docs_path: str | None,
     root: str,
     checkpoint: str,
     prefix: str = "corpus",
     max_files_per_trigger: int = 1,
     min_shared_bands: int = 1,
     max_bucket: int | None = 1000,
+    stream: DataFrame | None = None,
 ):
     """Start an ``availableNow`` ingest pass over the parquet document
     files under ``docs_path``. Returns the StreamingQuery; rerun with the
-    same checkpoint to pick up files that arrived since the last pass."""
-    stream = (
-        spark.readStream.schema(spark.table(f"{prefix}_documents").schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(docs_path)
-    )
+    same checkpoint to pick up files that arrived since the last pass.
+
+    Arrivals in another format compose through ``stream``: pass any
+    streaming DataFrame carrying the document columns (e.g.
+    ``sources.corpus.read_jsonl_corpus_stream`` for JSONL shards, or the
+    WARC datasource piped through a payload-to-text projection) and
+    ``docs_path`` is ignored. The batch function only needs the
+    ``{prefix}_documents`` columns present."""
+    if stream is None:
+        stream = (
+            spark.readStream.schema(spark.table(f"{prefix}_documents").schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(docs_path)
+        )
     return (
         stream.writeStream.foreachBatch(
             make_ingest_batch(root, prefix, min_shared_bands, max_bucket)

@@ -195,6 +195,45 @@ def test_crash_after_write_replays_exactly_once(spark, tmp_path, snapshot):
     assert docs.select("doc_id").distinct().count() == 4
 
 
+def test_jsonl_arrivals_compose_with_ingest(spark, tmp_path, snapshot):
+    """Arrivals in JSONL land through read_jsonl_corpus_stream and the
+    SAME ingest batch function: a shard carrying one copy of a base doc
+    and one fresh doc keeps exactly the fresh one."""
+    import json as _json
+
+    from hadoop_jobanalyzer_spark.sources.corpus import read_jsonl_corpus_stream
+
+    root = snapshot
+    stream_dir = tmp_path / "jsonl_arrivals"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_jsonl")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").orderBy("doc_id").first()
+    fresh_text = " ".join(f"jsonl{j}only" for j in range(12))
+    with open(stream_dir / "shard0.jsonl", "w") as fh:
+        for rec in (
+            {"id": 70_000_000, "text": base["text"], "lang": base["lang"],
+             "source": "jsonl", "n_chars": len(base["text"])},
+            {"id": 70_000_001, "text": fresh_text, "lang": "en",
+             "source": "jsonl", "n_chars": len(fresh_text)},
+        ):
+            fh.write(_json.dumps(rec) + "\n")
+
+    stream = read_jsonl_corpus_stream(
+        spark, str(stream_dir),
+        "id long, text string, lang string, source string, n_chars long",
+    )
+    q = start_corpus_ingest(
+        spark, None, root, ckpt, prefix=PREFIX, stream=stream
+    )
+    q.awaitTermination(300)
+    d = {r["doc_id"]: r for r in _decisions(spark, root).collect()}
+    assert set(d) == {70_000_000, 70_000_001}
+    assert not d[70_000_000]["kept"] and d[70_000_000]["n_old_hits"] > 0
+    assert d[70_000_001]["kept"]
+    docs = spark.read.parquet(os.path.join(root, "ingest_delta", "documents"))
+    assert [r["doc_id"] for r in docs.collect()] == [70_000_001]
+
+
 def test_compaction_folds_delta_and_is_idempotent(spark, tmp_path, snapshot):
     root = snapshot
     stream_dir = str(tmp_path / "arrivals")
