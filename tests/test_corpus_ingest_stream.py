@@ -234,6 +234,108 @@ def test_jsonl_arrivals_compose_with_ingest(spark, tmp_path, snapshot):
     assert [r["doc_id"] for r in docs.collect()] == [70_000_001]
 
 
+def test_ingest_soak_randomized_kills_then_compaction(spark, tmp_path, snapshot):
+    """Soak for the ingest stream: 12 single-file micro-batches
+    (fresh-shard / copy-shard alternating, so every batch's decision
+    depends on earlier batches' delta) interrupted by THREE abrupt kills
+    at seeded-random points, then a drain from the same checkpoint.
+    Repeated kill/replay must leave the decision audit exactly-once (one
+    row per arriving doc), keep exactly the fresh docs, and drop every
+    copy against the delta its original landed in — the `_batch_id`
+    dynamic-overwrite + `< current` prune contract under arbitrary
+    restart offsets. The stream then survives a compaction: the next
+    arrival dedups against the folded BASE with the delta cleared, from
+    the same checkpoint."""
+    import random
+    import time
+
+    root = snapshot
+    stream_dir = tmp_path / "soak_arrivals"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_soak")
+    n_base = spark.table(f"{PREFIX}_documents").count()
+    base_doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").orderBy("doc_id").first()
+
+    fresh_ids, copy_ids, mtime = [], [], time.time() - 1000
+    for s in range(6):
+        fresh = {
+            80_000_000 + s * 100 + i: " ".join(f"soak{s}d{i}w{j}" for j in range(12))
+            for i in range(4)
+        }
+        if s == 0:  # one base copy rides in the first shard
+            fresh[85_000_000] = base_doc["text"]
+        _land_files(spark, str(stream_dir), _doc_rows(spark, fresh))
+        copies = {
+            90_000_000 + s * 100 + i: " ".join(f"soak{s}d{i}w{j}" for j in range(12))
+            for i in range(4)
+        }
+        _land_files(spark, str(stream_dir), _doc_rows(spark, copies))
+        fresh_ids += [k for k in fresh if k < 85_000_000]
+        copy_ids += list(copies)
+    # the file source orders batches by modification time; the sequential
+    # appends above land with strictly increasing mtimes, so every copy
+    # shard is processed after the shard carrying its originals
+
+    def build(available_now):
+        stream = (
+            spark.readStream.schema(spark.table(f"{PREFIX}_documents").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        w = (
+            stream.writeStream.foreachBatch(make_ingest_batch(root, PREFIX))
+            .option("checkpointLocation", ckpt)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    rng = random.Random(0x50AC)
+    for phase in range(3):
+        want = rng.randint(1, 4)
+        q = build(available_now=False)
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if len(q.recentProgress) >= want:
+                break
+            time.sleep(0.1 + rng.random() * 0.3)
+        assert q.exception() is None, f"phase {phase} died: {q.exception()}"
+        q.stop()  # abrupt: mid-batch work abandoned
+        q.awaitTermination(60)
+
+    qf = build(available_now=True)
+    qf.awaitTermination(600)
+
+    d = _decisions(spark, root)
+    rows = {r["doc_id"]: r for r in d.collect()}
+    # exactly-once audit: one row per arriving doc, no replay duplicates
+    assert d.count() == len(rows) == 6 * 4 * 2 + 1
+    kept = {i for i, r in rows.items() if r["kept"]}
+    assert kept == set(fresh_ids)
+    assert not rows[85_000_000]["kept"] and rows[85_000_000]["n_old_hits"] > 0
+    for c in copy_ids:  # every copy dropped against already-INGESTED docs
+        assert not rows[c]["kept"] and rows[c]["n_old_hits"] > 0, c
+    docs = spark.read.parquet(os.path.join(root, "ingest_delta", "documents"))
+    assert docs.select("doc_id").distinct().count() == docs.count() == len(fresh_ids)
+    assert read_ingested_documents(spark, root, PREFIX).count() == n_base + len(fresh_ids)
+
+    # compaction mid-stream-lifetime: fold, then the NEXT arrival (same
+    # checkpoint) dedups against the folded base with an empty delta
+    manifest = compact_ingest_delta(spark, root, PREFIX)
+    assert manifest["tables"][f"{PREFIX}_documents"]["rows"] == n_base + len(fresh_ids)
+    post = {
+        95_000_000: " ".join(f"soak0d0w{j}" for j in range(12)),  # copy of a folded doc
+        95_000_001: " ".join(f"postfold{j}" for j in range(12)),
+    }
+    _land_files(spark, str(stream_dir), _doc_rows(spark, post))
+    qp = build(available_now=True)
+    qp.awaitTermination(300)
+    dp = {r["doc_id"]: r for r in _decisions(spark, root).collect()}
+    assert set(dp) == {95_000_000, 95_000_001}
+    assert not dp[95_000_000]["kept"] and dp[95_000_000]["n_old_hits"] > 0
+    assert dp[95_000_001]["kept"]
+
+
 def test_compaction_folds_delta_and_is_idempotent(spark, tmp_path, snapshot):
     root = snapshot
     stream_dir = str(tmp_path / "arrivals")

@@ -35,6 +35,7 @@ STORES = [
     ("/root/testdata/sf0.01", "documents.parquet"),
     ("/root/testdata/sf0.1", "documents.parquet"),
     ("/tmp/hja_scale10", "documents.parquet"),
+    ("/tmp/hja_scale100", "documents.parquet"),  # built by scale10.py --factor 100
 ]
 
 
@@ -59,6 +60,10 @@ def main() -> int:
     ap.add_argument("--batch-docs", type=int, default=500)
     args = ap.parse_args()
 
+    # the x100 store build (500k-doc MinHash) trips the 8g GC-locker
+    # stall documented in SCALE.md — same default as tools/scale10.py
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
     from hadoop_jobanalyzer_spark.operators.dedup import minhash_signatures
     from hadoop_jobanalyzer_spark.plans.pipeline_queries import _N_HASHES
     from hadoop_jobanalyzer_spark.session import get_spark
@@ -67,7 +72,11 @@ def main() -> int:
         start_corpus_ingest,
     )
 
-    spark = get_spark()
+    spark = get_spark(
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g")
+        }
+    )
     spark.sparkContext.setLogLevel("ERROR")
     docs_schema = spark.read.parquet(f"{STORES[0][0]}/documents.parquet").schema
 
