@@ -178,6 +178,28 @@ def append_batch_to_snapshot(
     return manifest
 
 
+def compact_snapshot(spark: SparkSession, root: str, prefix: str = "corpus") -> dict:
+    """Collapse append fragmentation across every table in the snapshot
+    manifest (`sources/bucketed.compact_bucketed_table` per table) and
+    verify the manifest's row counts still hold afterwards — a rewrite
+    that changed cardinality must fail HERE, in the maintenance job,
+    not later at a consumer. Returns {table: rewrite stats}."""
+    from hadoop_jobanalyzer_spark.sources.bucketed import compact_bucketed_table
+
+    with open(os.path.join(root, MANIFEST_NAME)) as fh:
+        manifest = json.load(fh)
+    stats = {}
+    for name, spec in manifest["tables"].items():
+        stats[name] = compact_bucketed_table(spark, name)
+        n = spark.table(name).count()
+        if n != spec["rows"]:
+            raise ValueError(
+                f"compaction changed {name}: manifest says {spec['rows']} rows, "
+                f"rewrite left {n}"
+            )
+    return stats
+
+
 def read_corpus_snapshot(
     spark: SparkSession, root: str, prefix: str = "corpus"
 ) -> dict[str, DataFrame]:

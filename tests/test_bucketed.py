@@ -177,3 +177,61 @@ def test_cobucketed_corpus_layout_label_join(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_clusters_b")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
+
+
+def test_compact_bucketed_table_collapses_append_fragmentation(
+    spark, tmp_path, no_broadcast
+):
+    """Three appends fragment each bucket across files; compaction must
+    collapse to one file per non-empty bucket, preserve content and the
+    bucket spec (the groupBy still plans with no Exchange afterwards),
+    and leave the row count unchanged for the manifest gate."""
+    from hadoop_jobanalyzer_spark.sources.bucketed import (
+        compact_bucketed_table,
+        data_file_count,
+        table_bucket_spec,
+    )
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 17).alias("v")
+    )
+    write_bucketed(base, "t_compact_b", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "compact"))
+    for lo in (400, 800, 1200):
+        write_bucketed(
+            spark.range(lo, lo + 400).select(
+                F.col("id").alias("k"), (F.col("id") % 17).alias("v")
+            ),
+            "t_compact_b", ["k"], 4, sort_cols=["k"], mode="append",
+        )
+    try:
+        assert data_file_count(spark, "t_compact_b") > 4  # fragmented
+        want = sorted(map(tuple, spark.table("t_compact_b").collect()))
+
+        stats = compact_bucketed_table(spark, "t_compact_b")
+        assert stats["files_before"] > 4
+        assert stats["files_after"] <= 4  # one file per non-empty bucket
+        assert sorted(map(tuple, spark.table("t_compact_b").collect())) == want
+
+        n_buckets, bucket_cols, sort_cols, _ = table_bucket_spec(spark, "t_compact_b")
+        assert (n_buckets, bucket_cols, sort_cols) == (4, ["k"], ["k"])
+        agg = spark.table("t_compact_b").groupBy("k").count()
+        plan = _plan(agg)
+        assert "Exchange" not in plan, f"compaction lost the bucket spec:\n{plan}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_compact_b")
+
+
+def test_compact_bucketed_table_rejects_unbucketed(spark, tmp_path):
+    spark.range(10).write.mode("overwrite").option(
+        "path", str(tmp_path / "plain")
+    ).saveAsTable("t_plain_nb")
+    try:
+        from hadoop_jobanalyzer_spark.sources.bucketed import compact_bucketed_table
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not a bucketed table"):
+            compact_bucketed_table(spark, "t_plain_nb")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_plain_nb")

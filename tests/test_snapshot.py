@@ -141,3 +141,39 @@ def test_incremental_ingest_flow(spark, snapshot):
     pairs2, _ = incremental_dedup_candidates(spark, batch2, prefix="t7")
     got2 = {(r["id_a"], r["id_b"]) for r in pairs2.collect()}
     assert (base[0]["doc_id"] + offset, base[0]["doc_id"] + 2 * offset) in got2
+
+
+def test_compact_snapshot_after_appends(spark, snapshot):
+    """Batch appends fragment the doc-grain tables; compact_snapshot must
+    collapse every manifest table to one file per non-empty bucket,
+    keep the manifest row-count gate green, and preserve the co-located
+    join (keeper selection unchanged, still bucketed)."""
+    from hadoop_jobanalyzer_spark.plans.snapshot import (
+        append_batch_to_snapshot,
+        compact_snapshot,
+        incremental_dedup_candidates,
+    )
+    from hadoop_jobanalyzer_spark.sources.bucketed import data_file_count
+
+    root, manifest = snapshot
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    offset = 40_000_000
+    for b in range(2):  # two appended batches -> fragmented buckets
+        rows = docs.orderBy("doc_id").limit(5).collect()
+        batch = spark.createDataFrame(
+            [r.asDict() | {"doc_id": r["doc_id"] + offset * (b + 1)} for r in rows],
+            schema=docs.schema,
+        )
+        _, sigs = incremental_dedup_candidates(spark, batch, prefix="t7")
+        append_batch_to_snapshot(spark, root, batch, sigs, prefix="t7")
+
+    frag = data_file_count(spark, "t7_documents")
+    assert frag > 4  # base write (4 buckets) + 2 appends
+
+    stats = compact_snapshot(spark, root, prefix="t7")
+    assert set(stats) == set(manifest["tables"])
+    assert stats["t7_documents"]["files_after"] <= 4
+    assert stats["t7_minhash_sigs"]["files_after"] <= 4
+    # the count gate still passes end-to-end (manifest unchanged by compaction)
+    t = read_corpus_snapshot(spark, root, prefix="t7")
+    assert t["documents"].count() == docs.count() + 10
