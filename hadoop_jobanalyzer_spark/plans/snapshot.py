@@ -33,10 +33,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_NAME = "_MANIFEST.json"
+LATEST_NAME = "_LATEST"
 
 
 def publish_corpus_snapshot(
@@ -198,6 +201,212 @@ def compact_snapshot(spark: SparkSession, root: str, prefix: str = "corpus") -> 
                 f"rewrite left {n}"
             )
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Versioned publishes: atomic pointer commit, time-travel reads, vacuum.
+#
+# The flat layout above is single-writer/single-version: a re-publish
+# overwrites the live tables in place, so a reader racing the writer can see
+# partial state (the manifest gate DETECTS it, but the snapshot is
+# unavailable until the publish finishes), and `compact_bucketed_table`'s
+# in-place rewrite documents the same non-atomicity. The versioned layout is
+# the standard lakehouse fix: every publish writes a COMPLETE new tree under
+# ``root/v{N}/`` with per-version catalog names (``{prefix}_v{N}_documents``),
+# then commits by atomically renaming a pointer file (``root/_LATEST``) onto
+# the new version. Readers resolve the pointer first, so they only ever see
+# fully-committed trees; a writer crash leaves an orphan ``v{N}`` directory
+# that no pointer references — invisible to readers, reclaimed by vacuum.
+#
+# ``os.replace`` is atomic on POSIX filesystems (rename(2)); on an object
+# store the same commit is a conditional PUT of the pointer object — the
+# layout translates, only the one-line commit primitive changes.
+# ---------------------------------------------------------------------------
+
+
+def list_versions(root: str) -> list[int]:
+    """Sorted version numbers with a ``v{N}`` directory under ``root``
+    (committed or not — commitment is the pointer's business)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and os.path.isdir(os.path.join(root, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_version(root: str) -> int | None:
+    """The committed version the ``_LATEST`` pointer references, or None
+    if nothing has ever been committed."""
+    path = os.path.join(root, LATEST_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return int(json.load(fh)["version"])
+
+
+def version_dir(root: str, version: int) -> str:
+    return os.path.join(root, f"v{version}")
+
+
+def _commit_pointer(root: str, version: int) -> None:
+    """Atomically point ``root/_LATEST`` at ``version`` (write-temp +
+    rename — readers see the old pointer or the new one, never a torn
+    write)."""
+    tmp = os.path.join(root, f".{LATEST_NAME}.v{version}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+        fh.write("\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(root, LATEST_NAME))
+
+
+def publish_snapshot_version(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    n_buckets: int = 64,
+    prefix: str = "corpus",
+) -> dict:
+    """Publish a NEW snapshot version under ``root/v{N}`` and commit the
+    pointer. Readers on the previous version are never disturbed: the new
+    tree is complete (manifest written last within the tree) before the
+    one-step pointer rename makes it visible.
+
+    Version numbers only grow — an orphan directory from a crashed publish
+    occupies its number forever (vacuum reclaims the space, not the
+    number), so a version id is globally unambiguous in logs and
+    manifests."""
+    versions = list_versions(root)
+    v = (versions[-1] if versions else 0) + 1
+    vroot = version_dir(root, v)
+    manifest = publish_corpus_snapshot(
+        spark, sf_dir, vroot, n_buckets=n_buckets, prefix=f"{prefix}_v{v}"
+    )
+    manifest["version"] = v
+    _write_manifest(vroot, manifest)
+    _commit_pointer(root, v)
+    return manifest
+
+
+def read_latest_snapshot(
+    spark: SparkSession, root: str, prefix: str = "corpus"
+) -> dict[str, DataFrame]:
+    """Resolve the ``_LATEST`` pointer and open that version through the
+    manifest row-count gate. Raises if nothing was ever committed."""
+    v = latest_version(root)
+    if v is None:
+        raise ValueError(f"no committed snapshot version under {root}")
+    return read_corpus_snapshot(spark, version_dir(root, v), prefix=f"{prefix}_v{v}")
+
+
+def compact_snapshot_to_new_version(
+    spark: SparkSession, root: str, prefix: str = "corpus"
+) -> dict:
+    """Atomic compaction: rewrite the LATEST version's tables, one file per
+    bucket, into a brand-new version and commit the pointer.
+
+    This is the maintenance form `compact_bucketed_table`'s docstring asks
+    for: the in-place rewrite is fine in a single-writer window, but a
+    crash mid-rewrite leaves the live version partial. Copy-compacting
+    into ``v{N+1}`` keeps the old version intact until the pointer flips —
+    a crash anywhere leaves readers on the old version and an orphan
+    directory for vacuum. Row counts are verified per table BEFORE the
+    commit; a rewrite that changed cardinality aborts with the pointer
+    untouched."""
+    from hadoop_jobanalyzer_spark.sources.bucketed import (
+        table_bucket_spec,
+        write_bucketed,
+    )
+    from hadoop_jobanalyzer_spark.util import materialize_eager
+    from pyspark.sql import functions as F
+
+    cur = latest_version(root)
+    if cur is None:
+        raise ValueError(f"no committed snapshot version under {root}")
+    with open(os.path.join(version_dir(root, cur), MANIFEST_NAME)) as fh:
+        old = json.load(fh)
+
+    v = list_versions(root)[-1] + 1
+    vroot = version_dir(root, v)
+    os.makedirs(vroot, exist_ok=True)
+    old_prefix, new_prefix = f"{prefix}_v{cur}", f"{prefix}_v{v}"
+    tables: dict[str, dict] = {}
+    for old_name, spec in old["tables"].items():
+        short = old_name.removeprefix(f"{old_prefix}_")
+        new_name = f"{new_prefix}_{short}"
+        # sort spec lives in the catalog, not the manifest (edges sort
+        # src,dst while bucketing by src alone) — preserve it exactly
+        _, bucket_cols, sort_cols, _ = table_bucket_spec(spark, old_name)
+        # materialize first so the shuffle is real (see compact_bucketed_table)
+        df = materialize_eager(spark.table(old_name)).repartition(
+            spec["n_buckets"], *[F.col(c) for c in bucket_cols]
+        )
+        write_bucketed(
+            df, new_name, bucket_cols, spec["n_buckets"],
+            sort_cols=sort_cols or None, path=os.path.join(vroot, short),
+        )
+        n = spark.table(new_name).count()
+        if n != spec["rows"]:
+            raise ValueError(
+                f"compaction changed {old_name} -> {new_name}: "
+                f"{spec['rows']} rows became {n}; pointer NOT moved"
+            )
+        tables[new_name] = dict(spec)
+    manifest = {
+        "source": old.get("source"), "root": vroot, "tables": tables,
+        "version": v, "compacted_from": cur,
+    }
+    _write_manifest(vroot, manifest)
+    _commit_pointer(root, v)
+    return manifest
+
+
+def vacuum_snapshot_versions(
+    spark: SparkSession, root: str, keep: int = 2, prefix: str = "corpus"
+) -> dict:
+    """Reclaim storage from old and orphaned versions; never touch the
+    pointer's target or anything newer than it.
+
+    Removal set: committed history older than the newest ``keep``
+    committed versions (time-travel retention), plus orphan directories
+    (no manifest — a crashed publish) STRICTLY older than the pointer
+    target. An orphan newer than the pointer may be a publish in flight
+    and is left alone — at 100 TB the cost of a day's extra storage is
+    nothing next to deleting a concurrent writer's half-written tree.
+    Catalog entries for removed versions are dropped alongside the
+    files."""
+    cur = latest_version(root)
+    if cur is None:
+        raise ValueError(f"no committed snapshot version under {root}")
+    committed, orphans = [], []
+    for v in list_versions(root):
+        if os.path.exists(os.path.join(version_dir(root, v), MANIFEST_NAME)):
+            committed.append(v)
+        else:
+            orphans.append(v)
+    doomed = [v for v in committed if v <= cur][:-max(keep, 1)]
+    doomed += [v for v in orphans if v < cur]
+    removed = []
+    for v in sorted(doomed):
+        vroot = version_dir(root, v)
+        mpath = os.path.join(vroot, MANIFEST_NAME)
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                names = list(json.load(fh)["tables"])
+        else:  # orphan: drop whatever the crashed publish registered
+            names = [
+                t.name for t in spark.catalog.listTables()
+                if t.name.startswith(f"{prefix}_v{v}_")
+            ]
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(vroot)
+        removed.append(v)
+    return {"removed": removed, "kept": [v for v in committed if v not in removed]}
 
 
 def read_corpus_snapshot(

@@ -143,6 +143,106 @@ def test_incremental_ingest_flow(spark, snapshot):
     assert (base[0]["doc_id"] + offset, base[0]["doc_id"] + 2 * offset) in got2
 
 
+def test_versioned_snapshot_lifecycle(spark, tmp_path):
+    """Versioned publishes: atomic pointer commit, reader isolation from
+    writers, copy-compaction into a new version, orphan handling, vacuum
+    retention. One lifecycle walk because each publish pays the full
+    dedup + edge build."""
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import release_corpus_dedup
+    from hadoop_jobanalyzer_spark.plans.sketch_queries import release_copurchase_edges
+    from hadoop_jobanalyzer_spark.plans.snapshot import (
+        append_batch_to_snapshot,
+        compact_snapshot_to_new_version,
+        incremental_dedup_candidates,
+        latest_version,
+        list_versions,
+        publish_snapshot_version,
+        read_corpus_snapshot,
+        read_latest_snapshot,
+        vacuum_snapshot_versions,
+        version_dir,
+    )
+    from hadoop_jobanalyzer_spark.sources.bucketed import data_file_count
+
+    release_corpus_dedup(spark)
+    release_copurchase_edges(spark)
+    root = str(tmp_path / "vsnap")
+    try:
+        m1 = publish_snapshot_version(spark, SF_DIR, root, n_buckets=4, prefix="t9")
+        assert m1["version"] == 1
+        assert latest_version(root) == 1
+        t1 = read_latest_snapshot(spark, root, prefix="t9")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_docs = docs.count()
+        assert t1["documents"].count() == n_docs
+
+        # fragment v1 with an appended batch, then copy-compact: the old
+        # version must stay intact until the pointer flips
+        rows = docs.orderBy("doc_id").limit(5).collect()
+        batch = spark.createDataFrame(
+            [r.asDict() | {"doc_id": r["doc_id"] + 70_000_000} for r in rows],
+            schema=docs.schema,
+        )
+        _, sigs = incremental_dedup_candidates(spark, batch, prefix="t9_v1")
+        append_batch_to_snapshot(spark, version_dir(root, 1), batch, sigs, prefix="t9_v1")
+
+        m2 = compact_snapshot_to_new_version(spark, root, prefix="t9")
+        assert m2["version"] == 2 and m2["compacted_from"] == 1
+        assert latest_version(root) == 2
+        assert data_file_count(spark, "t9_v2_documents") <= 4
+        t2 = read_latest_snapshot(spark, root, prefix="t9")
+        assert t2["documents"].count() == n_docs + 5
+        # time-travel: v1 is still complete and gate-green
+        t_old = read_corpus_snapshot(spark, version_dir(root, 1), prefix="t9_v1")
+        assert t_old["documents"].count() == n_docs + 5  # append predated compaction
+        # the compacted edge table kept its sort spec and the co-located plan
+        from hadoop_jobanalyzer_spark.sources.bucketed import table_bucket_spec
+
+        nb, bcols, scols, _ = table_bucket_spec(spark, "t9_v2_copurchase_edges")
+        assert (nb, bcols, scols) == (4, ["src"], ["src", "dst"])
+        # co-location survives copy-compaction: with broadcast disabled the
+        # doc-grain join must plan as a zero-Exchange sort-merge join
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                spark.table("t9_v2_documents")
+                .join(spark.table("t9_v2_dedup_clusters"), "doc_id")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "SortMergeJoin" in plan and "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+        # a crashed publish = orphan dir without manifest: invisible to
+        # readers, version number burned, untouched by vacuum if newer
+        # than the pointer
+        os.makedirs(version_dir(root, 3))
+        open(os.path.join(version_dir(root, 3), "part-garbage"), "w").write("x")
+        assert latest_version(root) == 2
+        assert read_latest_snapshot(spark, root, prefix="t9")["documents"].count() == n_docs + 5
+
+        m4 = publish_snapshot_version(spark, SF_DIR, root, n_buckets=4, prefix="t9")
+        assert m4["version"] == 4  # orphan burned v3
+        assert latest_version(root) == 4
+
+        # in-flight orphan NEWER than the pointer must survive vacuum
+        os.makedirs(version_dir(root, 5))
+        res = vacuum_snapshot_versions(spark, root, keep=1, prefix="t9")
+        assert res["removed"] == [1, 2, 3] and res["kept"] == [4]
+        assert list_versions(root) == [4, 5]
+        for v in (1, 2, 3):
+            assert not os.path.exists(version_dir(root, v))
+        assert not any(
+            t.name.startswith(("t9_v1_", "t9_v2_")) for t in spark.catalog.listTables()
+        )
+        assert read_latest_snapshot(spark, root, prefix="t9")["documents"].count() == n_docs
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("t9_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
 def test_compact_snapshot_after_appends(spark, snapshot):
     """Batch appends fragment the doc-grain tables; compact_snapshot must
     collapse every manifest table to one file per non-empty bucket,
