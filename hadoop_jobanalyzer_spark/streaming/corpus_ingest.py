@@ -226,6 +226,36 @@ def start_corpus_ingest(
     )
 
 
+def start_corpus_ingest_latest(
+    spark: SparkSession,
+    docs_path: str | None,
+    snapshot_root: str,
+    checkpoint: str,
+    prefix: str = "corpus",
+    **kwargs,
+):
+    """Ingest against the LATEST committed version of a versioned snapshot
+    (`plans/snapshot.publish_snapshot_version`): resolve the ``_LATEST``
+    pointer, then run :func:`start_corpus_ingest` with that version's
+    directory and per-version table names.
+
+    The ingest delta lands INSIDE the version directory, so each version
+    owns its whole lifecycle: a later publish starts a clean ingest lane
+    against the new version while an in-flight stream keeps draining into
+    the old one, and vacuuming a version reclaims its delta with it. The
+    checkpoint is caller-owned — use a fresh checkpoint per version (a
+    checkpoint binds the stream to the batch function it started with)."""
+    from hadoop_jobanalyzer_spark.plans.snapshot import latest_version, version_dir
+
+    v = latest_version(snapshot_root)
+    if v is None:
+        raise ValueError(f"no committed snapshot version under {snapshot_root}")
+    return start_corpus_ingest(
+        spark, docs_path, version_dir(snapshot_root, v), checkpoint,
+        prefix=f"{prefix}_v{v}", **kwargs,
+    )
+
+
 def read_ingested_documents(
     spark: SparkSession, root: str, prefix: str = "corpus"
 ) -> DataFrame:

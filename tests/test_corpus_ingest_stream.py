@@ -381,3 +381,70 @@ def test_compaction_folds_delta_and_is_idempotent(spark, tmp_path, snapshot):
     _run_pass(spark, stream_dir, root, ckpt)
     d = _decisions(spark, root).filter("doc_id = 60000000").collect()
     assert len(d) == 1 and not d[0]["kept"] and d[0]["n_old_hits"] > 0
+
+
+def test_ingest_against_latest_version(spark, tmp_path):
+    """start_corpus_ingest_latest composes the versioned snapshot layer
+    with arrival-time dedup: the pointer picks the version, per-version
+    table names are resolved, and the delta lands INSIDE the version
+    directory (vacuumed with it). Minimal hand-built versioned snapshot
+    to skip the full publish's edge/cluster builds."""
+    import json
+
+    from hadoop_jobanalyzer_spark.operators.dedup import minhash_signatures
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _N_HASHES
+    from hadoop_jobanalyzer_spark.plans.snapshot import (
+        _commit_pointer,
+        version_dir,
+    )
+    from hadoop_jobanalyzer_spark.sources.bucketed import write_bucketed
+    from hadoop_jobanalyzer_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_latest,
+    )
+
+    root = str(tmp_path / "vsnap")
+    vroot = version_dir(root, 1)
+    os.makedirs(vroot)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", _N_HASHES, 3)
+    tables = {}
+    try:
+        for name, df, sub in (
+            ("ingv_v1_documents", docs, "documents"),
+            ("ingv_v1_minhash_sigs", sigs, "minhash_sigs"),
+        ):
+            write_bucketed(
+                df, name, ["doc_id"], 4, sort_cols=["doc_id"],
+                path=os.path.join(vroot, sub),
+            )
+            tables[name] = {"bucket_by": "doc_id", "n_buckets": 4,
+                            "rows": spark.table(name).count()}
+        with open(os.path.join(vroot, "_MANIFEST.json"), "w") as fh:
+            json.dump({"source": SF_DIR, "root": vroot, "tables": tables,
+                       "version": 1}, fh)
+        _commit_pointer(root, 1)
+
+        stream_dir = str(tmp_path / "arrivals")
+        ckpt = str(tmp_path / "ckpt")
+        base = docs.orderBy("doc_id").limit(3).collect()
+        batch = _doc_rows(
+            spark,
+            {r["doc_id"] + 80_000_000: r["text"] for r in base}
+            | {90_000_000: " ".join(f"vnew{j}" for j in range(12))},
+        )
+        _land_files(spark, stream_dir, batch)
+        q = start_corpus_ingest_latest(
+            spark, stream_dir, root, ckpt, prefix="ingv"
+        )
+        q.awaitTermination(300)
+
+        # delta landed inside the version directory, decisions correct
+        d = _decisions(spark, vroot)
+        assert d.count() == 4
+        assert {r["doc_id"] for r in d.filter("kept").collect()} == {90_000_000}
+        assert read_ingested_documents(spark, vroot, "ingv_v1").count() == docs.count() + 1
+        # nothing leaked outside the version tree
+        assert not os.path.exists(os.path.join(root, "ingest_delta"))
+    finally:
+        for name in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
