@@ -409,6 +409,51 @@ def vacuum_snapshot_versions(
     return {"removed": removed, "kept": [v for v in committed if v not in removed]}
 
 
+def snapshot_diff(
+    spark: SparkSession, root: str, v_old: int, v_new: int, prefix: str = "corpus"
+) -> DataFrame:
+    """Per-document change audit between two committed versions:
+    ``(doc_id, status)`` with status in added / removed / changed /
+    unchanged (text-hash comparison).
+
+    One full-outer join on ``doc_id`` over the two versions' document
+    tables. Both are bucketed by ``doc_id``, so with equal bucket counts
+    the join is bucket-co-located — no Exchange on either side
+    (plan-pinned by tests/test_snapshot.py); the md5 projection is
+    column-pruned to (doc_id, text) at the scan. This is the cheap answer
+    to "what did that publish actually change?" — at 100 TB it reads two
+    column pairs and shuffles nothing."""
+    from pyspark.sql import functions as F
+
+    old = spark.table(f"{prefix}_v{v_old}_documents").select(
+        "doc_id", F.md5("text").alias("_h_old")
+    )
+    new = spark.table(f"{prefix}_v{v_new}_documents").select(
+        "doc_id", F.md5("text").alias("_h_new")
+    )
+    return old.join(new, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def snapshot_diff_summary(
+    spark: SparkSession, root: str, v_old: int, v_new: int, prefix: str = "corpus"
+) -> dict[str, int]:
+    """Counts by diff status — the one-line publish audit."""
+    rows = (
+        snapshot_diff(spark, root, v_old, v_new, prefix)
+        .groupBy("status").count().collect()
+    )
+    out = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    out.update({r["status"]: r["count"] for r in rows})
+    return out
+
+
 def read_corpus_snapshot(
     spark: SparkSession, root: str, prefix: str = "corpus"
 ) -> dict[str, DataFrame]:

@@ -277,3 +277,65 @@ def test_compact_snapshot_after_appends(spark, snapshot):
     # the count gate still passes end-to-end (manifest unchanged by compaction)
     t = read_corpus_snapshot(spark, root, prefix="t7")
     assert t["documents"].count() == docs.count() + 10
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    """snapshot_diff classifies per-doc changes between two committed
+    versions and plans as a zero-Exchange co-located join. Hand-built
+    minimal versions (documents tables only are touched)."""
+    from hadoop_jobanalyzer_spark.plans.snapshot import (
+        _commit_pointer,
+        snapshot_diff,
+        snapshot_diff_summary,
+        version_dir,
+    )
+    from hadoop_jobanalyzer_spark.sources.bucketed import write_bucketed
+
+    root = str(tmp_path / "dsnap")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    # v2: drop one doc, change one doc's text, add one doc
+    removed_id, changed_id = [r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()]
+    v2 = (
+        docs.filter(F.col("doc_id") != removed_id)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == changed_id, F.concat(F.col("text"), F.lit(" edited")))
+            .otherwise(F.col("text")),
+        )
+    )
+    add = docs.orderBy("doc_id").limit(1).withColumn("doc_id", F.lit(99_000_000).cast("long"))
+    v2 = v2.unionByName(add)
+    try:
+        for v, df in ((1, docs), (2, v2)):
+            os.makedirs(version_dir(root, v))
+            write_bucketed(
+                df, f"td_v{v}_documents", ["doc_id"], 4, sort_cols=["doc_id"],
+                path=os.path.join(version_dir(root, v), "documents"),
+            )
+        _commit_pointer(root, 2)
+
+        assert snapshot_diff_summary(spark, root, 1, 2, prefix="td") == {
+            "added": 1, "removed": 1, "changed": 1, "unchanged": n_docs - 2,
+        }
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(spark, root, 1, 2, prefix="td")
+            .filter("status <> 'unchanged'").collect()
+        }
+        assert got == {removed_id: "removed", changed_id: "changed", 99_000_000: "added"}
+
+        # co-located: full-outer SMJ with no Exchange on either side
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                snapshot_diff(spark, root, 1, 2, prefix="td")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "SortMergeJoin" in plan and "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    finally:
+        for v in (1, 2):
+            spark.sql(f"DROP TABLE IF EXISTS td_v{v}_documents")
