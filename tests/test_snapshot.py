@@ -325,6 +325,19 @@ def test_snapshot_diff_between_versions(spark, tmp_path):
         }
         assert got == {removed_id: "removed", changed_id: "changed", 99_000_000: "added"}
 
+        # the diff is its own inverse: swapping versions swaps
+        # added<->removed and fixes changed/unchanged
+        rev = snapshot_diff_summary(spark, root, 2, 1, prefix="td")
+        fwd = snapshot_diff_summary(spark, root, 1, 2, prefix="td")
+        assert rev == {
+            "added": fwd["removed"], "removed": fwd["added"],
+            "changed": fwd["changed"], "unchanged": fwd["unchanged"],
+        }
+        # diff against self: everything unchanged
+        assert snapshot_diff_summary(spark, root, 2, 2, prefix="td") == {
+            "added": 0, "removed": 0, "changed": 0, "unchanged": n_docs,
+        }
+
         # co-located: full-outer SMJ with no Exchange on either side
         prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
