@@ -22,6 +22,11 @@ run) read them co-located with zero build cost:
   INGEST-TIME dedup O(batch) — a new batch computes signatures for
   itself only and band-joins against this table
   (``incremental_dedup_candidates``), never re-shingling the corpus
+- ``{prefix}_embeddings`` — the doc-aligned embedding table, bucketed by
+  ``vec_id`` with the SAME count as the doc-grain tables: ``vec_id``
+  shares the ``doc_id`` domain, and bucket assignment hashes the VALUE,
+  so the doc↔embedding join (the semantic-dedup path, q231) plans with
+  no Exchange on either side despite the differing column names
 
 A ``_MANIFEST.json`` under ``root`` records what was published (tables,
 bucket spec, row counts) so downstream jobs can assert they're reading
@@ -76,6 +81,7 @@ def publish_corpus_snapshot(
         f"{prefix}_dedup_clusters": dict(bucket_by="doc_id", n_buckets=n_buckets),
         f"{prefix}_copurchase_edges": dict(bucket_by="src", n_buckets=n_buckets),
         f"{prefix}_minhash_sigs": dict(bucket_by="doc_id", n_buckets=n_buckets),
+        f"{prefix}_embeddings": dict(bucket_by="vec_id", n_buckets=n_buckets),
     }
     write_documents_bucketed(
         spark, sf_dir, name=f"{prefix}_documents", n_buckets=n_buckets,
@@ -89,9 +95,10 @@ def publish_corpus_snapshot(
         spark, sf_dir, name=f"{prefix}_copurchase_edges", n_buckets=n_buckets,
         path=os.path.join(root, "copurchase_edges"),
     )
+    loaded = load_tables(spark, sf_dir)
     write_bucketed(
         minhash_signatures(
-            load_tables(spark, sf_dir)["documents"], "doc_id", "text",
+            loaded["documents"], "doc_id", "text",
             n_hashes=_N_HASHES, ngram=3,
         ),
         f"{prefix}_minhash_sigs",
@@ -99,6 +106,14 @@ def publish_corpus_snapshot(
         n_buckets,
         sort_cols=["doc_id"],
         path=os.path.join(root, "minhash_sigs"),
+    )
+    write_bucketed(
+        loaded["embeddings"],
+        f"{prefix}_embeddings",
+        ["vec_id"],
+        n_buckets,
+        sort_cols=["vec_id"],
+        path=os.path.join(root, "embeddings"),
     )
     for name, spec in tables.items():
         spec["rows"] = spark.table(name).count()

@@ -39,7 +39,7 @@ def test_publish_writes_manifest_and_tables(spark, snapshot):
     assert os.path.exists(os.path.join(root, MANIFEST_NAME))
     assert set(manifest["tables"]) == {
         "t7_documents", "t7_dedup_clusters", "t7_copurchase_edges",
-        "t7_minhash_sigs",
+        "t7_minhash_sigs", "t7_embeddings",
     }
     # doc-grain tables share the bucket spec (the co-location contract)
     docs_spec = manifest["tables"]["t7_documents"]
@@ -56,7 +56,22 @@ def test_read_snapshot_serves_consumers(spark, snapshot):
     t = read_corpus_snapshot(spark, root, prefix="t7")
     assert set(t) == {
         "documents", "dedup_clusters", "copurchase_edges", "minhash_sigs",
+        "embeddings",
     }
+
+    # doc<->embedding join is co-located despite the differing key names:
+    # bucket assignment hashes the value, and vec_id shares doc_id's domain
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            t["documents"]
+            .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
     # keeper selection over the snapshot == over the session cache
     from hadoop_jobanalyzer_spark.plans.pipeline_queries import corpus_dedup
@@ -352,3 +367,81 @@ def test_snapshot_diff_between_versions(spark, tmp_path):
     finally:
         for v in (1, 2):
             spark.sql(f"DROP TABLE IF EXISTS td_v{v}_documents")
+
+
+def test_full_lakehouse_loop(spark, tmp_path):
+    """The whole storage lifecycle in one walk, crossing every layer
+    boundary: versioned publish -> streaming ingest against the latest
+    version -> delta fold-in -> copy-compaction to a new version ->
+    cross-version diff -> vacuum. Pins the cross-layer contracts the
+    per-layer tests can't: the folded-in ingest docs survive compaction
+    into the next version, the diff certifies compaction as
+    content-preserving, and the vacuumed store still serves reads."""
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import release_corpus_dedup
+    from hadoop_jobanalyzer_spark.plans.sketch_queries import release_copurchase_edges
+    from hadoop_jobanalyzer_spark.plans.snapshot import (
+        compact_snapshot_to_new_version,
+        publish_snapshot_version,
+        read_latest_snapshot,
+        snapshot_diff_summary,
+        vacuum_snapshot_versions,
+        version_dir,
+    )
+    from hadoop_jobanalyzer_spark.streaming.corpus_ingest import (
+        compact_ingest_delta,
+        start_corpus_ingest_latest,
+    )
+
+    release_corpus_dedup(spark)
+    release_copurchase_edges(spark)
+    root = str(tmp_path / "lh")
+    try:
+        publish_snapshot_version(spark, SF_DIR, root, n_buckets=4, prefix="lh")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_docs = docs.count()
+
+        # one arrival batch: two fresh docs + one exact copy of a base doc
+        src = docs.orderBy("doc_id").limit(1).collect()[0]
+        batch = spark.createDataFrame(
+            [
+                src.asDict() | {"doc_id": 91_000_000},
+                src.asDict()
+                | {"doc_id": 92_000_000,
+                   "text": " ".join(f"loopdoc{j}" for j in range(12))},
+                src.asDict()
+                | {"doc_id": 93_000_000,
+                   "text": " ".join(f"loopalt{j}" for j in range(12))},
+            ],
+            schema=docs.schema,
+        )
+        arrivals = str(tmp_path / "arrivals")
+        batch.coalesce(1).write.mode("append").parquet(arrivals)
+        q = start_corpus_ingest_latest(
+            spark, arrivals, root, str(tmp_path / "ckpt"), prefix="lh"
+        )
+        q.awaitTermination(300)
+        dec = spark.read.parquet(
+            os.path.join(version_dir(root, 1), "ingest_delta", "decisions")
+        )
+        assert dec.count() == 3 and dec.filter("kept").count() == 2
+
+        # fold the delta into v1's bucketed tables, then copy-compact to v2
+        m = compact_ingest_delta(spark, version_dir(root, 1), prefix="lh_v1")
+        assert m["tables"]["lh_v1_documents"]["rows"] == n_docs + 2
+        compact_snapshot_to_new_version(spark, root, prefix="lh")
+
+        # the diff certifies compaction preserved content exactly
+        assert snapshot_diff_summary(spark, root, 1, 2, prefix="lh") == {
+            "added": 0, "removed": 0, "changed": 0, "unchanged": n_docs + 2,
+        }
+
+        res = vacuum_snapshot_versions(spark, root, keep=1, prefix="lh")
+        assert res == {"removed": [1], "kept": [2]}
+        t = read_latest_snapshot(spark, root, prefix="lh")
+        assert t["documents"].count() == n_docs + 2
+        assert t["documents"].filter("doc_id = 92000000").count() == 1
+        assert t["minhash_sigs"].count() == n_docs + 2
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("lh_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
