@@ -9,9 +9,11 @@ full publish's edge/cluster builds.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -67,8 +69,26 @@ def _doc_rows(spark, texts_by_id):
     )
 
 
+# The file source orders micro-batches by file modification time. Under
+# host load two sequential appends can land within the same mtime tick,
+# making arrival order ambiguous — and several tests assert
+# copy-processed-after-its-original semantics that depend on the ORDER,
+# not the engine. Stamp every shard's data files with an explicit,
+# strictly increasing mtime (well inside the source's 7-day maxFileAge)
+# so arrival order is what the test scripted, on any machine.
+_LAND_BASE = time.time() - 100_000
+_land_seq = itertools.count()
+
+
 def _land_files(spark, stream_dir, df):
     df.coalesce(1).write.mode("append").parquet(stream_dir)
+    for name in os.listdir(stream_dir):
+        if not name.startswith("part-"):
+            continue
+        p = os.path.join(stream_dir, name)
+        if os.path.getmtime(p) > _LAND_BASE + 50_000:  # unstamped (real clock)
+            ts = _LAND_BASE + next(_land_seq) * 2
+            os.utime(p, (ts, ts))
 
 
 def _run_pass(spark, stream_dir, root, ckpt):
@@ -256,7 +276,7 @@ def test_ingest_soak_randomized_kills_then_compaction(spark, tmp_path, snapshot)
     n_base = spark.table(f"{PREFIX}_documents").count()
     base_doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").orderBy("doc_id").first()
 
-    fresh_ids, copy_ids, mtime = [], [], time.time() - 1000
+    fresh_ids, copy_ids = [], []
     for s in range(6):
         fresh = {
             80_000_000 + s * 100 + i: " ".join(f"soak{s}d{i}w{j}" for j in range(12))
@@ -272,9 +292,8 @@ def test_ingest_soak_randomized_kills_then_compaction(spark, tmp_path, snapshot)
         _land_files(spark, str(stream_dir), _doc_rows(spark, copies))
         fresh_ids += [k for k in fresh if k < 85_000_000]
         copy_ids += list(copies)
-    # the file source orders batches by modification time; the sequential
-    # appends above land with strictly increasing mtimes, so every copy
-    # shard is processed after the shard carrying its originals
+    # _land_files stamps strictly increasing mtimes, so every copy shard
+    # is processed after the shard carrying its originals
 
     def build(available_now):
         stream = (
