@@ -157,6 +157,151 @@ def incremental_dedup_candidates(
     )
 
 
+def refresh_dedup_clusters_incremental(
+    spark: SparkSession,
+    root: str,
+    prefix: str = "corpus",
+    threshold: float = 0.2,
+    max_bucket: int | None = 1000,
+) -> dict:
+    """Bring ``{prefix}_dedup_clusters`` up to date with the documents
+    table WITHOUT re-running corpus-wide dedup — the maintenance step that
+    keeps the label table live across ingest fold-ins (appends touch docs
+    and signatures; labels previously went stale until the next full
+    publish).
+
+    Self-healing by construction: the unlabeled batch is derived from the
+    tables themselves (documents anti-join labels on ``doc_id`` — both
+    bucketed by doc_id with the same count, so the anti-join plans with no
+    Exchange on either side), never from caller state. A crash between an
+    append and this refresh just leaves the batch for the next run;
+    re-running after success is a no-op.
+
+    Per batch the work is O(batch): signatures for the missing docs only,
+    the incremental band join against the stored signature table, exact
+    Jaccard verification on candidates only (same math and threshold
+    convention as ``operators/dedup.near_dup_pairs``), then
+    ``incremental_connected_components`` — CC restricted to components an
+    edge actually touches. The one O(corpus) cost is rewriting the narrow
+    (doc_id, component) table, which at 100 TB of text is a per-doc
+    16-byte relation; the rewrite is in-place (single-writer maintenance
+    window, same contract as ``compact_bucketed_table``) and count-gated
+    before the write plan is executed.
+
+    Equivalence note: the result matches a full from-scratch recompute
+    (pinned by tests/test_snapshot_cluster_refresh.py) as long as appends
+    don't push an existing band bucket over ``max_bucket`` — the cap is a
+    candidate-generation guard, and old×old decisions are inherited from
+    publish time rather than re-litigated per batch (by design: that is
+    what makes the refresh O(batch)).
+    """
+    from hadoop_jobanalyzer_spark.functions.text import shingles, tokens
+    from hadoop_jobanalyzer_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+    )
+    from hadoop_jobanalyzer_spark.operators.graph import (
+        incremental_connected_components,
+    )
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES
+    from hadoop_jobanalyzer_spark.sources.bucketed import (
+        table_bucket_spec,
+        write_bucketed,
+    )
+    from hadoop_jobanalyzer_spark.util import materialize_eager
+    from pyspark.sql import functions as F
+
+    labels_name = f"{prefix}_dedup_clusters"
+    docs = spark.table(f"{prefix}_documents")
+    labels = spark.table(labels_name)
+    missing = materialize_eager(
+        docs.join(labels.select("doc_id"), "doc_id", "left_anti")
+    )
+    n_missing = missing.count()
+    stats = {"new_docs": n_missing, "candidates": 0, "verified": 0}
+    if n_missing == 0:
+        stats["rows"] = labels.count()
+        return stats
+
+    sigs = spark.table(f"{prefix}_minhash_sigs")
+    stored_sigs = sigs.join(missing.select("doc_id"), "doc_id", "left_anti")
+    cands, _ = lsh_candidate_pairs_incremental(
+        missing, "doc_id", "text", stored_sigs,
+        n_hashes=_N_HASHES, bands=_BANDS, max_bucket=max_bucket, ngram=3,
+    )
+    cands = materialize_eager(cands.select("id_a", "id_b"))
+    stats["candidates"] = cands.count()
+    # exact-Jaccard verify on candidates only; shingle sets are built for
+    # pair endpoints alone (semi-join prunes the corpus scan)
+    need = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    doc_sets = (
+        docs.join(need, "doc_id", "left_semi")
+        .select("doc_id", shingles(tokens("text"), 3).alias("_shs"))
+    )
+    verified = (
+        cands.join(
+            doc_sets.select(F.col("doc_id").alias("id_a"), F.col("_shs").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(F.col("doc_id").alias("id_b"), F.col("_shs").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("_nc"),
+            F.size("_sa").alias("_na"),
+            F.size("_sb").alias("_nb"),
+        )
+        .withColumn(
+            "_j", F.round(F.col("_nc") / (F.col("_na") + F.col("_nb") - F.col("_nc")), 3)
+        )
+        .filter((F.col("_nc") > 0) & (F.col("_j") >= threshold))
+        .select("id_a", "id_b")
+    )
+    verified = materialize_eager(verified)
+    stats["verified"] = verified.count()
+
+    new_labels = incremental_connected_components(
+        labels, verified, src="id_a", dst="id_b",
+        new_nodes=missing.select("doc_id"), id_col="doc_id",
+    )
+    # materialize BEFORE the overwrite: the plan reads the very table it
+    # replaces (the compact_bucketed_table trap), and the count gate must
+    # measure the exact rows the write will emit
+    new_labels = materialize_eager(new_labels.select("doc_id", "component"))
+    n_total = new_labels.count()
+    n_docs = docs.count()
+    if n_total != n_docs:
+        raise ValueError(
+            f"incremental label refresh produced {n_total} rows for "
+            f"{n_docs} documents; {labels_name} NOT rewritten"
+        )
+    n_buckets, bucket_cols, sort_cols, location = table_bucket_spec(spark, labels_name)
+    write_bucketed(
+        new_labels.repartition(n_buckets, *[F.col(c) for c in bucket_cols]),
+        labels_name,
+        bucket_cols,
+        n_buckets,
+        sort_cols=sort_cols or None,
+        path=location,
+        mode="overwrite",
+    )
+    stats["rows"] = n_total
+    manifest_path = os.path.join(root, MANIFEST_NAME)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        if labels_name in manifest.get("tables", {}):
+            manifest["tables"][labels_name]["rows"] = n_total
+            _write_manifest(root, manifest)
+    return stats
+
+
 def append_batch_to_snapshot(
     spark: SparkSession,
     root: str,
@@ -168,11 +313,13 @@ def append_batch_to_snapshot(
     tables (``saveAsTable`` append with the same bucket spec keeps the
     co-location guarantee) and refresh the manifest's row counts.
 
-    The cluster-label and edge tables are NOT touched: the incremental
-    candidate pairs are the dedup decision for the batch, and the global
-    tables are rebuilt at the next full publish — the standard
-    base-plus-delta lakehouse cadence. The manifest records the appended
-    state so ``read_corpus_snapshot`` keeps gating consumption.
+    The cluster-label and edge tables are NOT touched here: the
+    incremental candidate pairs are the dedup decision for the batch.
+    Labels are brought current by
+    :func:`refresh_dedup_clusters_incremental` (O(batch) maintenance,
+    self-healing from the tables themselves); the edge table is rebuilt at
+    the next full publish. The manifest records the appended state so
+    ``read_corpus_snapshot`` keeps gating consumption.
     """
     with open(os.path.join(root, MANIFEST_NAME)) as fh:
         manifest = json.load(fh)
@@ -316,6 +463,42 @@ def read_latest_snapshot(
     if v is None:
         raise ValueError(f"no committed snapshot version under {root}")
     return read_corpus_snapshot(spark, version_dir(root, v), prefix=f"{prefix}_v{v}")
+
+
+def read_snapshot_version(
+    spark: SparkSession, root: str, version: int, prefix: str = "corpus"
+) -> dict[str, DataFrame]:
+    """Time-travel read: open a SPECIFIC committed version, regardless of
+    where the ``_LATEST`` pointer sits — the audit/debug/repro path
+    ("re-run the eval against the corpus we trained on"). Goes through the
+    same manifest row-count gate as a latest read; raises on an orphan
+    (crashed publish) or unknown version."""
+    vroot = version_dir(root, version)
+    if not os.path.exists(os.path.join(vroot, MANIFEST_NAME)):
+        raise ValueError(
+            f"version {version} under {root} is not a committed snapshot "
+            "(no manifest — unknown version or crashed publish)"
+        )
+    return read_corpus_snapshot(spark, vroot, prefix=f"{prefix}_v{version}")
+
+
+def rollback_snapshot_to_version(root: str, version: int) -> int:
+    """Point ``_LATEST`` back at an older committed version — the one-line
+    undo for a bad publish (content bug discovered after commit). Storage
+    is untouched, and vacuum never removes versions newer than the pointer
+    target — the rolled-back-from version stays on disk (so rolling
+    FORWARD again is just another rollback call) until a later publish
+    moves the pointer past it and retention reclaims it. Only committed
+    versions are valid targets (an orphan tree may be half-written).
+    Returns the version now live."""
+    vroot = version_dir(root, version)
+    if not os.path.exists(os.path.join(vroot, MANIFEST_NAME)):
+        raise ValueError(
+            f"cannot roll back to {version} under {root}: not a committed "
+            "version"
+        )
+    _commit_pointer(root, version)
+    return version
 
 
 def compact_snapshot_to_new_version(

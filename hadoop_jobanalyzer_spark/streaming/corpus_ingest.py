@@ -268,7 +268,8 @@ def read_ingested_documents(
 
 
 def compact_ingest_delta(
-    spark: SparkSession, root: str, prefix: str = "corpus"
+    spark: SparkSession, root: str, prefix: str = "corpus",
+    refresh_clusters: bool = False,
 ) -> dict | None:
     """Fold the ingest delta into the bucketed base tables and clear it.
 
@@ -278,6 +279,13 @@ def compact_ingest_delta(
     spec and refreshes the manifest's row counts. Idempotent: re-running
     after a crash between append and clear appends nothing. Returns the
     refreshed manifest, or None when there was no delta to fold.
+
+    ``refresh_clusters=True`` additionally runs
+    `plans/snapshot.refresh_dedup_clusters_incremental` after the fold, so
+    the dedup-label table stays current at O(batch) cost instead of going
+    stale until the next full publish. The refresh derives its work from
+    the tables themselves, so a crash between the fold and the refresh
+    heals on the next invocation (or on a standalone refresh call).
     """
     from hadoop_jobanalyzer_spark.plans.snapshot import append_batch_to_snapshot
     from hadoop_jobanalyzer_spark.util import materialize_eager
@@ -302,4 +310,12 @@ def compact_ingest_delta(
     # (including the decision audit for compacted batches) has served its
     # purpose — clear so the next stream pass starts from an empty delta
     shutil.rmtree(os.path.join(root, "ingest_delta"), ignore_errors=True)
+    if refresh_clusters:
+        from hadoop_jobanalyzer_spark.plans.snapshot import (
+            refresh_dedup_clusters_incremental,
+        )
+
+        manifest["cluster_refresh"] = refresh_dedup_clusters_incremental(
+            spark, root, prefix=prefix
+        )
     return manifest

@@ -210,6 +210,24 @@ def test_versioned_snapshot_lifecycle(spark, tmp_path):
         # time-travel: v1 is still complete and gate-green
         t_old = read_corpus_snapshot(spark, version_dir(root, 1), prefix="t9_v1")
         assert t_old["documents"].count() == n_docs + 5  # append predated compaction
+        # ... and addressable by version number through the gated API
+        from hadoop_jobanalyzer_spark.plans.snapshot import (
+            read_snapshot_version,
+            rollback_snapshot_to_version,
+        )
+
+        assert (
+            read_snapshot_version(spark, root, 1, prefix="t9")["documents"].count()
+            == n_docs + 5
+        )
+        # rollback: pointer back to v1, storage untouched, roll-forward works
+        assert rollback_snapshot_to_version(root, 1) == 1
+        assert latest_version(root) == 1
+        assert read_latest_snapshot(spark, root, prefix="t9")["documents"].count() == n_docs + 5
+        assert rollback_snapshot_to_version(root, 2) == 2
+        assert latest_version(root) == 2
+        with pytest.raises(ValueError, match="not a committed"):
+            rollback_snapshot_to_version(root, 99)
         # the compacted edge table kept its sort spec and the co-located plan
         from hadoop_jobanalyzer_spark.sources.bucketed import table_bucket_spec
 
