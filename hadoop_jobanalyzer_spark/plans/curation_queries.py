@@ -155,7 +155,134 @@ ORDER BY cells.label
 """
 
 
+# --- q232: importance-weighted data selection (DSIR-style) -------------------
+
+
+_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q232_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted data selection readout, the DSIR idea (Xie et
+    al., "Data Selection for Language Models via Importance Resampling",
+    2023) in the repo's exact-integer form: designate a TARGET slice of
+    the corpus (sources src0–src3, the stand-in for "looks like the eval
+    distribution"), estimate per-token target vs. rest unigram
+    distributions, and score every source by the fraction of its token
+    mass on words where p_target(w) > p_rest(w). High-affinity sources
+    are what importance resampling would upsample.
+
+    Exactness: the p_target > p_rest comparison is cross-multiplied in
+    DECIMAL(19,0) — ct·S_tot > cs·T_tot — so both engines decide every
+    word identically with no float in the loop (bigint would overflow the
+    cross-product at ~1e13 corpus tokens; decimal carries 38 digits). One
+    float division at the end, rounded.
+
+    Plan shape: one tokenize/explode pass into a (source, word) count
+    (the only corpus-sized shuffle), word stats derived FROM that table
+    (small second shuffle on word), totals as a 1-row broadcast
+    (allow-listed BNLJ), final per-source rollup. No per-document pass at
+    all — the affinity rollup works on (source, word) grain, which is
+    bounded by vocab × sources.
+    """
+    from hadoop_jobanalyzer_spark.functions.text import tokens
+    from hadoop_jobanalyzer_spark.util import materialize
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # the (source, word) count is the ONE corpus-sized pass; three plan
+    # branches consume it (word stats, totals, the affinity join), so
+    # materialize it once — without this the tokenize/explode/shuffle
+    # subtree runs per branch (the q66-class recompute trap)
+    sw = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .transform(materialize)
+    )
+    is_t = F.col("source").isin(*_TARGET_SOURCES)
+    wstats = sw.groupBy("tok").agg(
+        F.sum(F.when(is_t, F.col("cnt")).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~is_t, F.col("cnt")).otherwise(0)).cast("long").alias("cs"),
+    ).transform(materialize)
+    totals = wstats.agg(
+        F.sum("ct").cast("decimal(19,0)").alias("t_tot"),
+        F.sum("cs").cast("decimal(19,0)").alias("s_tot"),
+    )
+    aff = (
+        sw.join(wstats, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "cnt",
+            (
+                F.col("ct").cast("decimal(19,0)") * F.col("s_tot")
+                > F.col("cs").cast("decimal(19,0)") * F.col("t_tot")
+            ).alias("affine"),
+        )
+    )
+    sel = aff.groupBy("source").agg(
+        F.sum(F.when(F.col("affine"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("affine_tokens"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        nd.join(sel, "source")
+        .select(
+            "source",
+            "n_docs",
+            "affine_tokens",
+            "total_tokens",
+            F.round(
+                F.col("affine_tokens") / F.col("total_tokens"), 4
+            ).alias("affinity"),
+        )
+        .orderBy("source")
+    )
+
+
+Q232_SQL = """
+WITH sw AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+),
+wstats AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+                       THEN cnt ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+                       THEN 0 ELSE cnt END) AS BIGINT) AS cs
+  FROM sw GROUP BY tok
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS DECIMAL(19,0)) AS t_tot,
+         CAST(SUM(cs) AS DECIMAL(19,0)) AS s_tot
+  FROM wstats
+),
+aff AS (
+  SELECT sw.source, sw.cnt,
+         (CAST(w.ct AS DECIMAL(19,0)) * tot.s_tot
+          > CAST(w.cs AS DECIMAL(19,0)) * tot.t_tot) AS affine
+  FROM sw JOIN wstats w USING (tok) CROSS JOIN tot
+),
+sel AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN affine THEN cnt ELSE 0 END) AS BIGINT)
+           AS affine_tokens,
+         CAST(SUM(cnt) AS BIGINT) AS total_tokens
+  FROM aff GROUP BY source
+),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+SELECT nd.source, n_docs, affine_tokens, total_tokens,
+       ROUND(affine_tokens / CAST(total_tokens AS DOUBLE), 4) AS affinity
+FROM nd JOIN sel ON nd.source = sel.source
+ORDER BY nd.source
+"""
+
+
 CURATION_QUERIES = {
     "q230_k_anonymity": (q230_k_anonymity, Q230_SQL),
     "q231_semdedup_manifest": (q231_semdedup_manifest, Q231_SQL),
+    "q232_importance_selection": (q232_importance_selection, Q232_SQL),
 }

@@ -43,6 +43,28 @@ def test_k_anonymity_accounts_for_every_event(spark, sf_dir):
         assert r["n_groups"] <= r["n_rows"]
 
 
+def test_importance_selection_partitions_and_signals(spark, sf_dir):
+    """Token accounting must partition the corpus, and the TARGET slice's
+    affine fraction must exceed the rest's — guaranteed by construction
+    (p_target > p_rest pointwise on the affine word set, so the summed
+    target mass on that set strictly dominates the summed rest mass)."""
+    fn, _ = CURATION_QUERIES["q232_importance_selection"]
+    rows = fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    assert sum(r["total_tokens"] for r in rows) == total_tokens
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    target = {"src0", "src1", "src2", "src3"}
+    t = [r for r in rows if r["source"] in target]
+    rest = [r for r in rows if r["source"] not in target]
+    assert t and rest
+    aff_t = sum(r["affine_tokens"] for r in t) / sum(r["total_tokens"] for r in t)
+    aff_r = sum(r["affine_tokens"] for r in rest) / sum(r["total_tokens"] for r in rest)
+    assert aff_t > aff_r
+
+
 def test_semdedup_manifest_agrees_with_pair_relation(spark, sf_dir):
     """The manifest's drop counts are exactly the distinct larger-id sides
     of the q32 pair relation (same threshold, same cell guard), and

@@ -95,6 +95,8 @@ NESTED_LOOP_OK = {
     "q228_distinctive_terms",
     # 1-row total-count broadcast for the quintile formula
     "q229_quality_dup_calibration",
+    # 1-row (t_tot, s_tot) decimal-totals broadcast into the affinity test
+    "q232_importance_selection",
 }
 
 
