@@ -136,6 +136,11 @@ def incremental_connected_components(
     loop. Equivalent to full CC over (old edges ∪ new edges) — pinned by
     tests/test_graph_incremental.py against a ground-truth recompute.
 
+    Sizing: ``touched`` and ``affected`` ride a broadcast, so this is the
+    right tool for ingest-sized batches (up to millions of edges), not
+    for a corpus-sized backfill — past the broadcast threshold a plain
+    :func:`connected_components` recompute is both simpler and faster.
+
     Returns the complete new labeling (``id_col``, ``component``).
     """
     edges = new_edges.select(
