@@ -467,3 +467,74 @@ def test_ingest_against_latest_version(spark, tmp_path):
     finally:
         for name in tables:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@pytest.fixture
+def snapshot_labeled(spark, snapshot):
+    """The minimal snapshot plus a dedup-cluster label table (singleton
+    prior — the base treated as already deduped), the third table the
+    refresh_clusters fold path reads and rewrites."""
+    from hadoop_jobanalyzer_spark.sources.bucketed import write_bucketed
+
+    name = f"{PREFIX}_dedup_clusters"
+    docs = spark.table(f"{PREFIX}_documents")
+    write_bucketed(
+        docs.select("doc_id", F.col("doc_id").alias("component")),
+        name, ["doc_id"], 4, sort_cols=["doc_id"],
+        path=os.path.join(snapshot, "dedup_clusters"),
+    )
+    with open(os.path.join(snapshot, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    manifest["tables"][name] = {
+        "bucket_by": "doc_id", "n_buckets": 4,
+        "rows": spark.table(name).count(),
+    }
+    with open(os.path.join(snapshot, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh)
+    yield snapshot
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_compact_refresh_clusters_labels_kept_near_dups(
+    spark, tmp_path, snapshot_labeled
+):
+    """The permissive-ingest regime (min_shared_bands above the band
+    count: label near-dups, don't drop them): an exact copy of a base doc
+    is KEPT at ingest, and compact_ingest_delta(refresh_clusters=True)
+    must fold it in AND label it into its source's component, leaving the
+    label table exactly one row per document."""
+    root = snapshot_labeled
+    stream_dir = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .orderBy("doc_id").limit(1).collect()[0]
+    )
+    copy_id = base["doc_id"] + 30_000_000
+    fresh_id = 31_000_000
+    batch = _doc_rows(
+        spark,
+        {
+            copy_id: base["text"],
+            fresh_id: " ".join(f"refreshnovel{j}" for j in range(12)),
+        },
+    )
+    _land_files(spark, stream_dir, batch)
+    q = start_corpus_ingest(
+        spark, stream_dir, root, ckpt, prefix=PREFIX, min_shared_bands=5
+    )
+    q.awaitTermination(300)
+
+    m = compact_ingest_delta(spark, root, prefix=PREFIX, refresh_clusters=True)
+    assert m["cluster_refresh"]["new_docs"] == 2
+    labels = spark.table(f"{PREFIX}_dedup_clusters")
+    assert labels.count() == spark.table(f"{PREFIX}_documents").count()
+    got = {
+        r["doc_id"]: r["component"]
+        for r in labels.filter(F.col("doc_id") >= 30_000_000).collect()
+    }
+    assert got[copy_id] == base["doc_id"]
+    assert got[fresh_id] == fresh_id
+
+    # nothing left to fold; a second refresh-compact is a clean no-op
+    assert compact_ingest_delta(spark, root, prefix=PREFIX, refresh_clusters=True) is None
