@@ -413,3 +413,63 @@ def label_propagation(
             )
         )
     return labels
+
+
+def common_neighbor_candidates(
+    edges: DataFrame,
+    shard_mod: int = 50,
+    shard_rem: int = 0,
+    topk: int = 20,
+) -> DataFrame:
+    """Link prediction by common-neighbor counting (Liben-Nowell & Kleinberg
+    CIKM'03): the highest-scoring NON-edges — pairs the graph does not
+    connect but many shared neighbors vouch for — ranked for edge
+    recommendation / graph completion.
+
+    ``edges`` is a canonical distinct (src < dst) undirected pair list
+    (the co-purchase cache shape).  Exhaustive wedge enumeration costs
+    ``sum_c deg(c)^2`` — quadratic in density — so the operator computes
+    the exact scores for ONE deterministic wedge-center shard
+    (``center % shard_mod == shard_rem``): every wedge is owned by exactly
+    one center vertex, making the full computation embarrassingly parallel
+    across the ``shard_mod`` shards, each a run of this operator.  A
+    production sweep unions the per-shard pair counts before ranking; the
+    registered query demonstrates one shard end-to-end (scores are the
+    exact common-neighbor counts *within the shard's centers* — the same
+    estimator a sampled-centers Adamic/Adar pass uses).
+
+    Scale shape: the wedge self-join fans out per shard center only
+    (~deg^2 / shard_mod of the total), the pair groupBy partial-aggregates,
+    the existing-edge anti-join runs on the (a, b) key, and the degree
+    table joins AFTER the top-k cut — 2 x topk broadcast-sized rows, never
+    a corpus-wide three-way join.
+
+    Output: ``(id_a, id_b, common_neighbors, deg_a, deg_b)`` — all
+    integers — the ``topk`` best candidates by
+    ``(common_neighbors DESC, id_a, id_b)`` (total order: deterministic).
+    """
+    src, dst = F.col("src"), F.col("dst")
+    sym = edges.select(src.alias("_a"), dst.alias("_b")).union(
+        edges.select(dst.alias("_a"), src.alias("_b"))
+    )
+    deg = sym.groupBy(F.col("_a").alias("v")).agg(F.count("*").alias("d"))
+    nb = sym.filter(F.col("_a") % shard_mod == shard_rem)
+    pairs = (
+        nb.select(F.col("_a").alias("_c"), F.col("_b").alias("id_a"))
+        .join(nb.select(F.col("_a").alias("_c"), F.col("_b").alias("id_b")), "_c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    known = edges.select(src.alias("id_a"), dst.alias("id_b"))
+    top = (
+        pairs.join(known, ["id_a", "id_b"], "left_anti")
+        .orderBy(F.desc("common_neighbors"), "id_a", "id_b")
+        .limit(topk)
+    )
+    return (
+        top.join(deg.select(F.col("v").alias("id_a"), F.col("d").alias("deg_a")), "id_a")
+        .join(deg.select(F.col("v").alias("id_b"), F.col("d").alias("deg_b")), "id_b")
+        .select("id_a", "id_b", "common_neighbors", "deg_a", "deg_b")
+        .orderBy(F.desc("common_neighbors"), "id_a", "id_b")
+    )

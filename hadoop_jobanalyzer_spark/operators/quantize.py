@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from hadoop_jobanalyzer_spark.functions.vectors import quantized, to_double
+from hadoop_jobanalyzer_spark.util import materialize
 
 # Error unit: 1/2^20. ERR_FIXED = Q_GRID * 512, so errors measured on the
 # Q_GRID integer lattice land in 2^-20 units with NO floating-point op ever
@@ -182,5 +183,112 @@ def kmeans_step(
                 6,
             ).alias("avg_dim_move"),
         )
+        .orderBy("cell")
+    )
+
+
+def kmeans_iterated(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    rounds: int = 3,
+) -> DataFrame:
+    """Full Lloyd refinement: ``rounds`` exact k-means iterations, not one.
+
+    :func:`kmeans_step` is the single-iteration primitive (it reports
+    centroid movement so a driver loop can watch convergence); this is the
+    committed multi-round form a codebook build actually runs.  Everything
+    stays on the deterministic integer contract:
+
+    * vectors snap once to the 1/1000 fixed-point lattice
+      (functions.vectors.quantized — the only rounding of input data);
+    * assignment is an in-row integer argmin against a BROADCAST centroid
+      array (ties toward the lowest centroid id), so no round ever
+      shuffles the corpus — the per-(cell, dim) sums partial-aggregate to
+      k x dim rows per partition, the same shape MLlib's Lloyd pays;
+    * the updated centroid per dim is the exact round-half-up rational
+      mean on the lattice: ``floor((2*s + n) / (2*n))``.  The quotient is
+      evaluated in doubles, which is exact here because ``|2*s + n|`` is
+      bounded by ``2 * n * max|q| + n`` — far under 2^53 for any corpus
+      whose per-cell member count stays below ~2^40;
+    * a cell that captures no vectors keeps its previous centroid (the
+      left-join COALESCE), so k never silently shrinks mid-run.
+
+    Each round's k-row centroid frame goes through util.materialize, so
+    the unrolled plan evaluates every round exactly once (lineage
+    truncation), local-checkpoint-fast on a single node and
+    reliable-checkpoint-durable on a cluster session.
+
+    Output: one row per non-empty final cell —
+    ``(cell, n_assigned, sse_fixed)`` with ``sse_fixed`` the exact integer
+    sum of squared lattice distances to the assigned centroid (the
+    codebook's inertia numerator; divide by ``n * 1000^2`` for original
+    units).  All-integer output: bit-identical on any engine.
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"), quantized(F.col(vec_col)).alias("_qv")
+    ).transform(materialize)
+    # deterministic seeds: the k lowest-id vectors, as a 1-row struct array
+    cents = (
+        q.orderBy("_id")
+        .limit(k)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id").alias("cid"), F.col("_qv").alias("cv")))
+            ).alias("_cents")
+        )
+    )
+
+    def dist_to(c):
+        d = F.zip_with(F.col("_qv"), c["cv"], lambda a, b: (a - b) * (a - b))
+        return F.struct(
+            F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("dist"),
+            c["cid"].alias("cid"),
+        )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        best = F.array_min(F.transform(F.col("_cents"), dist_to))
+        return q.crossJoin(F.broadcast(cents_df)).select(
+            "_qv", best["cid"].alias("cell"), best["dist"].alias("dist")
+        )
+
+    for _ in range(rounds - 1):
+        sums = (
+            assign(cents)
+            .select("cell", F.posexplode("_qv").alias("dim", "xi"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("xi").alias("sx"), F.count("*").alias("n"))
+        )
+        old = cents.select(F.explode("_cents").alias("c")).select(
+            F.col("c.cid").alias("cell"), F.posexplode("c.cv").alias("dim", "ci")
+        )
+        upd = old.join(sums, ["cell", "dim"], "left").select(
+            "cell",
+            "dim",
+            F.coalesce(
+                F.floor((2 * F.col("sx") + F.col("n")) / (2 * F.col("n"))).cast("long"),
+                F.col("ci"),
+            ).alias("ci"),
+        )
+        cents = (
+            upd.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "ci"))), lambda s: s["ci"]
+                ).alias("cv")
+            )
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("cell").alias("cid"), F.col("cv").alias("cv")))
+                ).alias("_cents")
+            )
+            .transform(materialize)
+        )
+
+    return (
+        assign(cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_assigned"), F.sum("dist").alias("sse_fixed"))
         .orderBy("cell")
     )

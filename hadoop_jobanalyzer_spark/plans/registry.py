@@ -89,6 +89,13 @@ try:  # publication gates (k-anonymity, semantic-dedup manifest)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # model-building (iterated k-means codebook, link prediction)
+    from hadoop_jobanalyzer_spark.plans.model_queries import MODEL_QUERIES
+
+    QUERIES.update(MODEL_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 # The driver's correctness gate records at most 50 queries per round, in
 # registry iteration order (CORRECTNESS_r01.json stopped at exactly the
 # first 50 of 59).  To make the union of rounds cover everything AND keep

@@ -97,6 +97,8 @@ NESTED_LOOP_OK = {
     "q229_quality_dup_calibration",
     # 1-row (t_tot, s_tot) decimal-totals broadcast into the affinity test
     "q232_importance_selection",
+    # 1-row k-centroid struct-array broadcast, once per Lloyd round
+    "q233_kmeans_iterated",
 }
 
 
@@ -298,6 +300,15 @@ def _n_exchanges(plan: str) -> int:
         # persisted doc-grain flag table consumed 3x by bucketed_global_rank
         # (same reprint effect; executed cost is one build + tiny windows)
         ("q229_quality_dup_calibration", 18),
+        # rounds materialize via localCheckpoint (ExistingRDD children);
+        # the visible plan is the final assign + cell agg + sort
+        ("q233_kmeans_iterated", 3),
+        # with the session cache cleared the formatted plan reprints the
+        # edge build (order-key self-join + distinct) at each of its
+        # THREE scans (both sym branches + the anti-join side); executed
+        # cost is one persisted build + wedge join + pair agg +
+        # anti-join + 2 post-cut degree joins. +1 AQE-estimate slack.
+        ("q234_link_prediction", 17),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
