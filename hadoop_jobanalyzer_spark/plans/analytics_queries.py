@@ -440,10 +440,14 @@ def q98_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-integer core: vectors quantize to 1/1000 fixed point, per-(label,
     dim) sums are exact longs, and the centroid difference uses the
     cross-multiplied form ``s_a * n_b - s_b * n_a`` so no division happens
-    before the final per-pair sqrt. The per-dim squared terms sum as longs
-    (magnitude bound documented in operators/quantize.py — at extreme
-    corpus sizes divide counts by their gcd first). Everything after the
-    one posexplode aggregation is label-pair-sized.
+    before the final per-pair sqrt. The cross-multiplied square is
+    ``(n_a * n_b * gap)^2`` — at x100 corpus size that passed 2^63 and
+    the ANSI long multiply overflowed (found by the fleet x100 sweep), so
+    the product runs in decimal(38,0): exact integer arithmetic to 1e38,
+    matching the oracle, whose SUM(xi) is already HUGEINT (int128) and
+    whose products therefore never left int128. Everything after the one
+    posexplode aggregation is label-pair-sized, and the decimal work is
+    label-pair x dim-sized — never corpus-sized.
     Output: label_a < label_b, n_a, n_b, dist (rounded 6).
     """
     from hadoop_jobanalyzer_spark.functions.vectors import quantized
@@ -462,10 +466,10 @@ def q98_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("label_b"), "dim",
         F.col("s").alias("sb"), F.col("n").alias("nb"),
     )
-    num = F.sum(
-        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
-        * (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
-    )
+    diff = F.col("sa").cast("decimal(38,0)") * F.col("nb") - F.col("sb").cast(
+        "decimal(38,0)"
+    ) * F.col("na")
+    num = F.sum(diff * diff)
     return (
         a.join(b, "dim")
         .filter(F.col("label_a") < F.col("label_b"))
