@@ -1844,10 +1844,14 @@ def q178_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     backfills (no RAND(), ever).
 
     All cross-row sums are exact (counts, integer cents, integer squared
-    cents for the variance numerator); the mean is the single end
-    division.
-    Output: (arm, n_users, n_events, value_cents, var_num, mean_cents),
-    arm ascending."""
+    cents for the variance numerator). The variance numerator
+    ``n*q - s^2`` grows as (rows x cents)^2 and passed 2^63 at x100 data
+    (the fleet x100 sweep aborted on the ANSI long multiply), so it is
+    computed in decimal(38,0) — exact to 1e38, matching the oracle's
+    HUGEINT — and the emitted column is the population variance itself
+    (numerator / n^2), one double division at the end like the mean.
+    Output: (arm, n_users, n_events, value_cents, var_cents2,
+    mean_cents), arm ascending."""
     from hadoop_jobanalyzer_spark.operators.sampling import hash_bucket
 
     ev = load_tables(spark, sf_dir)["events"].filter(
@@ -1864,12 +1868,19 @@ def q178_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("s"),
         F.sum(F.col("cents") * F.col("cents")).alias("q"),
     )
+    var_num = F.col("n").cast("decimal(38,0)") * F.col("q") - F.col("s").cast(
+        "decimal(38,0)"
+    ) * F.col("s")
     return agg.select(
         "arm",
         "n_users",
         F.col("n").alias("n_events"),
         F.col("s").alias("value_cents"),
-        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("var_num"),
+        F.round(
+            var_num.cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("var_cents2"),
         (F.col("s") / F.col("n").cast("double")).alias("mean_cents"),
     ).orderBy("arm")
 
@@ -1887,7 +1898,8 @@ agg AS (
   FROM base GROUP BY 1
 )
 SELECT arm, n_users, n AS n_events, s AS value_cents,
-       n * q - s * s AS var_num,
+       ROUND(CAST(n * q - s * s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_cents2,
        s / CAST(n AS DOUBLE) AS mean_cents
 FROM agg ORDER BY arm
 """

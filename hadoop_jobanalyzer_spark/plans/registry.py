@@ -203,7 +203,7 @@ _BIGINT_CASTS: dict[str, tuple[str, ...]] = {
     "q173_cohort_ltv_curves": ("revenue_cents", "cum_revenue_cents"),
     "q174_temporal_lookup_join": ("value_cents",),
     "q175_brand_discount_qty_corr": ("corr_num",),
-    "q178_ab_experiment_readout": ("value_cents", "var_num"),
+    "q178_ab_experiment_readout": ("value_cents",),
     "q179_forecast_revenue_delta": ("revenue_cents",),
     "q180_promo_revenue_share": ("promo_cents", "total_cents"),
     "q181_large_volume_customers": ("order_qty",),

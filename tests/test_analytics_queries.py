@@ -107,3 +107,25 @@ def test_duplicated_span_catches_within_doc_repeat(spark):
             duplicated_span_fraction(df, "doc_id", "text", span=4).collect()}
     assert rows[1]["n_dup"] >= 2  # both copies of the repeated window count
     assert rows[2]["n_dup"] == 0
+
+
+def test_q98_cross_product_exact_past_int64(spark):
+    """q98's centroid cross-product (sa*nb - sb*na)^2 passes 2^63 once
+    per-label counts reach the tens of thousands (the x100 sweep aborted
+    on the ANSI long multiply). Pin the decimal(38,0) path: the same
+    expression fragment q98 uses must stay EXACT on magnitudes two
+    orders past the long overflow point."""
+    from pyspark.sql import functions as F
+
+    # n ~ 2e5 members, s ~ n * 600 lattice units: diff ~ 1.2e12, sq ~ 1.4e24
+    sa, na, sb, nb = 120_000_000_000, 200_000, 119_994_000_000, 199_999
+    df = spark.createDataFrame(
+        [(sa, na, sb, nb)], "sa long, na long, sb long, nb long"
+    )
+    diff = F.col("sa").cast("decimal(38,0)") * F.col("nb") - F.col("sb").cast(
+        "decimal(38,0)"
+    ) * F.col("na")
+    got = df.select(F.sum(diff * diff).alias("num")).first()["num"]
+    expected = (sa * nb - sb * na) ** 2  # exact Python int
+    assert int(got) == expected
+    assert expected > 2**63  # the case the long path could not represent
