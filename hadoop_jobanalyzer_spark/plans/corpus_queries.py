@@ -388,6 +388,9 @@ ORDER BY token, doc_id
 # --- q201: deterministic epoch shuffle audit ---------------------------------
 
 _Q201_EPOCHS = 3
+# fold modulus: Mersenne prime 2^61 - 1 — checksums stay int64 at any
+# corpus size; identity below ~2.3e18, so test-scale values are unchanged
+_FOLD_PRIME = (1 << 61) - 1
 
 
 def q201_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +405,12 @@ def q201_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     depend on the PAIRING, so any reordering that is not the identity
     permutation moves at least one of them (a concatenated-field
     bit_xor would NOT: disjoint bit ranges make it pairing-blind).
+    A checksum needs sensitivity, not magnitude: the raw sums grow as
+    rows^2 x id and passed 2^63 at x100 data (the fleet x100 sweep
+    aborted on the ANSI long SUM), so both folds accumulate in
+    decimal(38,0) — exact, matching the oracle's HUGEINT — and emit
+    modulo the Mersenne prime 2^61 - 1. Below ~2.3e18 the modulus is
+    the identity, so every test-scale value is unchanged.
     Ranks come from `util.bucketed_global_rank` — md5-prefix bucket
     windows in parallel plus a 256-row offset prefix sum, never a
     single-partition ORDER BY over the corpus (the oracle's plain
@@ -426,8 +435,20 @@ def q201_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranked.groupBy("epoch").agg(
                 F.count("*").alias("n_docs"),
                 F.countDistinct("doc_id").alias("n_distinct"),
-                F.sum(F.col("rk") * F.col("doc_id")).alias("sum_fold"),
-                F.sum(F.col("rk").bitwiseXOR(F.col("doc_id"))).alias("xor_fold"),
+                (
+                    F.sum(F.col("rk").cast("decimal(38,0)") * F.col("doc_id"))
+                    % F.lit(_FOLD_PRIME)
+                )
+                .cast("long")
+                .alias("sum_fold"),
+                (
+                    F.sum(
+                        F.col("rk").bitwiseXOR(F.col("doc_id")).cast("decimal(38,0)")
+                    )
+                    % F.lit(_FOLD_PRIME)
+                )
+                .cast("long")
+                .alias("xor_fold"),
                 F.min_by("doc_id", "k").alias("first_doc"),
                 F.max_by("doc_id", "k").alias("last_doc"),
             )
@@ -453,8 +474,8 @@ ranked AS (
 SELECT CAST(epoch AS BIGINT) AS epoch,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT doc_id) AS n_distinct,
-       SUM(rk * doc_id) AS sum_fold,
-       SUM(xor(rk, doc_id)) AS xor_fold,
+       CAST(SUM(rk * doc_id) % {(1 << 61) - 1} AS BIGINT) AS sum_fold,
+       CAST(SUM(xor(rk, doc_id)) % {(1 << 61) - 1} AS BIGINT) AS xor_fold,
        arg_min(doc_id, k) AS first_doc,
        arg_max(doc_id, k) AS last_doc
 FROM ranked
