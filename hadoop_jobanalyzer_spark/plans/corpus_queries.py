@@ -844,10 +844,13 @@ def q214_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-ascending ranks.
 
     Ranks come from `util.bucketed_global_rank` (bucket = coarse cents
-    prefix — no single-partition sort over customers); both fold sums
-    are BIGINT-exact, and G is computed from three exact integers in one
-    final expression identical in both engines.
-    Output: one row (n_customers, total_c, weighted_sum, gini)."""
+    prefix — no single-partition sort over customers). The rank-weighted
+    sum grows as customers^2 x cents and passed 2^63 at x100 data (the
+    fleet x100 sweep aborted on the ANSI long SUM), so it accumulates in
+    decimal(38,0) — exact, matching the oracle's HUGEINT — and stays an
+    internal term: G is computed from the three exact aggregates with
+    explicit per-operand double casts, identical in both engines.
+    Output: one row (n_customers, total_c, gini)."""
     from hadoop_jobanalyzer_spark.util import bucketed_global_rank
 
     orders = load_tables(spark, sf_dir)["orders"]
@@ -862,15 +865,15 @@ def q214_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.count("*").alias("n_customers"),
         F.sum("m_c").alias("total_c"),
-        F.sum(F.col("rk") * F.col("m_c")).alias("weighted_sum"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("m_c")).alias("_ws"),
     ).select(
         "n_customers",
         "total_c",
-        "weighted_sum",
         (
-            2.0 * F.col("weighted_sum")
-            / (F.col("n_customers") * F.col("total_c")).cast("double")
-            - (F.col("n_customers") + 1) / F.col("n_customers").cast("double")
+            2.0 * F.col("_ws").cast("double")
+            / (F.col("n_customers").cast("double") * F.col("total_c").cast("double"))
+            - (F.col("n_customers").cast("double") + 1.0)
+            / F.col("n_customers").cast("double")
         ).alias("gini"),
     )
 
@@ -887,9 +890,9 @@ ranked AS (
   FROM per_cust
 )
 SELECT COUNT(*) AS n_customers, SUM(m_c) AS total_c,
-       SUM(rk * m_c) AS weighted_sum,
-       2.0 * SUM(rk * m_c) / CAST(COUNT(*) * SUM(m_c) AS DOUBLE)
-         - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE) AS gini
+       2.0 * CAST(SUM(rk * m_c) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(m_c) AS DOUBLE))
+         - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE) AS gini
 FROM ranked
 """
 

@@ -227,7 +227,7 @@ _BIGINT_CASTS: dict[str, tuple[str, ...]] = {
     "q211_ship_lag_percentiles": ("n_lines",),
     "q212_supplier_scorecard": ("revenue_c",),
     "q213_lang_source_residuals": ("dev",),
-    "q214_value_gini": ("total_c", "weighted_sum"),
+    "q214_value_gini": ("total_c",),
     "q215_training_mix_manifest": ("tokens_selected",),
     "q216_lsh_banding_planner": ("n_buckets_multi",),
     "q217_compaction_plan": ("group_bytes",),
