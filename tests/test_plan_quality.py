@@ -241,7 +241,7 @@ def _n_exchanges(plan: str) -> int:
         ("q179_forecast_revenue_delta", 1),  # zero-join pushed-filter agg
         ("q180_promo_revenue_share", 2),   # month agg + sort (part bcast)
         ("q181_large_volume_customers", 2),  # order agg + orderkey join
-        ("q182_order_count_distribution", 3),  # left join + 2 count aggs
+        ("q182_order_count_distribution", 3),  # ocnt pushdown agg + join + count-of-counts
         ("q183_top_supplier_per_quarter", 3),  # rev agg + quarter window + sort
         ("q184_label_medoids", 2),  # one label shuffle into the Arrow stage
         ("q185_relaxed_funnel_conversion", 2),  # one user window + user agg
