@@ -405,7 +405,7 @@ def test_ab_arms_partition_users(spark, sf_dir):
         by_arm[int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2] += 1
     assert {r["arm"]: r["n_users"] for r in rows} == by_arm
     for r in rows:
-        assert r["var_num"] >= 0
+        assert r["var_cents2"] >= 0
 
 
 def test_promo_share_bounds_and_totals(spark, sf_dir):
