@@ -59,11 +59,22 @@ def _delta_path(root: str, kind: str) -> str:
 
 def _read_delta(spark: SparkSession, root: str, kind: str) -> DataFrame | None:
     """Delta frame for ``kind`` (with its ``_batch_id`` partition column),
-    or None when no batch has landed yet."""
+    or None when no batch has landed yet.
+
+    The listing is explicitly refreshed first: path reads share the
+    session FileStatusCache, and a listing cached during an interrupted
+    write (abrupt stream kill) can outlive the write that later completes
+    the partition — observed once in the kill-soak as batch N+1 reading a
+    delta that was missing batch N's committed ``_batch_id=N`` directory
+    (state on disk was complete; only the cached listing was stale).
+    Every micro-batch must read its predecessors' partitions exactly, so
+    pay the fresh directory list here; the same refresh is what a
+    multi-writer shared-filesystem deployment needs anyway."""
     path = _delta_path(root, kind)
     if not os.path.isdir(path):
         return None
     try:
+        spark.catalog.refreshByPath(path)
         return spark.read.parquet(path)
     except Exception:  # dir exists but holds no parquet yet
         return None
