@@ -133,18 +133,34 @@ def main() -> None:
     labels.write.format("noop").mode("overwrite").save()
     _copurchase_edges(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        runs: list[float] = []
-        for _ in range(max(RUNS, 1)):
+    # Interleaved passes: run the whole suite RUNS times and take the
+    # per-query median ACROSS passes, instead of RUNS back-to-back runs
+    # per query. Back-to-back runs share whatever ambient-load / GC /
+    # JIT regime holds at that moment, so a transient spike inflates all
+    # of a query's samples at once and survives the median — that is
+    # exactly how r7 produced four 2.8-4.5x "movers" on sub-second
+    # events-table scans whose isolated re-measures were flat.
+    # Spreading a query's samples across the full bench duration makes
+    # a spike hit one sample, which the median then discards.
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    failed: set[str] = set()
+    for _ in range(max(RUNS, 1)):
+        for name, fn in qs.items():
+            if name in failed:
+                continue
             t0 = time.perf_counter()
             try:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # a failing query must not sink the bench
-                runs = [-1.0]
+                failed.add(name)
                 print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
-                break
-            runs.append(time.perf_counter() - t0)
+                continue
+            samples[name].append(time.perf_counter() - t0)
+    timings: dict[str, float] = {}
+    for name, runs in samples.items():
+        if name in failed or not runs:
+            timings[name] = -1.0
+            continue
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 4)  # median
 

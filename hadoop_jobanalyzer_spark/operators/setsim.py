@@ -61,7 +61,17 @@ def prefix_filter_jaccard_pairs(
     )
     # ceil(num*n/den) = (num*n + den - 1) div den
     prefix_len = F.col("n") - F.floor((num * F.col("n") + den - 1) / den) + 1
-    prefix = ordered.filter(F.col("_rk") <= prefix_len).select("doc_id", "s", "n")
+    # the prefix relation feeds BOTH sides of the candidate self-join;
+    # without its own materialization each side re-runs the df join, the
+    # per-doc ranking window, and the size join — the whole upstream
+    # pipeline twice (this was the one x10 slope-gate breach in the r7
+    # sweep: 12.4 > 12, 7 Exchanges). Compute it once; both probe sides
+    # read the truncated-lineage table (the q50 lesson).
+    prefix = (
+        ordered.filter(F.col("_rk") <= prefix_len)
+        .select("doc_id", "s", "n")
+        .transform(materialize)
+    )
 
     pa = prefix.select(F.col("doc_id").alias("id_a"), "s", F.col("n").alias("n_a"))
     pb = prefix.select(F.col("doc_id").alias("id_b"), "s", F.col("n").alias("n_b"))

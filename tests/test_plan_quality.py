@@ -189,7 +189,7 @@ def _n_exchanges(plan: str) -> int:
         ("q120_copurchase_triangles", 13),  # census branches (each equi-join)
         ("q121_phrase_search", 1),     # in-row verify: ONLY the final sort
         ("q122_market_share", 3),      # fact agg + per-year window + sort
-        ("q123_setsim_prefix_join", 7),  # df/size aggs + prefix join + verify
+        ("q123_setsim_prefix_join", 4),  # df/size aggs + prefix join + verify (prefix table materialized once — r8)
         ("q124_cdc_chunk_dedup", 4),   # chunk-hash agg + join back + source agg
         ("q125_degree_distribution", 5),  # self-join + distinct + deg + histogram
         ("q126_pq_code_histogram", 2),  # centroid collect + M*K histogram agg
