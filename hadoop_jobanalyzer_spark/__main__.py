@@ -129,6 +129,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip non-SUCCESS jobs (reference -s bail-out, bin/job_history:384-386)",
     )
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument(
+        "--png",
+        metavar="PATH",
+        help="render the report as a chart PNG instead of text: the stacked "
+        "concurrency chart with -t (job_history.cgi:344-390), per-task "
+        "Gantt with -m/-r (vis/grap/mapgraph.gr, reducegraph.gr)",
+    )
     return p
 
 
@@ -220,6 +227,27 @@ def main(argv: list[str] | None = None) -> int:
         df, cols = fleet_summary(views, scale=args.scale), FLEET_COLS
     else:
         df, cols = timeline(views, scale=args.scale), TIMELINE_COLS
+
+    if args.png:
+        from hadoop_jobanalyzer_spark.sinks import (
+            render_map_gantt_png,
+            render_reduce_gantt_png,
+            render_timeline_png,
+        )
+
+        if args.m:
+            render_map_gantt_png(df, args.png)
+        elif args.r:
+            render_reduce_gantt_png(df, args.png)
+        elif not any(
+            (args.s, args.reduce_bytes, args.errors, args.wasted, args.fleet)
+        ):
+            render_timeline_png(df, args.png)
+        else:
+            print("--png applies to -t, -m, or -r reports only", file=sys.stderr)
+            return 2
+        print(args.png)
+        return 0
 
     # toLocalIterator streams partition-by-partition — the driver never
     # holds the whole report (reports can be huge for directory inputs)

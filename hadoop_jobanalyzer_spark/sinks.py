@@ -362,20 +362,38 @@ def render_gantt_png(
     height: int = 800,
     color: tuple[int, int, int] = (0, 0, 255),
     max_rows: int = 4096,
+    segments: list[tuple[str, str, tuple[int, int, int]]] | None = None,
 ) -> str:
     """Task Gantt chart over a ``-m``/``-r`` style table — the
     ``vis/grap/mapgraph.gr`` / ``reducegraph.gr`` plots
-    (vis/grap/mapgraph.gr:5-10) without the grap/pic toolchain.
+    (vis/grap/mapgraph.gr:5-10, vis/grap/reducegraph.gr:12-42) without
+    the grap/pic toolchain.
 
-    One horizontal bar per task, ordered by start time; the collect is
-    capped at ``max_rows`` tasks (sampled evenly beyond that) so the chart
-    never pulls an unbounded table into the driver.
+    One horizontal bar per task, ranked by taskid when the table has one
+    (the ``thisrank`` counter walks ``map.d``/``reduce.d``, which the
+    ``-m``/``-r`` reports emit in taskid order), else by (start, end).
+    ``segments`` draws multi-phase bars: a list of
+    ``(start_col, end_col, rgb)`` painted in order — the reduce chart's
+    green shuffle segment then yellow reduce segment. Default is the
+    single ``(start_col, end_col, color)`` map-style bar.
+
+    The collect is capped at ``max_rows`` tasks so the chart never pulls
+    an unbounded table into the driver.
     """
+    segs = segments or [(start_col, end_col, color)]
+    seg_cols: list[str] = []
+    for s, e, _ in segs:
+        for c in (s, e):
+            if c not in seg_cols:
+                seg_cols.append(c)
+    first_start, last_end = segs[0][0], segs[-1][1]
     keys = _job_key_cols(table_df)
+    order = ["taskid"] if "taskid" in table_df.columns else [first_start, last_end]
+    sel = [*keys, *(c for c in order if c not in keys and c not in seg_cols), *seg_cols]
     rows = (
-        table_df.select(*keys, start_col, end_col)
-        .filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
-        .orderBy(start_col, end_col)
+        table_df.select(*sel)
+        .filter(F.col(first_start).isNotNull() & F.col(last_end).isNotNull())
+        .orderBy(*order)
         .limit(max_rows)
         .collect()
     )
@@ -391,22 +409,64 @@ def render_gantt_png(
             )
     pixels = [[_BG] * width for _ in range(height)]
     if rows:
-        t_min = min(r[start_col] for r in rows)
-        t_max = max(r[end_col] for r in rows) or (t_min + 1)
+        t_min = min(r[first_start] for r in rows)
+        t_max = max(r[last_end] for r in rows) or (t_min + 1)
         span = max(t_max - t_min, 1)
         n = len(rows)
         for i, r in enumerate(rows):
             y0 = i * height // n
             y1 = max(y0 + 1, (i + 1) * height // n)
-            x0 = int((r[start_col] - t_min) / span * (width - 1))
-            x1 = max(x0 + 1, int((r[end_col] - t_min) / span * (width - 1)))
-            for y in range(y0, min(y1, height)):
-                for x in range(x0, min(x1 + 1, width)):
-                    pixels[y][x] = color
+            for s, e, rgb in segs:
+                if r[s] is None or r[e] is None:
+                    continue
+                x0 = int((r[s] - t_min) / span * (width - 1))
+                x1 = max(x0 + 1, int((r[e] - t_min) / span * (width - 1)))
+                for y in range(y0, min(y1, height)):
+                    for x in range(x0, min(x1 + 1, width)):
+                        pixels[y][x] = rgb
     scanlines = [b"".join(bytes(p) for p in line) for line in pixels]
     with open(out_path, "wb") as f:
         f.write(_png_bytes(width, height, scanlines))
     return out_path
+
+
+# reducegraph.gr's phase colors: green = shuffle (start -> shuffle
+# finish), yellow = reduce (shuffle finish -> end); mapgraph.gr draws
+# the map bar red (vis/grap/reducegraph.gr:29-33, mapgraph.gr variant
+# :24-26)
+GANTT_MAP_COLOR = (0xFF, 0x22, 0x22)
+GANTT_SHUFFLE_COLOR = (0x22, 0xFF, 0x22)
+GANTT_REDUCE_COLOR = (0xFF, 0xFF, 0x22)
+
+
+def render_map_gantt_png(map_df: DataFrame, out_path: str, **kw) -> str:
+    """``vis/grap/mapgraph.gr``: one red start->end bar per map task over
+    the ``-m`` table (map.d columns 2-3)."""
+    return render_gantt_png(
+        map_df, out_path, "start_time", "end_time", color=GANTT_MAP_COLOR, **kw
+    )
+
+
+def render_reduce_gantt_png(reduce_df: DataFrame, out_path: str, **kw) -> str:
+    """``vis/grap/reducegraph.gr:38-46``: per reduce task, a green bar
+    from ``max(start, maps_complete)`` to the shuffle finish, then a
+    yellow bar to the task end — over the ``-r`` table's 7 columns.
+
+    The clamp (``max($2,$3)``) is computed executor-side so the renderer
+    stays a pure painter.
+    """
+    clamped = reduce_df.withColumn(
+        "_sh_start", F.greatest("start_time", "maps_complete")
+    )
+    return render_gantt_png(
+        clamped,
+        out_path,
+        segments=[
+            ("_sh_start", "shuffle_finish", GANTT_SHUFFLE_COLOR),
+            ("shuffle_finish", "end_time", GANTT_REDUCE_COLOR),
+        ],
+        **kw,
+    )
 
 
 def render_timeline_png(

@@ -9,6 +9,7 @@ from hadoop_jobanalyzer_spark.sources.job_history import (
     parse_records,
     read_raw_records,
     records_from_string,
+    stage_url,
     tasks_view,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "parse_records",
     "read_raw_records",
     "records_from_string",
+    "stage_url",
     "tasks_view",
 ]

@@ -1,0 +1,201 @@
+"""HTTP chart frontend — the webapp analog of ``job_history.cgi``.
+
+The reference's third frontend is a Groovy servlet
+(``src/main/webapp/job_history.cgi``, mapped by ``WEB-INF/web.xml:8-19``)
+that accepts ``url=<url to log file>`` or ``log=<full log contents>``
+"either query or post, either way" (job_history.cgi:52-56,96-101), parses
+the job-history log, and answers ``image/png`` with the stacked
+concurrency chart (job_history.cgi:344-390).
+
+This module serves the same interface from the stdlib ``http.server``
+over the Spark engine: the request's log goes through
+``sources.load_history`` and ``operators.timeline`` and the response is
+the dependency-free ``sinks.render_timeline_png`` raster. Extensions
+beyond the CGI (documented, all optional):
+
+* ``chart=timeline|map|reduce`` — ``map``/``reduce`` answer the per-task
+  Gantt charts (``vis/grap/mapgraph.gr`` / ``reducegraph.gr``), which the
+  reference only produced offline through grap/pic.
+* ``width=``/``height=``/``scale=`` — raster size and timestamp divisor.
+  Defaults mirror the CGI: 1200x800 (job_history.cgi:390) and
+  ``scale=100`` (job_history.cgi:107 ``long scale = 100`` — NOT the
+  CLI's 1000; the two reference frontends disagree and we keep each
+  one's own default, SURVEY.md §2.9).
+
+Multipart form bodies (the CGI's gridauth-compat path,
+job_history.cgi:84-90) are out of scope with url-decode per SURVEY §2.6 —
+standard ``application/x-www-form-urlencoded`` POST and query-string GET
+cover the documented interface.
+
+One request at a time (plain ``HTTPServer``, no threading mixin): every
+request runs Spark jobs on the shared session, and interleaving two
+drivers' action streams on one SparkContext gains nothing — requests
+queue at the socket instead.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from pyspark.sql import SparkSession
+
+CHART_DEFAULT_WIDTH = 1200  # ChartUtilities.writeChartAsPNG(..., 1200, 800)
+CHART_DEFAULT_HEIGHT = 800
+CGI_SCALE = 100  # job_history.cgi:107
+
+_MAX_BODY = 256 * 1024 * 1024  # a job-history log, not a corpus
+
+
+def render_chart_png(
+    spark: SparkSession,
+    *,
+    url: str | None = None,
+    log: str | None = None,
+    chart: str = "timeline",
+    width: int = CHART_DEFAULT_WIDTH,
+    height: int = CHART_DEFAULT_HEIGHT,
+    scale: int = CGI_SCALE,
+) -> bytes:
+    """One request's PNG bytes — the CGI body (job_history.cgi:95-390)
+    as a library call: stage the input, build the requested view, raster.
+
+    Raises ``ValueError`` on bad parameters (no input, unknown chart,
+    multi-job input) — the HTTP layer maps that to 400.
+    """
+    from hadoop_jobanalyzer_spark.operators import map_table, reduce_table, timeline
+    from hadoop_jobanalyzer_spark.sinks import (
+        render_map_gantt_png,
+        render_reduce_gantt_png,
+        render_timeline_png,
+    )
+    from hadoop_jobanalyzer_spark.sources import load_history, stage_url
+
+    if url:
+        path = stage_url(url)
+        cleanup = None
+    elif log:
+        fd, path = tempfile.mkstemp(suffix=".txt", prefix="job_history_post_")
+        with os.fdopen(fd, "w") as f:
+            f.write(log)
+        cleanup = path
+    else:
+        raise ValueError("missing parameter: url= or log= (job_history.cgi:96-101)")
+
+    out_fd, out_path = tempfile.mkstemp(suffix=".png", prefix="job_history_chart_")
+    os.close(out_fd)
+    try:
+        views = load_history(spark, path)
+        if chart == "timeline":
+            render_timeline_png(
+                timeline(views, scale=scale), out_path, width=width, height=height
+            )
+        elif chart == "map":
+            render_map_gantt_png(
+                map_table(views, scale=scale), out_path, width=width, height=height
+            )
+        elif chart == "reduce":
+            render_reduce_gantt_png(
+                reduce_table(views, scale=scale), out_path, width=width, height=height
+            )
+        else:
+            raise ValueError(f"unknown chart: {chart!r} (timeline|map|reduce)")
+        with open(out_path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(out_path)
+        if cleanup:
+            os.unlink(cleanup)
+
+
+def _make_handler(spark: SparkSession) -> type[BaseHTTPRequestHandler]:
+    class ChartHandler(BaseHTTPRequestHandler):
+        server_version = "hadoop-jobanalyzer-spark/1.0"
+
+        def log_message(self, fmt: str, *args) -> None:  # quiet by default
+            if os.environ.get("SPARK_GRAFT_HTTP_LOG"):
+                super().log_message(fmt, *args)
+
+        def _params_from_query(self) -> dict[str, str]:
+            q = urllib.parse.urlsplit(self.path).query
+            return {k: v[0] for k, v in urllib.parse.parse_qs(q).items()}
+
+        def do_GET(self) -> None:  # noqa: N802 (http.server contract)
+            self._respond(self._params_from_query())
+
+        def do_POST(self) -> None:  # noqa: N802
+            # "parameters are sent via post ... either way"
+            # (job_history.cgi:52-56): body params override query params
+            params = self._params_from_query()
+            n = int(self.headers.get("Content-Length") or 0)
+            if n > _MAX_BODY:
+                self.send_error(413, "request body too large")
+                return
+            body = self.rfile.read(n).decode("utf-8", errors="replace")
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+            if ctype in ("application/x-www-form-urlencoded", ""):
+                params.update(
+                    {k: v[0] for k, v in urllib.parse.parse_qs(body).items()}
+                )
+            else:
+                # raw body = the log itself (curl --data-binary convenience)
+                params.setdefault("log", body)
+            self._respond(params)
+
+        def _respond(self, params: dict[str, str]) -> None:
+            try:
+                png = render_chart_png(
+                    spark,
+                    url=params.get("url"),
+                    log=params.get("log"),
+                    chart=params.get("chart", "timeline"),
+                    width=int(params.get("width", CHART_DEFAULT_WIDTH)),
+                    height=int(params.get("height", CHART_DEFAULT_HEIGHT)),
+                    scale=int(params.get("scale", CGI_SCALE)),
+                )
+            except ValueError as exc:
+                self.send_error(400, str(exc))
+                return
+            except Exception as exc:  # noqa: BLE001 — servlet prints the error
+                self.send_error(500, f"{type(exc).__name__}: {exc}")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+
+    return ChartHandler
+
+
+def make_server(spark: SparkSession, host: str = "127.0.0.1", port: int = 0) -> HTTPServer:
+    """Bind (not yet serving) — callers drive ``serve_forever`` themselves
+    (tests run it on a thread and ``shutdown()`` it)."""
+    return HTTPServer((host, port), _make_handler(spark))
+
+
+def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8080) -> None:
+    """Blocking entry point: ``python -m hadoop_jobanalyzer_spark.webapp``."""
+    srv = make_server(spark, host, port)
+    print(f"serving charts on http://{host}:{srv.server_address[1]}/job_history")
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from hadoop_jobanalyzer_spark import get_spark
+
+    ap = argparse.ArgumentParser(description="job-history chart HTTP frontend")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    session = get_spark(app_name="job_history_webapp", master=args.master)
+    session.sparkContext.setLogLevel("ERROR")
+    serve(session, args.host, args.port)

@@ -122,3 +122,19 @@ def test_cli_explain_mode(capsys, spark, sf_dir):
 
 def test_cli_explain_unknown_query_errors(capsys, spark, sf_dir):
     assert main(["--explain", "q999_nope", "--sf-dir", sf_dir]) == 2
+
+
+def test_cli_png_modes(capsys, tmp_path, fixture_log1, spark):
+    """--png renders -t as the stacked chart and -m/-r as Gantt charts;
+    non-chart modes reject it."""
+    import struct
+
+    for args in (["-m"], ["-r"], ["-t"]):
+        out = str(tmp_path / f"{args[0].strip('-')}.png")
+        assert main([*args, "-i", fixture_log1, "--png", out]) == 0
+        capsys.readouterr()
+        with open(out, "rb") as f:
+            data = f.read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert struct.unpack(">II", data[16:24]) == (1200, 800)
+    assert main(["-s", "-i", fixture_log1, "--png", str(tmp_path / "s.png")]) == 2

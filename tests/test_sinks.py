@@ -373,3 +373,98 @@ def test_read_pruned_resolves_manifest_via_hadoop_fs(spark, tmp_path):
     )
     assert (n_sel, n_tot) == (1, 2)  # skipping ACTIVE through the file: URI
     assert got.count() == 1_000
+
+
+# --- Gantt renderers vs the reference grap charts ----------------------------
+
+
+def _decode_scanlines(data: bytes, w: int, h: int) -> list[bytes]:
+    raw = zlib.decompress(data[data.index(b"IDAT") + 4 : data.rindex(b"IEND") - 4])
+    stride = 1 + 3 * w
+    assert len(raw) == stride * h
+    return [raw[y * stride + 1 : (y + 1) * stride] for y in range(h)]
+
+
+def _color_run(line: bytes, w: int, rgb: tuple) -> tuple:
+    xs = [x for x in range(w) if tuple(line[3 * x : 3 * x + 3]) == rgb]
+    assert xs, f"color {rgb} absent from scanline"
+    return xs[0], xs[-1]
+
+
+def test_render_map_gantt_golden_extents(spark, fixture_log1, tmp_path):
+    """Bar extents golden against ``vis/grap/map.d`` (the mapgraph.gr
+    input, taskid-ordered): one scanline per task, each bar spanning
+    exactly the task's [start, end] mapped onto the time axis."""
+    import os
+
+    import pytest
+
+    from hadoop_jobanalyzer_spark.sinks import GANTT_MAP_COLOR, render_map_gantt_png
+
+    map_d = "/root/reference/vis/grap/map.d"
+    if not os.path.exists(map_d):
+        pytest.skip("reference map.d not available")
+    rows = [line.split() for line in open(map_d) if line.strip()]
+    starts = [int(r[1]) for r in rows]
+    ends = [int(r[2]) for r in rows]
+    t_min, span = min(starts), max(ends) - min(starts)
+    n = len(rows)  # 512
+    W = 600
+
+    v = load_history(spark, fixture_log1)
+    out = str(tmp_path / "map_gantt.png")
+    render_map_gantt_png(map_table(v), out, width=W, height=n)
+    w, h, data = _png_dims(out)
+    assert (w, h) == (W, n)
+    lines = _decode_scanlines(data, W, n)
+    for i in (0, 1, 100, 255, 511):  # spot-check ranks incl. both ends
+        x0 = int((starts[i] - t_min) / span * (W - 1))
+        x1 = max(x0 + 1, int((ends[i] - t_min) / span * (W - 1)))
+        assert _color_run(lines[i], W, GANTT_MAP_COLOR) == (x0, x1), f"rank {i}"
+
+
+def test_render_reduce_gantt_golden_segments(spark, fixture_log1, tmp_path):
+    """Two-phase reduce bars golden against ``vis/grap/reduce.d`` plus the
+    job's all-maps-complete instant (reducegraph.gr:38-46: green from
+    max(start, maps_complete) to shuffle finish, yellow to task end)."""
+    import os
+
+    import pytest
+
+    from hadoop_jobanalyzer_spark.operators import reduce_table
+    from hadoop_jobanalyzer_spark.sinks import (
+        GANTT_REDUCE_COLOR,
+        GANTT_SHUFFLE_COLOR,
+        render_reduce_gantt_png,
+    )
+
+    reduce_d = "/root/reference/vis/grap/reduce.d"
+    if not os.path.exists(reduce_d):
+        pytest.skip("reference reduce.d not available")
+    rows = [line.split() for line in open(reduce_d) if line.strip()]
+    starts = [int(r[1]) for r in rows]
+    shuffles = [int(r[2]) for r in rows]
+    ends = [int(r[3]) for r in rows]
+    maps_complete = 1289563006  # README/golden all-maps-complete, fixture job 1
+    sh_starts = [max(s, maps_complete) for s in starts]
+    t_min, span = min(sh_starts), max(ends) - min(sh_starts)
+    n = len(rows)  # 320
+    W = 600
+
+    v = load_history(spark, fixture_log1)
+    out = str(tmp_path / "reduce_gantt.png")
+    render_reduce_gantt_png(reduce_table(v), out, width=W, height=n)
+    w, h, data = _png_dims(out)
+    assert (w, h) == (W, n)
+    lines = _decode_scanlines(data, W, n)
+    for i in (0, 1, 160, 319):
+        gx0 = int((sh_starts[i] - t_min) / span * (W - 1))
+        yx0 = int((shuffles[i] - t_min) / span * (W - 1))
+        yx1 = max(yx0 + 1, int((ends[i] - t_min) / span * (W - 1)))
+        y0, y1 = _color_run(lines[i], W, GANTT_REDUCE_COLOR)
+        assert (y0, y1) == (yx0, yx1), f"rank {i} yellow extent"
+        # yellow is painted after green, so green survives only left of
+        # it — a sub-pixel shuffle window is fully overwritten
+        if yx0 > gx0:
+            g0, _ = _color_run(lines[i], W, GANTT_SHUFFLE_COLOR)
+            assert g0 == gx0, f"rank {i} green start"

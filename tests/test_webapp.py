@@ -1,0 +1,88 @@
+"""HTTP chart frontend — the ``job_history.cgi`` analog (webapp.py).
+
+The reference servlet accepts ``url=`` or ``log=`` "either query or
+post, either way" (job_history.cgi:52-56,96-101) and answers
+``image/png`` with the stacked concurrency chart. These tests drive the
+real socket server end-to-end on a background thread.
+"""
+
+import struct
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+from hadoop_jobanalyzer_spark.webapp import make_server
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = make_server(spark)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+    t.join(timeout=10)
+
+
+def _assert_png(resp, width, height):
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/png"
+    data = resp.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    assert (w, h) == (width, height)
+    return data
+
+
+def test_get_url_param_serves_timeline_png(server, fixture_log1):
+    q = urllib.parse.urlencode(
+        {"url": Path(fixture_log1).as_uri(), "width": 200, "height": 100}
+    )
+    with urllib.request.urlopen(f"{server}/job_history?{q}", timeout=300) as resp:
+        _assert_png(resp, 200, 100)
+
+
+def test_post_log_param_serves_timeline_png(server, fixture_log1):
+    body = urllib.parse.urlencode(
+        {
+            "log": Path(fixture_log1).read_text(),
+            "width": 150,
+            "height": 80,
+        }
+    ).encode()
+    req = urllib.request.Request(
+        f"{server}/job_history",
+        data=body,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        data = _assert_png(resp, 150, 80)
+    assert len(data) > 100  # non-trivial raster
+
+
+def test_gantt_chart_params(server, fixture_log1):
+    base = {"url": Path(fixture_log1).as_uri(), "width": 100, "height": 64}
+    for chart in ("map", "reduce"):
+        q = urllib.parse.urlencode({**base, "chart": chart})
+        with urllib.request.urlopen(f"{server}/job_history?{q}", timeout=300) as resp:
+            _assert_png(resp, 100, 64)
+
+
+def test_missing_params_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{server}/job_history", timeout=60)
+    assert ei.value.code == 400
+
+
+def test_unknown_chart_is_400(server, fixture_log1):
+    q = urllib.parse.urlencode(
+        {"url": Path(fixture_log1).as_uri(), "chart": "pie"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{server}/job_history?{q}", timeout=60)
+    assert ei.value.code == 400
