@@ -226,6 +226,11 @@ def kmeans_iterated(
     codebook's inertia numerator; divide by ``n * 1000^2`` for original
     units).  All-integer output: bit-identical on any engine.
     """
+    if rounds < 1:
+        # rounds=0 would silently return the seed-assignment census (the
+        # refinement loop runs rounds-1 times and the final assignment
+        # always runs) — keep the parameter contract explicit instead
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     q = df.select(
         F.col(id_col).alias("_id"), quantized(F.col(vec_col)).alias("_qv")
     ).transform(materialize)

@@ -114,3 +114,92 @@ def prefix_filter_jaccard_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 4,
+    threshold: tuple[int, int] = (8, 10),
+) -> DataFrame:
+    """All DIRECTED pairs with shingle-containment
+    ``|A intersect B| / |A| >= num/den``, exactly — the asymmetric
+    companion of :func:`prefix_filter_jaccard_pairs`.
+
+    Containment catches "A is (nearly) inside B" — quotation, boilerplate
+    inclusion, a doc republished inside a digest — which Jaccard misses
+    whenever ``|B| >> |A|`` drags the union down. The candidate theorem
+    adapts: if ``|A∩B| >= ceil(t*|A|)``, then A's df-ascending prefix of
+    length ``|A| - ceil(t*|A|) + 1`` must intersect B *somewhere* (all of
+    B, not B's prefix — a superset has no short-prefix guarantee). So the
+    candidate join probes A's prefix against the full token relation,
+    pruned by ``den*|B| >= num*|A|`` (since ``|A∩B| <= |B|``), and the
+    verify stage counts common tokens exactly.
+
+    Scale shape: identical to the Jaccard join — vocabulary-sized df
+    table, prefix relation a fraction of the token relation, both the
+    prefix and token relations materialized once; candidates fan out on
+    rare tokens only. The probe side being full-token (not
+    prefix-vs-prefix) is inherent to asymmetric containment and is the
+    published PPJoin containment variant, not a missed optimization.
+
+    Output: (id_a, id_b, n_common, n_a, n_b, containment), id_a != id_b
+    (both directions may independently qualify), ordered by (id_a, id_b).
+    """
+    num, den = threshold
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), ngram)).alias("s"),
+    ).transform(materialize)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ordered = (
+        sh.join(dfreq, "s")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    prefix_len = F.col("n") - F.floor((num * F.col("n") + den - 1) / den) + 1
+    prefix = (
+        ordered.filter(F.col("_rk") <= prefix_len)
+        .select("doc_id", "s", "n")
+        .transform(materialize)
+    )
+
+    probe = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("id_b"), "s", F.col("n").alias("n_b")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), "s", F.col("n").alias("n_a"))
+        .join(probe, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # |A∩B| <= |B|, so containment >= t forces den*|B| >= num*|A|
+        .filter(den * F.col("n_b") >= num * F.col("n_a"))
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+
+    ta = sh.select(F.col("doc_id").alias("id_a"), "s")
+    tb = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "s"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.filter(den * F.col("n_common") >= num * F.col("n_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_a").cast("double"), 3
+            ).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -62,7 +62,11 @@ def _q233_sql(k: int = _KM_K, rounds: int = _KM_ROUNDS) -> str:
         "                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv\n"
         "  FROM embeddings\n"
         ")",
-        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {k})",
+        # seed with the k LOWEST vec_ids exactly like the Spark operator
+        # (orderBy + limit) — `WHERE vec_id < k` only agrees when ids are
+        # 0-based and contiguous, which is a datagen accident, not a
+        # contract
+        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT {k})",
     ]
     for r in range(1, rounds):
         prev = f"c{r - 1}"

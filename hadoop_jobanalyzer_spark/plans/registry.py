@@ -96,6 +96,13 @@ try:  # model-building (iterated k-means codebook, link prediction)
 except ImportError:  # pragma: no cover
     pass
 
+try:  # curation extensions (containment dedup, mixture schedule, novelty)
+    from hadoop_jobanalyzer_spark.plans.sampling_queries import SAMPLING_QUERIES
+
+    QUERIES.update(SAMPLING_QUERIES)
+except ImportError:  # pragma: no cover
+    pass
+
 # The driver's correctness gate records at most 50 queries per round, in
 # registry iteration order (CORRECTNESS_r01.json stopped at exactly the
 # first 50 of 59).  To make the union of rounds cover everything AND keep

@@ -1,0 +1,200 @@
+"""Corpus curation extensions q235-q237: exact containment dedup,
+deterministic mixture interleave, and per-source n-gram novelty.
+
+These extend the training-data-pipeline surface (no reference
+counterpart — the reference is a job-history analyzer; these are the
+LLM-corpus operations the brief adds as first-class components):
+
+* q235 — the asymmetric companion of the exact Jaccard self-join
+  (q123): directed near-containment pairs, the quotation/boilerplate/
+  digest-inclusion duplicates Jaccard misses when sizes are skewed.
+* q236 — a deterministic single-epoch proportional mixture schedule:
+  every source's documents spread evenly across the epoch in a seeded
+  order, the schedule a trainer's data loader replays identically on
+  every host.
+* q237 — marginal novelty per source: how many distinct n-grams each
+  source adds given a fixed inclusion order — the measured answer to
+  "what does this source buy us" during corpus composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+# --- q235: exact directed containment pairs ----------------------------------
+
+_CONT_NGRAM = 3
+_CONT_T = (8, 10)
+
+
+def q235_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed set-containment self-join at
+    ``|A∩B|/|A| >= 0.8`` over word 3-shingles via the prefix-filter
+    containment variant (operators/setsim.prefix_filter_containment_pairs).
+    The oracle computes the naive exhaustive directed join; result-set
+    equality is the containment prefix-filter losslessness theorem."""
+    from hadoop_jobanalyzer_spark.operators.setsim import (
+        prefix_filter_containment_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return prefix_filter_containment_pairs(
+        docs, "doc_id", "text", ngram=_CONT_NGRAM, threshold=_CONT_T
+    )
+
+
+Q235_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 3) AS containment
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE {_CONT_T[1]} * n_common >= {_CONT_T[0]} * sa.n
+ORDER BY id_a, id_b
+"""
+
+
+# --- q236: deterministic proportional mixture schedule -----------------------
+
+_MIX_HEAD = 100
+
+
+def q236_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``_MIX_HEAD`` positions of a deterministic single-epoch
+    proportional mixture order: within each source, documents take a
+    seeded shuffle rank r (md5 order — no RNG state, any worker
+    recomputes it); the schedule key ``r / n_source`` spreads each
+    source evenly over (0, 1], so every prefix of the epoch holds each
+    source in proportion and all sources finish together.
+
+    Keys are double divisions of int64s well under 2^53, identical under
+    IEEE rounding on any engine; ties (equal-size sources produce equal
+    keys) break deterministically by (source, rank).  The head is a
+    TakeOrdered top-k — no global sort, no 1-partition window over the
+    corpus; the rank window shuffles once on source.
+    Output: (pos, source, doc_id), pos 1..HEAD."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_src = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(per_src).alias("_r"),
+        F.count("*").over(Window.partitionBy("source")).alias("_n"),
+    )
+    keyed = ranked.select(
+        "source",
+        "doc_id",
+        (F.col("_r").cast("double") / F.col("_n").cast("double")).alias("_key"),
+        "_r",
+    )
+    head = keyed.orderBy("_key", "source", "_r").limit(_MIX_HEAD)
+    pos_w = Window.orderBy("_key", "source", "_r")  # over HEAD rows only
+    return head.select(
+        F.row_number().over(pos_w).alias("pos"), "source", "doc_id"
+    ).orderBy("pos")
+
+
+Q236_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+keyed AS (
+  SELECT source, doc_id,
+         CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS key, r
+  FROM ranked
+)
+SELECT ROW_NUMBER() OVER (ORDER BY key, source, r) AS pos, source, doc_id
+FROM keyed
+ORDER BY key, source, r
+LIMIT {_MIX_HEAD}
+"""
+
+
+# --- q237: per-source marginal n-gram novelty --------------------------------
+
+
+def q237_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal novelty under a fixed inclusion order (source name
+    ascending): a distinct word-3-gram is credited to the FIRST source
+    that contains it; each source then reports its distinct-gram count,
+    how many it introduced, and the novelty rate — the diminishing-
+    returns curve of corpus composition (a source whose grams all
+    appeared earlier adds vocabulary nothing).
+
+    Plan: one shingle explode -> distinct (source, gram) (the only
+    corpus-sized shuffle, partial-aggregated; materialized once — it
+    feeds both the per-source census and the first-source argmin), a
+    min(source) per gram on that reduced domain, and two source-grain
+    census joins (source-count rows, broadcast).
+    Output: (source, n_grams, n_novel, novelty_pct), source ascending."""
+    from hadoop_jobanalyzer_spark.functions.text import shingles, tokens
+    from hadoop_jobanalyzer_spark.util import materialize, spread
+
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    sg = (
+        docs.select(
+            "source",
+            F.explode(shingles(tokens(F.col("text")), 3)).alias("s"),
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    per_source = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    novel = (
+        sg.groupBy("s")
+        .agg(F.min("source").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        per_source.join(F.broadcast(novel), "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                100.0
+                * F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                2,
+            ).alias("novelty_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+Q237_SQL = """
+WITH words AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+sg AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+firsts AS (SELECT s, MIN(source) AS first_source FROM sg GROUP BY s),
+per_source AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+novel AS (SELECT first_source AS source, COUNT(*) AS n_novel FROM firsts GROUP BY 1)
+SELECT p.source, p.n_grams, COALESCE(n.n_novel, 0) AS n_novel,
+       ROUND(100.0 * COALESCE(n.n_novel, 0) / p.n_grams, 2) AS novelty_pct
+FROM per_source p LEFT JOIN novel n ON p.source = n.source
+ORDER BY p.source
+"""
+
+
+SAMPLING_QUERIES = {
+    "q235_containment_pairs": (q235_containment_pairs, Q235_SQL),
+    "q236_mixture_schedule": (q236_mixture_schedule, Q236_SQL),
+    "q237_source_novelty": (q237_source_novelty, Q237_SQL),
+}

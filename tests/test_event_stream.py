@@ -1059,8 +1059,12 @@ def test_stream_stream_join_survives_mid_stream_kill(spark, sf_dir, tmp_path):
         try:
             q2.awaitTermination(300)
             break
-        except StreamingQueryException:
-            if attempt == 2:
+        except StreamingQueryException as exc:
+            # retry ONLY the known ContextCleaner/broadcast-registration
+            # race — any other failure (e.g. a real checkpoint-recovery
+            # regression) must surface immediately, not be absorbed by
+            # the retry loop
+            if attempt == 2 or "accumulator" not in str(exc).lower():
                 raise
 
     # at-least-once sink: a replayed batch re-appends identical pairs

@@ -107,3 +107,16 @@ def test_link_prediction_returns_true_non_edges(spark, sf_dir):
     # ranked: (common_neighbors desc, id_a, id_b) total order
     keys = [(-r["common_neighbors"], r["id_a"], r["id_b"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_kmeans_iterated_rejects_nonpositive_rounds(spark, sf_dir):
+    """rounds=0 used to silently return the seed-assignment census
+    (range(rounds-1) empty + final assignment always running) — the
+    contract is now explicit."""
+    import pytest
+
+    from hadoop_jobanalyzer_spark.operators.quantize import kmeans_iterated
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="rounds"):
+        kmeans_iterated(emb, "vec_id", "embedding", k=4, rounds=0)

@@ -172,11 +172,57 @@ def test_multimodal_fake_features(spark, sf_dir):
         assert 32 <= r["byte_max"] <= 127  # ASCII corpus
 
 
+def _pillow_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pillow_available(), reason="Pillow present: decode is real, not stubbed"
+)
 def test_multimodal_decode_is_stubbed():
     from hadoop_jobanalyzer_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_pillow_codec_real_decode(spark):
+    """The auto-detected Pillow codec tier: real PNG payloads decode /
+    feature-extract / resize through the exact same Arrow plumbing the
+    fake codec exercises. Skips (never fails) where Pillow is absent."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from hadoop_jobanalyzer_spark.operators import multimodal as mm
+
+    def png(seed: int) -> bytes:
+        arr = ((np.arange(8, dtype=np.uint8) + 1) * (seed + 3) % 251).reshape(2, 4)
+        buf = io.BytesIO()
+        Image.fromarray(arr, "L").save(buf, "PNG")
+        return buf.getvalue()
+
+    rows = [(i, png(i)) for i in range(5)]
+
+    px = mm.decode_image(rows[0][1])
+    assert px.shape == (2, 4)
+    thumb = mm.resize_image(rows[0][1], 2, 1)
+    assert np.asarray(Image.open(io.BytesIO(thumb))).shape == (1, 2)
+
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = {r["doc_id"]: r for r in mm.decoded_image_features(payloads).collect()}
+    assert set(feats) == set(range(5))
+    for i, payload in rows:
+        arr = np.asarray(Image.open(io.BytesIO(payload)))
+        assert (feats[i]["height"], feats[i]["width"]) == arr.shape
+        assert feats[i]["mean_px_x100"] == int(arr.mean() * 100)
 
 
 def test_multimodal_pluggable_codec_end_to_end(spark, sf_dir):
@@ -210,8 +256,9 @@ def test_multimodal_pluggable_codec_end_to_end(spark, sf_dir):
             assert r["mean_px_x100"] == int(np.frombuffer(b, np.uint8).mean() * 100)
     finally:
         mm.set_image_codec(None, None)
-    with pytest.raises(NotImplementedError):
-        mm.decoded_image_features(spark.range(1))
+    if not _pillow_available():  # with Pillow the auto-codec takes over
+        with pytest.raises(NotImplementedError):
+            mm.decoded_image_features(spark.range(1))
 
 
 def test_winnow_shared_run_produces_shared_fingerprint(spark):

@@ -309,6 +309,9 @@ def _n_exchanges(plan: str) -> int:
         # cost is one persisted build + wedge join + pair agg +
         # anti-join + 2 post-cut degree joins. +1 AQE-estimate slack.
         ("q234_link_prediction", 17),
+        ("q235_containment_pairs", 6),  # df/size/rank + prefix-vs-token probe + verify
+        ("q236_mixture_schedule", 2),   # per-source rank window + 100-row head window
+        ("q237_source_novelty", 8),     # spread + (source,gram) distinct + 4 census aggs
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

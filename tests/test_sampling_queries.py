@@ -1,0 +1,122 @@
+"""Differential + semantic tests for the curation-extension queries
+(q235 containment, q236 mixture schedule, q237 source novelty)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_jobanalyzer_spark.plans.sampling_queries import SAMPLING_QUERIES
+
+from tests.oracle_utils import compare, driver_sql, duck_connect
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(SAMPLING_QUERIES))
+def test_sampling_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, _ = SAMPLING_QUERIES[name]
+    sql = driver_sql(name)
+    problems = compare(fn(spark, sf_dir), duck, sql)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(SAMPLING_QUERIES))
+def test_sampling_query_nonempty(spark, sf_dir, name):
+    fn, _ = SAMPLING_QUERIES[name]
+    assert fn(spark, sf_dir).count() > 0, f"{name} returned no rows at {sf_dir}"
+
+
+def test_containment_is_superset_of_jaccard_pairs(spark, sf_dir):
+    """Semantic invariant linking q235 to q123: any UNDIRECTED pair with
+    Jaccard >= t also has containment >= t in both directions (the union
+    is at least as large as either set), so the Jaccard pair set at a
+    threshold embeds in the directed containment pair set at the same
+    threshold."""
+    from hadoop_jobanalyzer_spark.operators.setsim import (
+        prefix_filter_containment_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", ngram=3, threshold=(8, 10)
+        ).collect()
+    }
+    cont = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_containment_pairs(
+            docs, "doc_id", "text", ngram=3, threshold=(8, 10)
+        ).collect()
+    }
+    for a, b in jac:
+        assert (a, b) in cont and (b, a) in cont, (a, b)
+
+
+def test_containment_catches_size_skewed_inclusion(spark):
+    """The asymmetric case Jaccard misses: a short doc quoted verbatim
+    inside a much longer one has containment 1.0 but tiny Jaccard."""
+    from hadoop_jobanalyzer_spark.operators.setsim import (
+        prefix_filter_containment_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long = filler + " " + short + " " + " ".join(f"z{i} q{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = prefix_filter_containment_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=(9, 10)
+    ).collect()
+    directed = {(r["id_a"], r["id_b"]): r["containment"] for r in cont}
+    assert directed.get((1, 2)) == 1.0  # short fully inside long
+    assert (2, 1) not in directed  # long is NOT inside short
+    jac = prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=(9, 10)
+    ).collect()
+    assert not jac  # Jaccard at the same threshold sees nothing
+
+
+def test_mixture_schedule_prefix_is_proportional(spark, sf_dir):
+    """Every source appears in the schedule head in proportion: with S
+    equal-size sources, the first k*S positions hold exactly k docs of
+    each source (equal keys r/n break ties by source name, giving a
+    round-robin sweep per rank)."""
+    fn, _ = SAMPLING_QUERIES["q236_mixture_schedule"]
+    rows = fn(spark, sf_dir).collect()
+    n_src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source"
+    ).distinct().count()
+    full_sweeps = len(rows) // n_src
+    from collections import Counter
+
+    head = Counter(r["source"] for r in rows[: full_sweeps * n_src])
+    assert set(head.values()) == {full_sweeps}
+
+
+def test_source_novelty_totals(spark, sf_dir):
+    """Novel counts partition the distinct-gram domain: sum(n_novel) ==
+    global distinct gram count, and the first source (order ascending)
+    is 100% novel by construction."""
+    from hadoop_jobanalyzer_spark.functions.text import shingles, tokens
+
+    fn, _ = SAMPLING_QUERIES["q237_source_novelty"]
+    rows = fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_distinct = (
+        docs.select(F.explode(shingles(tokens(F.col("text")), 3)).alias("s"))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == n_distinct
+    first = min(rows, key=lambda r: r["source"])
+    assert first["n_novel"] == first["n_grams"]
+    assert first["novelty_pct"] == 100.0
