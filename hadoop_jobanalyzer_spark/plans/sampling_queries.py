@@ -1,5 +1,6 @@
-"""Corpus curation extensions q235-q237: exact containment dedup,
-deterministic mixture interleave, and per-source n-gram novelty.
+"""Corpus curation extensions q235-q238: exact containment dedup,
+deterministic mixture interleave, per-source n-gram novelty, and
+inter-filter agreement.
 
 These extend the training-data-pipeline surface (no reference
 counterpart — the reference is a job-history analyzer; these are the
@@ -15,6 +16,9 @@ LLM-corpus operations the brief adds as first-class components):
 * q237 — marginal novelty per source: how many distinct n-grams each
   source adds given a fixed inclusion order — the measured answer to
   "what does this source buy us" during corpus composition.
+* q238 — exact Cohen's kappa between the cheap quality filters:
+  chance-corrected redundancy, the "do these two filters measure the
+  same thing" readout before paying for both at corpus scale.
 """
 
 from __future__ import annotations
@@ -198,3 +202,128 @@ SAMPLING_QUERIES = {
     "q236_mixture_schedule": (q236_mixture_schedule, Q236_SQL),
     "q237_source_novelty": (q237_source_novelty, Q237_SQL),
 }
+
+
+# --- q238: inter-filter agreement (exact Cohen's kappa) ----------------------
+
+_K_MIN_CHARS = 200  # same thresholds as the q205 ablation grid
+_K_MIN_WORDS = 30
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q238_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa between the three cheap quality filters
+    (q205's flags: min chars, min words, digit-heaviness) — chance-
+    corrected agreement. Kappa near 1 means two filters are redundant
+    (drop the dearer one); near 0 means they encode independent signals
+    and compose.
+
+    Exact integer core: with marginals a1/a0 and b1/b0 over N docs,
+    ``kappa = (N*(n11+n00) - (a1*b1 + a0*b0)) / (N^2 - (a1*b1 + a0*b0))``
+    — numerator and denominator are exact integers; products run in
+    decimal(38,0) so N up to ~1e19 never overflows (the q98 idiom; the
+    oracle's HUGEINT marginal products match). One codegen scan, ONE
+    1-row aggregate, in-row kappa per pair, a 3-row unpivot.
+    Output: (pair, n_docs, n_agree, kappa), pair ascending."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.size(F.split("text", " ")).cast("long")
+    digit_runs = F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("long")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("long")
+    flags = docs.select(
+        (F.col("n_chars") >= _K_MIN_CHARS).cast("long").alias("fa"),
+        (words >= _K_MIN_WORDS).cast("long").alias("fb"),
+        (digit_runs * 5 <= bpe).cast("long").alias("fc"),
+    )
+    g = flags.agg(
+        F.count("*").alias("n"),
+        F.sum("fa").alias("a1"),
+        F.sum("fb").alias("b1"),
+        F.sum("fc").alias("c1"),
+        F.sum((F.col("fa") == F.col("fb")).cast("long")).alias("ab"),
+        F.sum((F.col("fa") == F.col("fc")).cast("long")).alias("ac"),
+        F.sum((F.col("fb") == F.col("fc")).cast("long")).alias("bc"),
+    )
+
+    dec = "decimal(38,0)"
+
+    def kappa(agree, x1, y1):
+        n = F.col("n").cast(dec)
+        chance = x1.cast(dec) * y1.cast(dec) + (F.col("n") - x1).cast(dec) * (
+            F.col("n") - y1
+        ).cast(dec)
+        num = n * agree.cast(dec) - chance
+        den = n * n - chance
+        # a constant filter (all-true or all-false marginal) makes chance
+        # == n^2 and kappa 0/0-undefined — report NULL, engine-portably,
+        # instead of an engine-specific NaN/Inf
+        return F.when(
+            den != F.lit(0).cast(dec),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        )
+
+    pairs = g.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len~words").alias("pair"),
+                    F.col("n").alias("n_docs"),
+                    F.col("ab").alias("n_agree"),
+                    kappa(F.col("ab"), F.col("a1"), F.col("b1")).alias("kappa"),
+                ),
+                F.struct(
+                    F.lit("len~clean").alias("pair"),
+                    F.col("n").alias("n_docs"),
+                    F.col("ac").alias("n_agree"),
+                    kappa(F.col("ac"), F.col("a1"), F.col("c1")).alias("kappa"),
+                ),
+                F.struct(
+                    F.lit("words~clean").alias("pair"),
+                    F.col("n").alias("n_docs"),
+                    F.col("bc").alias("n_agree"),
+                    kappa(F.col("bc"), F.col("b1"), F.col("c1")).alias("kappa"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*").orderBy("pair")
+    return pairs
+
+
+Q238_SQL = f"""
+WITH flags AS (
+  SELECT CAST(n_chars >= {_K_MIN_CHARS} AS BIGINT) AS fa,
+         CAST(len(string_split(text, ' ')) >= {_K_MIN_WORDS} AS BIGINT) AS fb,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) * 5
+              <= len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS fc
+  FROM documents
+),
+g AS (
+  SELECT COUNT(*) AS n, SUM(fa) AS a1, SUM(fb) AS b1, SUM(fc) AS c1,
+         SUM(CASE WHEN fa = fb THEN 1 ELSE 0 END) AS ab,
+         SUM(CASE WHEN fa = fc THEN 1 ELSE 0 END) AS ac,
+         SUM(CASE WHEN fb = fc THEN 1 ELSE 0 END) AS bc
+  FROM flags
+),
+pairs AS (
+  SELECT 'len~words' AS pair, n AS n_docs, ab AS n_agree,
+         CASE WHEN n * n = a1 * b1 + (n - a1) * (n - b1) THEN NULL ELSE
+           ROUND(CAST(n * ab - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+                 / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE), 6) END AS kappa
+  FROM g
+  UNION ALL
+  SELECT 'len~clean', n, ac,
+         CASE WHEN n * n = a1 * c1 + (n - a1) * (n - c1) THEN NULL ELSE
+           ROUND(CAST(n * ac - (a1 * c1 + (n - a1) * (n - c1)) AS DOUBLE)
+                 / CAST(n * n - (a1 * c1 + (n - a1) * (n - c1)) AS DOUBLE), 6) END
+  FROM g
+  UNION ALL
+  SELECT 'words~clean', n, bc,
+         CASE WHEN n * n = b1 * c1 + (n - b1) * (n - c1) THEN NULL ELSE
+           ROUND(CAST(n * bc - (b1 * c1 + (n - b1) * (n - c1)) AS DOUBLE)
+                 / CAST(n * n - (b1 * c1 + (n - b1) * (n - c1)) AS DOUBLE), 6) END
+  FROM g
+)
+SELECT pair, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_agree AS BIGINT) AS n_agree, kappa
+FROM pairs ORDER BY pair
+"""
+
+SAMPLING_QUERIES["q238_filter_agreement"] = (q238_filter_agreement, Q238_SQL)

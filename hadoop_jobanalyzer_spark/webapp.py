@@ -123,7 +123,27 @@ def _make_handler(spark: SparkSession) -> type[BaseHTTPRequestHandler]:
             return {k: v[0] for k, v in urllib.parse.parse_qs(q).items()}
 
         def do_GET(self) -> None:  # noqa: N802 (http.server contract)
-            self._respond(self._params_from_query())
+            params = self._params_from_query()
+            if not params and urllib.parse.urlsplit(self.path).path in ("/", ""):
+                # convenience landing form (extension; the reference's
+                # index.jsp is an unrelated JFreeChart demo scaffold)
+                body = (
+                    b"<html><body><h3>hadoop job-history charts</h3>"
+                    b'<form method="post" action="/job_history">'
+                    b'log URL: <input name="url" size="60"> '
+                    b'chart: <select name="chart"><option>timeline</option>'
+                    b"<option>map</option><option>reduce</option></select> "
+                    b'<input type="submit" value="render"></form>'
+                    b"<p>or POST the raw log as <code>log=</code> "
+                    b"(application/x-www-form-urlencoded).</p></body></html>"
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            self._respond(params)
 
         def do_POST(self) -> None:  # noqa: N802
             # "parameters are sent via post ... either way"

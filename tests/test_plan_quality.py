@@ -312,6 +312,7 @@ def _n_exchanges(plan: str) -> int:
         ("q235_containment_pairs", 6),  # df/size/rank + prefix-vs-token probe + verify
         ("q236_mixture_schedule", 2),   # per-source rank window + 100-row head window
         ("q237_source_novelty", 8),     # spread + (source,gram) distinct + 4 census aggs
+        ("q238_filter_agreement", 2),   # ONE 1-row aggregate + 3-row unpivot sort
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

@@ -120,3 +120,29 @@ def test_source_novelty_totals(spark, sf_dir):
     first = min(rows, key=lambda r: r["source"])
     assert first["n_novel"] == first["n_grams"]
     assert first["novelty_pct"] == 100.0
+
+
+def test_filter_agreement_kappa_bounds(spark, sf_dir):
+    """Kappa is chance-corrected: bounded by 1, and n_agree never
+    exceeds n_docs; perfect self-agreement would be 1 (spot-verified by
+    recomputing one pair from the raw flags)."""
+    fn, _ = SAMPLING_QUERIES["q238_filter_agreement"]
+    rows = {r["pair"]: r for r in fn(spark, sf_dir).collect()}
+    assert set(rows) == {"len~words", "len~clean", "words~clean"}
+    for r in rows.values():
+        assert r["n_agree"] <= r["n_docs"]
+        assert -1.0 <= r["kappa"] <= 1.0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.size(F.split("text", " ")).cast("long")
+    flags = docs.select(
+        (F.col("n_chars") >= 200).cast("long").alias("fa"),
+        (words >= 30).cast("long").alias("fb"),
+    ).collect()
+    n = len(flags)
+    a1 = sum(r["fa"] for r in flags)
+    b1 = sum(r["fb"] for r in flags)
+    agree = sum(1 for r in flags if r["fa"] == r["fb"])
+    chance = a1 * b1 + (n - a1) * (n - b1)
+    expect = round((n * agree - chance) / (n * n - chance), 6)
+    assert rows["len~words"]["n_agree"] == agree
+    assert rows["len~words"]["kappa"] == expect

@@ -86,3 +86,11 @@ def test_unknown_chart_is_400(server, fixture_log1):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{server}/job_history?{q}", timeout=60)
     assert ei.value.code == 400
+
+
+def test_root_serves_landing_form(server):
+    with urllib.request.urlopen(f"{server}/", timeout=60) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/html")
+        body = resp.read().decode()
+    assert 'action="/job_history"' in body and 'name="url"' in body
