@@ -84,8 +84,25 @@ def ratios_vs_committed(timings: dict[str, float]) -> dict | None:
     if not ratios:
         return None
     vals = sorted(ratios.values())
+    med = statistics.median(vals)
     worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:5])
-    out = {"n": len(vals), "median": round(statistics.median(vals), 3), "worst": worst}
+    # Ambient load moves the WHOLE session (r8 measured the same HEAD
+    # benching 1.27x and 1.35x vs its prior within 25 minutes), so a raw
+    # per-query ratio conflates session drift with real regressions.
+    # Dividing by the session median cancels the drift: a genuine plan
+    # regression stands out against its own session's baseline, while a
+    # uniformly slow session normalizes back to ~1.0 everywhere.
+    normalized_worst = {
+        k: round(v / med, 3)
+        for k, v in sorted(ratios.items(), key=lambda kv: -kv[1] / med)[:5]
+        if med > 0
+    }
+    out = {
+        "n": len(vals),
+        "median": round(med, 3),
+        "worst": worst,
+        "worst_normalized": normalized_worst,
+    }
     if len(vals) >= 4:
         q = statistics.quantiles(vals, n=4)
         out["p25"], out["p75"] = round(q[0], 3), round(q[2], 3)
