@@ -1179,6 +1179,123 @@ FROM grid ORDER BY day
 """
 
 
+# --- q239: weekly growth accounting (new / retained / resurrected / churned) --
+
+
+def q239_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential growth accounting by epoch week: every active user is
+    classified NEW (first week ever), RETAINED (also active the prior
+    week) or RESURRECTED (active before, but not the prior week), and
+    every user active in week w but not w+1 counts as CHURNED at w+1 —
+    the additive identity behind every growth dashboard
+    (active(w) = new + retained + resurrected;
+    active(w) - retained(w+1) = churned(w+1)).
+
+    q199's cohort triangle answers "how does a cohort decay"; this is
+    the week-over-week state machine.  One distinct (user, week) pass,
+    one user-keyed window for lag/lead/first (a single shuffle), a 1-row
+    max-week broadcast to stop churn accounting at the horizon, and two
+    week-grain censuses joined full-outer (week-count-sized).
+    Output: (week, n_new, n_retained, n_resurrected, n_churned), week
+    ascending; weeks are exact integer epoch-week indexes."""
+    from hadoop_jobanalyzer_spark.util import epoch_s
+
+    ev = load_tables(spark, sf_dir)["events"]
+    uw = (
+        ev.select("user_id", (epoch_s("ts") / 604800).cast("long").alias("wk"))
+        .distinct()
+        .transform(materialize)
+    )
+    max_wk = uw.agg(F.max("wk").alias("max_wk"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    per = uw.crossJoin(F.broadcast(max_wk)).select(
+        "wk",
+        "max_wk",
+        F.lag("wk").over(w).alias("prev"),
+        F.lead("wk").over(w).alias("nxt"),
+        # running min over the wk-ascending frame == the user's first week
+        # on every row, and it shares lag/lead's window shuffle (a plain
+        # partitionBy-only min would plan its own exchange)
+        F.min("wk").over(w).alias("first"),
+    )
+    # ONE pass from the single window: each row emits its activity
+    # contribution at week wk and, when the user goes silent next week
+    # (inside the horizon), a churn contribution at week wk+1 — then one
+    # aggregate.  The alternative (separate active/churn censuses joined
+    # full-outer) re-runs the window pipeline per consumer.
+    zero = F.lit(0).cast("long")
+    activity = F.struct(
+        F.col("wk").alias("week"),
+        (F.col("wk") == F.col("first")).cast("long").alias("new"),
+        # NULL prev (first week ever) must count as 0, not NULL-propagate
+        F.coalesce((F.col("prev") == F.col("wk") - 1).cast("long"), zero).alias("ret"),
+        (F.col("prev").isNotNull() & (F.col("prev") < F.col("wk") - 1))
+        .cast("long")
+        .alias("res"),
+        zero.alias("chu"),
+    )
+    churn_row = F.when(
+        (F.col("nxt").isNull() | (F.col("nxt") > F.col("wk") + 1))
+        & (F.col("wk") + 1 <= F.col("max_wk")),
+        F.array(
+            F.struct(
+                (F.col("wk") + 1).alias("week"),
+                zero.alias("new"),
+                zero.alias("ret"),
+                zero.alias("res"),
+                F.lit(1).cast("long").alias("chu"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<week:bigint,new:bigint,ret:bigint,res:bigint,chu:bigint>>"))
+    return (
+        per.select(F.explode(F.concat(F.array(activity), churn_row)).alias("c"))
+        .select("c.*")
+        .groupBy("week")
+        .agg(
+            F.sum("new").alias("n_new"),
+            F.sum("ret").alias("n_retained"),
+            F.sum("res").alias("n_resurrected"),
+            F.sum("chu").alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+Q239_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS wk
+  FROM events
+),
+per AS (
+  SELECT user_id, wk,
+         LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+         LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt,
+         MIN(wk) OVER (PARTITION BY user_id) AS first
+  FROM uw
+),
+active AS (
+  SELECT wk AS week,
+         SUM(CASE WHEN wk = first THEN 1 ELSE 0 END) AS n_new,
+         SUM(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END) AS n_retained,
+         SUM(CASE WHEN prev IS NOT NULL AND prev < wk - 1 THEN 1 ELSE 0 END) AS n_resurrected
+  FROM per GROUP BY wk
+),
+churned AS (
+  SELECT wk + 1 AS week, COUNT(*) AS n_churned
+  FROM per
+  WHERE (nxt IS NULL OR nxt > wk + 1) AND wk + 1 <= (SELECT MAX(wk) FROM uw)
+  GROUP BY wk + 1
+)
+SELECT COALESCE(a.week, c.week) AS week,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+FROM active a FULL OUTER JOIN churned c ON a.week = c.week
+ORDER BY week
+"""
+
+
 BEHAVIOR_QUERIES = {
     "q140_order_streaks": (q140_order_streaks, Q140_SQL),
     "q141_spearman_len_tokens": (q141_spearman_len_tokens, Q141_SQL),
@@ -1199,4 +1316,5 @@ BEHAVIOR_QUERIES = {
     "q208_funnel_order_integrity": (q208_funnel_order_integrity, Q208_SQL),
     "q209_join_size_forecast": (q209_join_size_forecast, Q209_SQL),
     "q210_adoption_curve": (q210_adoption_curve, Q210_SQL),
+    "q239_growth_accounting": (q239_growth_accounting, Q239_SQL),
 }

@@ -327,3 +327,75 @@ FROM pairs ORDER BY pair
 """
 
 SAMPLING_QUERIES["q238_filter_agreement"] = (q238_filter_agreement, Q238_SQL)
+
+
+# --- q241: embedding quality audit -------------------------------------------
+
+
+def q241_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding hygiene census before an index build or a
+    training run: vector count, degenerate (zero-norm) vectors, vectors
+    whose quantized form is an exact duplicate of another vector
+    ANYWHERE in the table (collapsed embeddings — a broken encoder run
+    or an upstream dedup miss), and the norm envelope.
+
+    Everything is on the 1/1000 fixed-point lattice (the repo's
+    engine-portable vector contract): norms are exact BIGINT
+    sum-of-squares, duplicate detection groups on the quantized array
+    itself (no float equality anywhere). One quantize pass, one
+    array-keyed count aggregate, one join back, one label-grain census.
+    Output: (label, n_vecs, n_zero_norm, n_dup_vectors,
+    min_norm2, max_norm2), label ascending."""
+    from hadoop_jobanalyzer_spark.functions.vectors import quantized
+    from hadoop_jobanalyzer_spark.util import materialize
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.select(
+        "label",
+        "vec_id",
+        quantized(F.col("embedding")).alias("qv"),
+    ).transform(materialize)
+    norm2 = F.aggregate(
+        "qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    ).alias("norm2")
+    counts = q.groupBy("qv").agg(F.count("*").alias("n_same"))
+    return (
+        q.join(counts, "qv")
+        .select("label", norm2, (F.col("n_same") > 1).cast("long").alias("is_dup"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum((F.col("norm2") == 0).cast("long")).alias("n_zero_norm"),
+            F.sum("is_dup").alias("n_dup_vectors"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+        )
+        .orderBy("label")
+    )
+
+
+Q241_SQL = """
+WITH q AS (
+  SELECT label, vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+counts AS (SELECT qv, COUNT(*) AS n_same FROM q GROUP BY qv),
+per AS (
+  SELECT q.label,
+         list_sum(list_transform(q.qv, x -> x * x)) AS norm2,
+         CASE WHEN c.n_same > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM q JOIN counts c ON q.qv = c.qv
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_vectors,
+       CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+       CAST(MAX(norm2) AS BIGINT) AS max_norm2
+FROM per
+GROUP BY label ORDER BY label
+"""
+
+SAMPLING_QUERIES["q241_embedding_audit"] = (q241_embedding_audit, Q241_SQL)

@@ -635,6 +635,89 @@ ORDER BY n_name, rk
 """
 
 
+# --- q240: order-total financial reconciliation ------------------------------
+
+
+def q240_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation census: recompute every order's total
+    from its lineitems under the TPC-H pricing identity
+    ``sum(extendedprice * (1 - discount) * (1 + tax))`` and bucket
+    orders by how far ``o_totalprice`` drifts — the close-the-books
+    audit that catches a broken ETL join or a currency/rounding bug
+    before it reaches revenue reporting. Orders with no lineitems land
+    in bucket -1 (referential hole; amount-less).
+
+    Exact integer model: prices to cents and rates to integer percent
+    once (the only rounding), so the recomputed total is an exact
+    BIGINT in 1e-8 units and the drift comparison is integer equality —
+    engine-portable, unlike recomputing in floats. One lineitem
+    aggregate (partial, order-keyed), a broadcast-sized drift census:
+    bucket = decimal digit count of the drift in cents (0 = exact).
+    Output: (drift_bucket, n_orders, max_drift_cents), bucket asc."""
+    t = load_tables(spark, sf_dir)
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    l = (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            (
+                cents("l_extendedprice")
+                * (100 - cents("l_discount"))
+                * (100 + cents("l_tax"))
+            ).alias("line_e8"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("line_e8").alias("recomputed_e8"))
+    )
+    joined = t["orders"].join(
+        l, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    )
+    # integer cents via integer division — never a double in the money path
+    drift_cents = F.expr(
+        "abs(recomputed_e8 - cast(round(o_totalprice * 100) as bigint) * 10000) div 10000"
+    )
+    bucket = (
+        F.when(F.col("recomputed_e8").isNull(), F.lit(-1))
+        .when(drift_cents == 0, F.lit(0))
+        .otherwise(F.length(drift_cents.cast("string")))
+    )
+    return (
+        joined.select(
+            bucket.cast("int").alias("drift_bucket"),
+            F.coalesce(drift_cents, F.lit(0)).alias("_d"),
+        )
+        .groupBy("drift_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("_d").alias("max_drift_cents"),
+        )
+        .orderBy("drift_bucket")
+    )
+
+
+Q240_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+             * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS recomputed_e8
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderkey, l.recomputed_e8,
+         ABS(l.recomputed_e8 - CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 10000) // 10000 AS d
+  FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT CAST(CASE WHEN recomputed_e8 IS NULL THEN -1
+            WHEN d = 0 THEN 0
+            ELSE LENGTH(CAST(d AS VARCHAR)) END AS INTEGER) AS drift_bucket,
+       COUNT(*) AS n_orders,
+       CAST(MAX(COALESCE(d, 0)) AS BIGINT) AS max_drift_cents
+FROM j
+GROUP BY 1 ORDER BY 1
+"""
+
+
 WAREHOUSE_QUERIES = {
     "q188_shipping_priority": (q188_shipping_priority, Q188_SQL),
     "q189_product_margin": (q189_product_margin, Q189_SQL),
@@ -645,4 +728,5 @@ WAREHOUSE_QUERIES = {
     "q203_rfm_segments": (q203_rfm_segments, Q203_SQL),
     "q211_ship_lag_percentiles": (q211_ship_lag_percentiles, Q211_SQL),
     "q212_supplier_scorecard": (q212_supplier_scorecard, Q212_SQL),
+    "q240_order_reconciliation": (q240_order_reconciliation, Q240_SQL),
 }

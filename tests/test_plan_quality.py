@@ -99,6 +99,8 @@ NESTED_LOOP_OK = {
     "q232_importance_selection",
     # 1-row k-centroid struct-array broadcast, once per Lloyd round
     "q233_kmeans_iterated",
+    # 1-row max-week broadcast clipping churn accounting at the horizon
+    "q239_growth_accounting",
 }
 
 
@@ -313,6 +315,9 @@ def _n_exchanges(plan: str) -> int:
         ("q236_mixture_schedule", 2),   # per-source rank window + 100-row head window
         ("q237_source_novelty", 8),     # spread + (source,gram) distinct + 4 census aggs
         ("q238_filter_agreement", 2),   # ONE 1-row aggregate + 3-row unpivot sort
+        ("q239_growth_accounting", 8),  # distinct + ONE user window + single census agg
+        ("q240_order_reconciliation", 6),  # order-keyed lineitem agg + join + census
+        ("q241_embedding_audit", 6),    # quantize + array-keyed count + label census
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

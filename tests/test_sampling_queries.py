@@ -146,3 +146,79 @@ def test_filter_agreement_kappa_bounds(spark, sf_dir):
     expect = round((n * agree - chance) / (n * n - chance), 6)
     assert rows["len~words"]["n_agree"] == agree
     assert rows["len~words"]["kappa"] == expect
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """Growth accounting must satisfy its defining identities:
+    active(w) = new + retained + resurrected equals the distinct active
+    user count that week, and churned(w+1) = active(w) - retained(w+1)
+    inside the horizon."""
+    from hadoop_jobanalyzer_spark.plans.behavior_queries import BEHAVIOR_QUERIES
+    from hadoop_jobanalyzer_spark.util import epoch_s
+
+    fn, _ = BEHAVIOR_QUERIES["q239_growth_accounting"]
+    rows = {r["week"]: r for r in fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    actual = {
+        r["wk"]: r["n"]
+        for r in ev.select("user_id", (epoch_s("ts") / 604800).cast("long").alias("wk"))
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(actual)
+    for wk, r in rows.items():
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == actual[wk], wk
+    weeks = sorted(rows)
+    for prev_w, w in zip(weeks, weeks[1:]):
+        if w == prev_w + 1:
+            active_prev = actual[prev_w]
+            assert rows[w]["n_churned"] == active_prev - rows[w]["n_retained"], w
+
+
+def test_order_reconciliation_covers_every_order(spark, sf_dir):
+    """The drift census partitions the orders table: bucket counts sum to
+    the order count, and bucket -1 equals the orders with no lineitems."""
+    from hadoop_jobanalyzer_spark.plans.warehouse_queries import WAREHOUSE_QUERIES
+
+    fn, _ = WAREHOUSE_QUERIES["q240_order_reconciliation"]
+    rows = fn(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    n_orphan = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).count()
+    by_bucket = {r["drift_bucket"]: r["n_orders"] for r in rows}
+    assert by_bucket.get(-1, 0) == n_orphan
+
+
+def test_embedding_audit_flags_planted_defects(spark):
+    """A planted zero vector and an exact duplicate pair must surface in
+    the right label's counters."""
+    from hadoop_jobanalyzer_spark.plans.sampling_queries import q241_embedding_audit
+    import os, tempfile
+
+    from tests.conftest import TESTDATA
+
+    d = tempfile.mkdtemp()
+    # load_tables reads the whole star schema — link the real tables,
+    # override only embeddings with the planted frame
+    for f in os.listdir(TESTDATA):
+        if f.endswith(".parquet") and not f.startswith("embeddings"):
+            os.symlink(os.path.join(TESTDATA, f), os.path.join(d, f))
+    rows = [
+        (1, [0.5, 0.25], 0),
+        (2, [0.0, 0.0], 0),          # zero-norm
+        (3, [0.125, -0.5], 1),
+        (4, [0.125, -0.5], 1),       # duplicate pair
+        (5, [0.3, 0.4], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r["label"]: r for r in q241_embedding_audit(spark, d).collect()}
+    assert out[0]["n_zero_norm"] == 1 and out[0]["n_dup_vectors"] == 0
+    assert out[1]["n_zero_norm"] == 0 and out[1]["n_dup_vectors"] == 2
+    assert out[0]["min_norm2"] == 0
