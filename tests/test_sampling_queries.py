@@ -1,5 +1,7 @@
-"""Differential + semantic tests for the curation-extension queries
-(q235 containment, q236 mixture schedule, q237 source novelty)."""
+"""Differential + semantic tests for the extension queries: q235
+containment, q236 mixture schedule, q237 source novelty, q238 filter
+kappa, plus the q239-q241 invariants (growth accounting, order
+reconciliation, embedding audit)."""
 
 import pytest
 from pyspark.sql import functions as F
