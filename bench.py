@@ -92,11 +92,17 @@ def ratios_vs_committed(timings: dict[str, float]) -> dict | None:
     # Dividing by the session median cancels the drift: a genuine plan
     # regression stands out against its own session's baseline, while a
     # uniformly slow session normalizes back to ~1.0 everywhere.
-    normalized_worst = {
-        k: round(v / med, 3)
-        for k, v in sorted(ratios.items(), key=lambda kv: -kv[1] / med)[:5]
-        if med > 0
-    }
+    # Guard med <= 0 BEFORE the comprehension: the sort key divides by med
+    # and would raise ZeroDivisionError at report time if a tiny t/prev
+    # rounded to 0.0 became the median (the divisor is a positive constant,
+    # so it does not change the ordering — kept only for readability).
+    if med > 0:
+        normalized_worst = {
+            k: round(v / med, 3)
+            for k, v in sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
+        }
+    else:
+        normalized_worst = {}
     out = {
         "n": len(vals),
         "median": round(med, 3),
@@ -174,12 +180,18 @@ def main() -> None:
                 continue
             samples[name].append(time.perf_counter() - t0)
     timings: dict[str, float] = {}
+    # Per-query min/max across the interleaved passes: a future "mover"
+    # self-classifies against its own in-session noise floor (if the prior
+    # round's max already covers the new median, it's jitter, not a
+    # regression) without a manual disposition run.
+    spread: dict[str, list[float]] = {}
     for name, runs in samples.items():
         if name in failed or not runs:
             timings[name] = -1.0
             continue
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 4)  # median
+        spread[name] = [round(runs[0], 4), round(runs[-1], 4)]
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     payload = {
@@ -189,6 +201,7 @@ def main() -> None:
         "runs": RUNS,
         "agg": "median",
         "queries": timings,
+        "spread": spread,
         "sf": sf_from_dir(SF_DIR),
         # Totals on this host drift ±20% with ambient load at identical
         # code (r5 lesson: 141.8/159.6/175.3 s across three same-code

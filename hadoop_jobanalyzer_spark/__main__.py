@@ -235,17 +235,19 @@ def main(argv: list[str] | None = None) -> int:
             render_timeline_png,
         )
 
+        # Mirror the report-selection precedence above: -s and the other
+        # summary-style flags win over -m/-r there, so `-s -m --png` has
+        # already built the job-summary frame — reject it as a usage
+        # error instead of feeding a chartless frame to a Gantt renderer.
+        if any((args.s, args.reduce_bytes, args.errors, args.wasted, args.fleet)):
+            print("--png applies to -t, -m, or -r reports only", file=sys.stderr)
+            return 2
         if args.m:
             render_map_gantt_png(df, args.png)
         elif args.r:
             render_reduce_gantt_png(df, args.png)
-        elif not any(
-            (args.s, args.reduce_bytes, args.errors, args.wasted, args.fleet)
-        ):
-            render_timeline_png(df, args.png)
         else:
-            print("--png applies to -t, -m, or -r reports only", file=sys.stderr)
-            return 2
+            render_timeline_png(df, args.png)
         print(args.png)
         return 0
 

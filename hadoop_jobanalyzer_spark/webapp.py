@@ -22,10 +22,20 @@ beyond the CGI (documented, all optional):
   CLI's 1000; the two reference frontends disagree and we keep each
   one's own default, SURVEY.md §2.9).
 
-Multipart form bodies (the CGI's gridauth-compat path,
-job_history.cgi:84-90) are out of scope with url-decode per SURVEY §2.6 —
-standard ``application/x-www-form-urlencoded`` POST and query-string GET
-cover the documented interface.
+``multipart/form-data`` bodies (the CGI's gridauth-compat upload path,
+groovy.cgi:104-121) are accepted too: each part's ``Content-Disposition``
+name becomes a parameter, so a browser file-upload of the log as
+``log=`` works alongside urlencoded POST and query-string GET.
+
+Hardening beyond the reference (the CGI fetches any ``url=`` verbatim —
+a server-side request forgery the analog need not replicate): ``url=``
+schemes are allowlisted to ``http``/``https`` by default (``file://``
+and friends answer 400; pass ``url_schemes`` to ``make_server`` to
+widen, e.g. for tests), raster dimensions are clamped to 1..8192, and
+the staged ``url=`` copy is unlinked after rendering like the ``log=``
+temp file. Binding beyond 127.0.0.1 still exposes the fetcher to
+whatever network the host can reach — keep the default host unless the
+deployment trusts its callers.
 
 One request at a time (plain ``HTTPServer``, no threading mixin): every
 request runs Spark jobs on the shared session, and interleaving two
@@ -47,6 +57,8 @@ CHART_DEFAULT_HEIGHT = 800
 CGI_SCALE = 100  # job_history.cgi:107
 
 _MAX_BODY = 256 * 1024 * 1024  # a job-history log, not a corpus
+_MAX_DIM = 8192  # raster buffers are O(w*h) driver-side lists
+DEFAULT_URL_SCHEMES = ("http", "https")
 
 
 def render_chart_png(
@@ -58,12 +70,14 @@ def render_chart_png(
     width: int = CHART_DEFAULT_WIDTH,
     height: int = CHART_DEFAULT_HEIGHT,
     scale: int = CGI_SCALE,
+    url_schemes: tuple[str, ...] = DEFAULT_URL_SCHEMES,
 ) -> bytes:
     """One request's PNG bytes — the CGI body (job_history.cgi:95-390)
     as a library call: stage the input, build the requested view, raster.
 
     Raises ``ValueError`` on bad parameters (no input, unknown chart,
-    multi-job input) — the HTTP layer maps that to 400.
+    disallowed url scheme, out-of-range dimensions, multi-job input) —
+    the HTTP layer maps that to 400.
     """
     from hadoop_jobanalyzer_spark.operators import map_table, reduce_table, timeline
     from hadoop_jobanalyzer_spark.sinks import (
@@ -73,9 +87,23 @@ def render_chart_png(
     )
     from hadoop_jobanalyzer_spark.sources import load_history, stage_url
 
+    if not (1 <= width <= _MAX_DIM and 1 <= height <= _MAX_DIM):
+        raise ValueError(
+            f"width/height must be in 1..{_MAX_DIM}, got {width}x{height}"
+        )
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
     if url:
+        scheme = urllib.parse.urlsplit(url).scheme.lower()
+        if scheme not in url_schemes:
+            raise ValueError(
+                f"url scheme {scheme!r} not allowed (allowed: {'/'.join(url_schemes)})"
+            )
+        # stage_url returns a private mkstemp copy — unlink it after the
+        # render like the log= temp file (a leak otherwise: one staged
+        # copy per request).
         path = stage_url(url)
-        cleanup = None
+        cleanup = path
     elif log:
         fd, path = tempfile.mkstemp(suffix=".txt", prefix="job_history_post_")
         with os.fdopen(fd, "w") as f:
@@ -110,7 +138,33 @@ def render_chart_png(
             os.unlink(cleanup)
 
 
-def _make_handler(spark: SparkSession) -> type[BaseHTTPRequestHandler]:
+def _parse_multipart(body: bytes, content_type: str) -> dict[str, str]:
+    """Minimal ``multipart/form-data`` parser (groovy.cgi:104-121 path):
+    each part's ``Content-Disposition: form-data; name=...`` becomes a
+    text parameter. Stdlib-only (the ``cgi`` module left the stdlib in
+    3.13); files and nested multiparts are decoded as utf-8 text since
+    every CGI parameter here (url/log/chart/width/height/scale) is text.
+    """
+    import email.parser
+    import email.policy
+
+    head = f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n\r\n".encode()
+    msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(head + body)
+    params: dict[str, str] = {}
+    if not msg.is_multipart():
+        return params
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        payload = part.get_payload(decode=True) or b""
+        params[name] = payload.decode("utf-8", errors="replace")
+    return params
+
+
+def _make_handler(
+    spark: SparkSession, url_schemes: tuple[str, ...] = DEFAULT_URL_SCHEMES
+) -> type[BaseHTTPRequestHandler]:
     class ChartHandler(BaseHTTPRequestHandler):
         server_version = "hadoop-jobanalyzer-spark/1.0"
 
@@ -153,15 +207,20 @@ def _make_handler(spark: SparkSession) -> type[BaseHTTPRequestHandler]:
             if n > _MAX_BODY:
                 self.send_error(413, "request body too large")
                 return
-            body = self.rfile.read(n).decode("utf-8", errors="replace")
-            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+            raw = self.rfile.read(n)
+            ctype_full = self.headers.get("Content-Type") or ""
+            ctype = ctype_full.split(";")[0].strip().lower()
             if ctype in ("application/x-www-form-urlencoded", ""):
+                body = raw.decode("utf-8", errors="replace")
                 params.update(
                     {k: v[0] for k, v in urllib.parse.parse_qs(body).items()}
                 )
+            elif ctype == "multipart/form-data":
+                # the CGI's gridauth-compat upload path (groovy.cgi:104-121)
+                params.update(_parse_multipart(raw, ctype_full))
             else:
                 # raw body = the log itself (curl --data-binary convenience)
-                params.setdefault("log", body)
+                params.setdefault("log", raw.decode("utf-8", errors="replace"))
             self._respond(params)
 
         def _respond(self, params: dict[str, str]) -> None:
@@ -174,6 +233,7 @@ def _make_handler(spark: SparkSession) -> type[BaseHTTPRequestHandler]:
                     width=int(params.get("width", CHART_DEFAULT_WIDTH)),
                     height=int(params.get("height", CHART_DEFAULT_HEIGHT)),
                     scale=int(params.get("scale", CGI_SCALE)),
+                    url_schemes=url_schemes,
                 )
             except ValueError as exc:
                 self.send_error(400, str(exc))
@@ -190,10 +250,17 @@ def _make_handler(spark: SparkSession) -> type[BaseHTTPRequestHandler]:
     return ChartHandler
 
 
-def make_server(spark: SparkSession, host: str = "127.0.0.1", port: int = 0) -> HTTPServer:
+def make_server(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    url_schemes: tuple[str, ...] = DEFAULT_URL_SCHEMES,
+) -> HTTPServer:
     """Bind (not yet serving) — callers drive ``serve_forever`` themselves
-    (tests run it on a thread and ``shutdown()`` it)."""
-    return HTTPServer((host, port), _make_handler(spark))
+    (tests run it on a thread and ``shutdown()`` it). ``url_schemes``
+    widens the ``url=`` allowlist (tests add ``file`` for fixture logs —
+    production deployments should not)."""
+    return HTTPServer((host, port), _make_handler(spark, url_schemes))
 
 
 def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8080) -> None:

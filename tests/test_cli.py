@@ -1,5 +1,7 @@
 """CLI parity with the reference's bin/job_history flags."""
 
+import pytest
+
 from hadoop_jobanalyzer_spark.__main__ import build_parser, main
 
 
@@ -138,3 +140,9 @@ def test_cli_png_modes(capsys, tmp_path, fixture_log1, spark):
         assert data[:8] == b"\x89PNG\r\n\x1a\n"
         assert struct.unpack(">II", data[16:24]) == (1200, 800)
     assert main(["-s", "-i", fixture_log1, "--png", str(tmp_path / "s.png")]) == 2
+    # -s and -m are mutually exclusive in argparse, so -s -m --png is a
+    # usage error at parse time — never an AnalysisException from feeding
+    # the summary frame to the map-Gantt renderer (ADVICE r8)
+    with pytest.raises(SystemExit) as ei:
+        main(["-s", "-m", "-i", fixture_log1, "--png", str(tmp_path / "sm.png")])
+    assert ei.value.code == 2

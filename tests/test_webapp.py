@@ -20,6 +20,20 @@ from hadoop_jobanalyzer_spark.webapp import make_server
 
 @pytest.fixture(scope="module")
 def server(spark):
+    # file:// widened explicitly — fixture logs live on disk; the
+    # production default is http/https only (SSRF hardening).
+    srv = make_server(spark, url_schemes=("http", "https", "file"))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+    t.join(timeout=10)
+
+
+@pytest.fixture(scope="module")
+def strict_server(spark):
+    # default allowlist: http/https only
     srv = make_server(spark)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -86,6 +100,72 @@ def test_unknown_chart_is_400(server, fixture_log1):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{server}/job_history?{q}", timeout=60)
     assert ei.value.code == 400
+
+
+def test_file_url_rejected_by_default(strict_server, fixture_log1):
+    # SSRF hardening: the default allowlist is http/https; file:// (and
+    # any internal-scheme fetch) must answer 400, unlike the reference
+    # CGI which fetches url= verbatim.
+    q = urllib.parse.urlencode({"url": Path(fixture_log1).as_uri()})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{strict_server}/job_history?{q}", timeout=60)
+    assert ei.value.code == 400
+
+
+def test_oversize_dimensions_rejected(server, fixture_log1):
+    base = {"url": Path(fixture_log1).as_uri()}
+    for bad in ({"width": 100000}, {"height": 0}, {"width": -5}, {"scale": 0}):
+        q = urllib.parse.urlencode({**base, **bad})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{server}/job_history?{q}", timeout=60)
+        assert ei.value.code == 400, bad
+
+
+def test_multipart_post_serves_png(server, fixture_log1):
+    # groovy.cgi:104-121 gridauth-compat path: the log arrives as a
+    # multipart/form-data file part.
+    boundary = "hjaBoundary1234567890"
+    log_bytes = Path(fixture_log1).read_bytes()
+
+    def part(name, value, filename=None):
+        disp = f'form-data; name="{name}"'
+        if filename:
+            disp += f'; filename="{filename}"'
+        head = (
+            f"--{boundary}\r\nContent-Disposition: {disp}\r\n\r\n"
+        ).encode()
+        return head + value + b"\r\n"
+
+    body = (
+        part("log", log_bytes, filename="job.log")
+        + part("width", b"120")
+        + part("height", b"90")
+        + f"--{boundary}--\r\n".encode()
+    )
+    req = urllib.request.Request(
+        f"{server}/job_history",
+        data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        _assert_png(resp, 120, 90)
+
+
+def test_url_staged_copy_is_cleaned_up(server, fixture_log1, tmp_path):
+    # the staged url= copy must be unlinked after the render (ADVICE r8:
+    # one leaked temp file per request otherwise)
+    import glob
+    import tempfile
+
+    pattern = f"{tempfile.gettempdir()}/job_history_*"
+    before = set(glob.glob(pattern))
+    q = urllib.parse.urlencode(
+        {"url": Path(fixture_log1).as_uri(), "width": 64, "height": 48}
+    )
+    with urllib.request.urlopen(f"{server}/job_history?{q}", timeout=300) as resp:
+        _assert_png(resp, 64, 48)
+    leaked = set(glob.glob(pattern)) - before
+    assert not leaked, f"request leaked staged files: {leaked}"
 
 
 def test_root_serves_landing_form(server):
