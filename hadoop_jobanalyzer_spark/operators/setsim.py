@@ -134,15 +134,26 @@ def prefix_filter_containment_pairs(
     length ``|A| - ceil(t*|A|) + 1`` must intersect B *somewhere* (all of
     B, not B's prefix — a superset has no short-prefix guarantee). So the
     candidate join probes A's prefix against the full token relation,
-    pruned by ``den*|B| >= num*|A|`` (since ``|A∩B| <= |B|``), and the
-    verify stage counts common tokens exactly.
+    pruned by ``den*|B| >= num*|A|`` (since ``|A∩B| <= |B|``) and by the
+    PPJoin POSITIONAL filter (Xiao et al. WWW'08): at a common token with
+    global ranks ``rk_a`` in A and ``rk_b`` in B, the overlap is at most
+    ``1 + min(|A| - rk_a, |B| - rk_b)`` (one match so far, plus at best
+    every remaining token on the shorter tail), which must still reach
+    ``ceil(t*|A|)``. Losslessness: for a qualifying pair the globally
+    FIRST common token lies inside A's prefix (else the overlap falls
+    short) and at that token the bound is tight-enough by construction,
+    so the pair always survives at least that generating row; the
+    ``distinct`` keeps a pair if ANY row passes. The verify stage then
+    counts common tokens exactly.
 
     Scale shape: identical to the Jaccard join — vocabulary-sized df
-    table, prefix relation a fraction of the token relation, both the
-    prefix and token relations materialized once; candidates fan out on
-    rare tokens only. The probe side being full-token (not
-    prefix-vs-prefix) is inherent to asymmetric containment and is the
-    published PPJoin containment variant, not a missed optimization.
+    table, prefix relation a fraction of the token relation, the ranked
+    token relation materialized once and feeding the prefix side, the
+    probe side, and both verify probes; candidates fan out on rare
+    tokens only and the positional filter cuts the pre-distinct
+    candidate stream before its shuffle. The probe side being full-token
+    (not prefix-vs-prefix) is inherent to asymmetric containment and is
+    the published PPJoin containment variant, not a missed optimization.
 
     Output: (id_a, id_b, n_common, n_a, n_b, containment), id_a != id_b
     (both directions may independently qualify), ordered by (id_a, id_b).
@@ -155,28 +166,50 @@ def prefix_filter_containment_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
 
+    # the ranked token relation feeds the prefix side, the full-token
+    # probe side (which needs rk_b for the positional filter), and is
+    # the one df-join + window pass — materialize it once
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     ordered = (
         sh.join(dfreq, "s")
         .withColumn("_rk", F.row_number().over(w))
         .join(sizes, "doc_id")
-    )
-    prefix_len = F.col("n") - F.floor((num * F.col("n") + den - 1) / den) + 1
-    prefix = (
-        ordered.filter(F.col("_rk") <= prefix_len)
-        .select("doc_id", "s", "n")
+        .select("doc_id", "s", "n", "_rk")
         .transform(materialize)
     )
+    prefix_len = F.col("n") - F.floor((num * F.col("n") + den - 1) / den) + 1
+    prefix = ordered.filter(F.col("_rk") <= prefix_len)
 
-    probe = sh.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("id_b"), "s", F.col("n").alias("n_b")
+    probe = ordered.select(
+        F.col("doc_id").alias("id_b"),
+        "s",
+        F.col("n").alias("n_b"),
+        F.col("_rk").alias("rk_b"),
     )
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), "s", F.col("n").alias("n_a"))
+        prefix.select(
+            F.col("doc_id").alias("id_a"),
+            "s",
+            F.col("n").alias("n_a"),
+            F.col("_rk").alias("rk_a"),
+        )
         .join(probe, "s")
         .filter(F.col("id_a") != F.col("id_b"))
         # |A∩B| <= |B|, so containment >= t forces den*|B| >= num*|A|
         .filter(den * F.col("n_b") >= num * F.col("n_a"))
+        # positional filter: integer form of
+        # 1 + min(n_a - rk_a, n_b - rk_b) >= ceil(num*n_a/den)
+        # (x >= ceil(q/den) <=> den*x >= q for integer x)
+        .filter(
+            den
+            * (
+                1
+                + F.least(
+                    F.col("n_a") - F.col("rk_a"), F.col("n_b") - F.col("rk_b")
+                )
+            )
+            >= num * F.col("n_a")
+        )
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )

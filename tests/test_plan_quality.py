@@ -311,7 +311,9 @@ def _n_exchanges(plan: str) -> int:
         # cost is one persisted build + wedge join + pair agg +
         # anti-join + 2 post-cut degree joins. +1 AQE-estimate slack.
         ("q234_link_prediction", 17),
-        ("q235_containment_pairs", 6),  # df/size/rank + prefix-vs-token probe + verify
+        # ranked token relation materialized once (r9, feeds prefix + probe
+        # + positional filter); budget 6 -> 4
+        ("q235_containment_pairs", 4),
         ("q236_mixture_schedule", 2),   # per-source rank window + 100-row head window
         ("q237_source_novelty", 8),     # spread + (source,gram) distinct + 4 census aggs
         ("q238_filter_agreement", 2),   # ONE 1-row aggregate + 3-row unpivot sort
