@@ -3,9 +3,13 @@
 Images/audio/video ride through the engine as ``binary`` columns with typed
 metadata beside them. The Spark-side mechanics here are real and tested —
 schema, Arrow batch transfer, ``mapInPandas`` signatures, partition
-behavior — while the actual media decode is stubbed (codec libraries are
-not in this environment): ``decode_image`` raises ``NotImplementedError``
-and ``fake_image_features`` is the deterministic stand-in used by tests.
+behavior. Image decode resolves through a three-tier codec chain:
+an explicitly registered codec (``set_image_codec``), auto-detected
+Pillow, then the vendored pure-Python PNG codec
+(``functions/png_codec``) — so the real-decode path executes even in a
+library-free environment (PNG only there; other formats need a
+registered codec). ``fake_image_features`` remains the format-agnostic
+deterministic stand-in.
 
 At scale this is the pattern for a 100 TB media corpus: payloads stay
 columnar in parquet, metadata predicates prune before any byte of media is
@@ -87,8 +91,9 @@ IMAGE_FEATURE_SCHEMA = StructType(
 # WITH image libraries lights them up without code changes: Pillow is picked
 # up automatically when importable (import-try only — never a hard dep), and
 # any deployment can register its own (libvips, turbojpeg, a GPU decoder)
-# via ``set_image_codec``. Without a codec the stubs raise
-# NotImplementedError, exactly as before.
+# via ``set_image_codec``. With neither, the vendored pure-Python PNG codec
+# (functions/png_codec) is the floor — PNG payloads always decode; other
+# formats raise ValueError from it until a richer codec is registered.
 
 _image_decoder = None  # Callable[[bytes], ndarray-like HxWxC uint8]
 _image_resizer = None  # Callable[[bytes, int, int], bytes]
@@ -123,17 +128,28 @@ def _pillow_codec():  # pragma: no cover - environment-dependent
     return decode, resize
 
 
+def _pure_png_codec():
+    """The vendored stdlib-only PNG codec — always available."""
+    from hadoop_jobanalyzer_spark.functions.png_codec import (
+        decode_png,
+        resize_nearest,
+    )
+
+    return decode_png, resize_nearest
+
+
 def _codec():
-    """The active codec: explicitly registered first, then auto-Pillow."""
+    """The active codec: explicitly registered first, then auto-Pillow,
+    then the vendored pure-Python PNG fallback."""
     if _image_decoder is not None or _image_resizer is not None:
         return _image_decoder, _image_resizer
-    return _pillow_codec() or (None, None)
+    return _pillow_codec() or _pure_png_codec()
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload to a pixel array via the registered codec
-    (``set_image_codec``; Pillow auto-detected). Raises NotImplementedError
-    when no codec is available — this environment ships none."""
+    """Decode an image payload to a pixel array via the active codec
+    (``set_image_codec``, auto-Pillow, or the vendored PNG fallback —
+    the fallback raises ValueError for non-PNG payloads)."""
     decoder, _ = _codec()
     if decoder is None:
         raise NotImplementedError(
@@ -187,10 +203,10 @@ def frame_sample(payloads: DataFrame, frame_len: int = 64, stride: int = 32) -> 
 
 
 def resize_image(payload: bytes, width: int, height: int):
-    """Resize an image payload via the registered codec (``set_image_codec``;
-    Pillow auto-detected). Raises NotImplementedError when no codec is
-    available; `fake_thumbnail` exercises the identical binary->binary
-    batch path without one."""
+    """Resize an image payload via the active codec (``set_image_codec``,
+    auto-Pillow, or the vendored PNG fallback's nearest-neighbor);
+    `fake_thumbnail` exercises the identical binary->binary batch path
+    format-agnostically."""
     _, resizer = _codec()
     if resizer is None:
         raise NotImplementedError(
@@ -216,8 +232,9 @@ def decoded_image_features(payloads: DataFrame) -> DataFrame:
     :func:`fake_image_features`, same Arrow-batched partition contract.
 
     The codec is resolved at PLAN time and captured into the stage closure,
-    so executors never consult driver-side globals; with no codec this
-    raises immediately rather than at runtime on the cluster.
+    so executors never consult driver-side globals; a one-sided
+    registration (resizer only) raises immediately rather than at runtime
+    on the cluster. With nothing registered the PNG fallback decodes.
     """
     decoder, _ = _codec()
     if decoder is None:

@@ -182,13 +182,17 @@ def _pillow_available() -> bool:
 
 
 @pytest.mark.skipif(
-    _pillow_available(), reason="Pillow present: decode is real, not stubbed"
+    _pillow_available(), reason="Pillow present: its error types differ"
 )
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_garbage_raises_valueerror():
+    """Without Pillow the vendored PNG fallback is the floor codec: a
+    truncated/garbage payload raises ValueError (a diagnosable decode
+    error), never NotImplementedError — the real-decode tier is live."""
     from hadoop_jobanalyzer_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    for garbage in (b"\x89PNG", b"", b"JFIF not a png"):
+        with pytest.raises(ValueError):
+            decode_image(garbage)
 
 
 def test_multimodal_pillow_codec_real_decode(spark):
@@ -256,9 +260,50 @@ def test_multimodal_pluggable_codec_end_to_end(spark, sf_dir):
             assert r["mean_px_x100"] == int(np.frombuffer(b, np.uint8).mean() * 100)
     finally:
         mm.set_image_codec(None, None)
-    if not _pillow_available():  # with Pillow the auto-codec takes over
-        with pytest.raises(NotImplementedError):
-            mm.decoded_image_features(spark.range(1))
+    # clearing the registration restores the auto chain (Pillow or the
+    # vendored PNG fallback) — decode stays live either way
+    from hadoop_jobanalyzer_spark.functions.png_codec import encode_png
+
+    px = mm.decode_image(encode_png(np.arange(12, dtype=np.uint8).reshape(3, 4)))
+    assert px.shape == (3, 4)
+
+
+def test_multimodal_pure_png_codec_real_decode(spark):
+    """The vendored-codec tier: REAL PNG payloads decode / feature-extract
+    / resize through the exact same Arrow plumbing as the Pillow tier —
+    and this one runs in a library-free environment. The codec is pinned
+    explicitly so the test exercises the pure-Python path even where
+    Pillow exists."""
+    import numpy as np
+
+    from hadoop_jobanalyzer_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+    from hadoop_jobanalyzer_spark.operators import multimodal as mm
+
+    def png(seed: int) -> bytes:
+        arr = ((np.arange(8, dtype=np.uint8) + 1) * (seed + 3) % 251).reshape(2, 4)
+        return encode_png(arr)
+
+    rows = [(i, png(i)) for i in range(5)]
+    mm.set_image_codec(decoder=decode_png, resizer=resize_nearest)
+    try:
+        px = mm.decode_image(rows[0][1])
+        assert px.shape == (2, 4)
+        thumb = mm.resize_image(rows[0][1], 2, 1)
+        assert decode_png(thumb).shape == (1, 2)
+
+        payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+        feats = {r["doc_id"]: r for r in mm.decoded_image_features(payloads).collect()}
+        assert set(feats) == set(range(5))
+        for i, payload in rows:
+            arr = decode_png(payload)
+            assert (feats[i]["height"], feats[i]["width"]) == arr.shape
+            assert feats[i]["mean_px_x100"] == int(arr.mean() * 100)
+    finally:
+        mm.set_image_codec(None, None)
 
 
 def test_winnow_shared_run_produces_shared_fingerprint(spark):
