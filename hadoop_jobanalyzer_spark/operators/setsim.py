@@ -69,18 +69,46 @@ def prefix_filter_jaccard_pairs(
     # read the truncated-lineage table (the q50 lesson).
     prefix = (
         ordered.filter(F.col("_rk") <= prefix_len)
-        .select("doc_id", "s", "n")
+        .select("doc_id", "s", "n", "_rk")
         .transform(materialize)
     )
 
-    pa = prefix.select(F.col("doc_id").alias("id_a"), "s", F.col("n").alias("n_a"))
-    pb = prefix.select(F.col("doc_id").alias("id_b"), "s", F.col("n").alias("n_b"))
+    pa = prefix.select(
+        F.col("doc_id").alias("id_a"),
+        "s",
+        F.col("n").alias("n_a"),
+        F.col("_rk").alias("rk_a"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("id_b"),
+        "s",
+        F.col("n").alias("n_b"),
+        F.col("_rk").alias("rk_b"),
+    )
     cand = (
         pa.join(pb, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter: J >= t forces den*min(|a|,|b|) >= num*max(|a|,|b|)
         .filter(
             den * F.least("n_a", "n_b") >= num * F.greatest("n_a", "n_b")
+        )
+        # PPJoin positional filter (Xiao et al. WWW'08): J >= num/den
+        # <=> (num+den)*inter >= num*(n_a+n_b), and at a common token
+        # with per-doc global ranks rk_a/rk_b the overlap can reach at
+        # most 1 + min(n_a - rk_a, n_b - rk_b). Lossless: a qualifying
+        # pair's globally-first common token lies inside BOTH prefixes
+        # (else the overlap falls short of either doc's ceil(t*n) floor)
+        # and passes this bound at that row; distinct keeps the pair if
+        # any generating row survives.
+        .filter(
+            (num + den)
+            * (
+                1
+                + F.least(
+                    F.col("n_a") - F.col("rk_a"), F.col("n_b") - F.col("rk_b")
+                )
+            )
+            >= num * (F.col("n_a") + F.col("n_b"))
         )
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
