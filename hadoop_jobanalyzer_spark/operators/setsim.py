@@ -95,23 +95,51 @@ def prefix_filter_jaccard_pairs(
         # PPJoin positional filter (Xiao et al. WWW'08): J >= num/den
         # <=> (num+den)*inter >= num*(n_a+n_b), and at a common token
         # with per-doc global ranks rk_a/rk_b the overlap can reach at
-        # most 1 + min(n_a - rk_a, n_b - rk_b). Lossless: a qualifying
-        # pair's globally-first common token lies inside BOTH prefixes
-        # (else the overlap falls short of either doc's ceil(t*n) floor)
-        # and passes this bound at that row; distinct keeps the pair if
-        # any generating row survives.
+        # most 1 + min(n_a - rk_a, n_b - rk_b). Lossless only as an
+        # ANY-row test (a qualifying pair's globally-first common token
+        # lies inside BOTH prefixes — else the overlap falls short of
+        # either doc's ceil(t*n) floor — and passes the bound there;
+        # LATER generating tokens may legitimately fail it), so it rides
+        # through the dedup aggregation as a flag.
+        .withColumn(
+            "_row_ok",
+            (
+                (num + den)
+                * (
+                    1
+                    + F.least(
+                        F.col("n_a") - F.col("rk_a"),
+                        F.col("n_b") - F.col("rk_b"),
+                    )
+                )
+                >= num * (F.col("n_a") + F.col("n_b"))
+            ).cast("int"),
+        )
+        # pair-level positional bound over ALL c generating tokens
+        # (common tokens in both prefixes): any common token outside
+        # the generating set misses at least one prefix, so it sits
+        # globally after every generating token and its ranks exceed
+        # both maxes — overlap <= c + min(n_a - max(rk_a),
+        # n_b - max(rk_b)). Same shuffle a plain distinct would cost.
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(
+            F.count("*").alias("_c"),
+            F.max("rk_a").alias("_mra"),
+            F.max("rk_b").alias("_mrb"),
+            F.max("_row_ok").alias("_any_ok"),
+        )
+        .filter(F.col("_any_ok") == 1)
         .filter(
             (num + den)
             * (
-                1
+                F.col("_c")
                 + F.least(
-                    F.col("n_a") - F.col("rk_a"), F.col("n_b") - F.col("rk_b")
+                    F.col("n_a") - F.col("_mra"), F.col("n_b") - F.col("_mrb")
                 )
             )
             >= num * (F.col("n_a") + F.col("n_b"))
         )
         .select("id_a", "id_b", "n_a", "n_b")
-        .distinct()
     )
 
     # verify on the token relation: candidates fan back out to their
@@ -163,16 +191,29 @@ def prefix_filter_containment_pairs(
     B, not B's prefix — a superset has no short-prefix guarantee). So the
     candidate join probes A's prefix against the full token relation,
     pruned by ``den*|B| >= num*|A|`` (since ``|A∩B| <= |B|``) and by the
-    PPJoin POSITIONAL filter (Xiao et al. WWW'08): at a common token with
-    global ranks ``rk_a`` in A and ``rk_b`` in B, the overlap is at most
-    ``1 + min(|A| - rk_a, |B| - rk_b)`` (one match so far, plus at best
-    every remaining token on the shorter tail), which must still reach
-    ``ceil(t*|A|)``. Losslessness: for a qualifying pair the globally
-    FIRST common token lies inside A's prefix (else the overlap falls
-    short) and at that token the bound is tight-enough by construction,
-    so the pair always survives at least that generating row; the
-    ``distinct`` keeps a pair if ANY row passes. The verify stage then
-    counts common tokens exactly.
+    PPJoin POSITIONAL filter (Xiao et al. WWW'08), applied twice:
+
+    * ANY-ROW bound — at a common token with global ranks ``rk_a`` in A
+      and ``rk_b`` in B, the overlap is at most
+      ``1 + min(|A| - rk_a, |B| - rk_b)`` (one match so far, plus at
+      best every remaining token on the shorter tail). Lossless as an
+      ANY-row test: for a qualifying pair the globally FIRST common
+      token lies inside A's prefix (else the overlap falls short of
+      ``ceil(t*|A|)``) and passes the bound at that row. It is NOT a
+      safe per-row pre-filter — later generating tokens of a qualifying
+      pair may legitimately fail it ("1 match so far" only holds at the
+      first) — so it rides through the aggregation as a flag;
+    * PAIR bound — the dedup aggregation counts ALL ``c`` generating
+      tokens (common tokens in A's prefix) and their max ranks. Every
+      common token OUTSIDE A's prefix has A-rank beyond every generating
+      token's, hence sits globally after ALL of them (per-doc ranks
+      follow one global order), so its B-rank also exceeds ``max(rk_b)``:
+      at most ``min(|A| - max(rk_a), |B| - max(rk_b))`` such tokens
+      exist, and ``c + that`` must still reach ``ceil(t*|A|)``.
+
+    The dedup aggregation is the same shuffle a plain ``distinct`` would
+    cost; the verify stage then counts common tokens exactly on the
+    pairs that survive both bounds.
 
     Scale shape: identical to the Jaccard join — vocabulary-sized df
     table, prefix relation a fraction of the token relation, the ranked
@@ -225,21 +266,44 @@ def prefix_filter_containment_pairs(
         .filter(F.col("id_a") != F.col("id_b"))
         # |A∩B| <= |B|, so containment >= t forces den*|B| >= num*|A|
         .filter(den * F.col("n_b") >= num * F.col("n_a"))
-        # positional filter: integer form of
-        # 1 + min(n_a - rk_a, n_b - rk_b) >= ceil(num*n_a/den)
-        # (x >= ceil(q/den) <=> den*x >= q for integer x)
+        # any-row positional bound as a flag (integer form of
+        # 1 + min(n_a - rk_a, n_b - rk_b) >= ceil(num*n_a/den);
+        # x >= ceil(q/den) <=> den*x >= q for integer x)
+        .withColumn(
+            "_row_ok",
+            (
+                den
+                * (
+                    1
+                    + F.least(
+                        F.col("n_a") - F.col("rk_a"),
+                        F.col("n_b") - F.col("rk_b"),
+                    )
+                )
+                >= num * F.col("n_a")
+            ).cast("int"),
+        )
+        # pair-level dedup doubles as the tighter positional bound:
+        # overlap <= c + min(n_a - max(rk_a), n_b - max(rk_b))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(
+            F.count("*").alias("_c"),
+            F.max("rk_a").alias("_mra"),
+            F.max("rk_b").alias("_mrb"),
+            F.max("_row_ok").alias("_any_ok"),
+        )
+        .filter(F.col("_any_ok") == 1)
         .filter(
             den
             * (
-                1
+                F.col("_c")
                 + F.least(
-                    F.col("n_a") - F.col("rk_a"), F.col("n_b") - F.col("rk_b")
+                    F.col("n_a") - F.col("_mra"), F.col("n_b") - F.col("_mrb")
                 )
             )
             >= num * F.col("n_a")
         )
         .select("id_a", "id_b", "n_a", "n_b")
-        .distinct()
     )
 
     ta = sh.select(F.col("doc_id").alias("id_a"), "s")
