@@ -193,27 +193,22 @@ def prefix_filter_containment_pairs(
     pruned by ``den*|B| >= num*|A|`` (since ``|A∩B| <= |B|``) and by the
     PPJoin POSITIONAL filter (Xiao et al. WWW'08), applied twice:
 
-    * ANY-ROW bound — at a common token with global ranks ``rk_a`` in A
-      and ``rk_b`` in B, the overlap is at most
-      ``1 + min(|A| - rk_a, |B| - rk_b)`` (one match so far, plus at
-      best every remaining token on the shorter tail). Lossless as an
-      ANY-row test: for a qualifying pair the globally FIRST common
-      token lies inside A's prefix (else the overlap falls short of
-      ``ceil(t*|A|)``) and passes the bound at that row. It is NOT a
-      safe per-row pre-filter — later generating tokens of a qualifying
-      pair may legitimately fail it ("1 match so far" only holds at the
-      first) — so it rides through the aggregation as a flag;
-    * PAIR bound — the dedup aggregation counts ALL ``c`` generating
-      tokens (common tokens in A's prefix) and their max ranks. Every
-      common token OUTSIDE A's prefix has A-rank beyond every generating
-      token's, hence sits globally after ALL of them (per-doc ranks
-      follow one global order), so its B-rank also exceeds ``max(rk_b)``:
-      at most ``min(|A| - max(rk_a), |B| - max(rk_b))`` such tokens
-      exist, and ``c + that`` must still reach ``ceil(t*|A|)``.
+    per candidate ROW, kept-if-ANY-row-passes by the ``distinct``: at a
+    common token with global ranks ``rk_a`` in A and ``rk_b`` in B, the
+    overlap is at most ``1 + min(|A| - rk_a, |B| - rk_b)`` (one match so
+    far, plus at best every remaining token on the shorter tail), which
+    must still reach ``ceil(t*|A|)``. Lossless: for a qualifying pair
+    the globally FIRST common token lies inside A's prefix (else the
+    overlap falls short) and passes the bound at that row.
 
-    The dedup aggregation is the same shuffle a plain ``distinct`` would
-    cost; the verify stage then counts common tokens exactly on the
-    pairs that survive both bounds.
+    The Jaccard variant additionally applies a PAIR-level positional
+    bound inside its dedup aggregation; HERE the candidate stream is
+    prefix-vs-FULL-token (orders of magnitude more rows at scale), and
+    the wider per-pair aggregation buffers measurably exhausted
+    execution memory at x100 (r9: UNABLE_TO_ACQUIRE_MEMORY in the
+    partial hash aggregation under a 24g heap) for a pruning gain of
+    ~0.2% at sf0.1 — so this variant deliberately keeps the narrow
+    ``distinct``. The verify stage counts common tokens exactly.
 
     Scale shape: identical to the Jaccard join — vocabulary-sized df
     table, prefix relation a fraction of the token relation, the ranked
@@ -255,6 +250,12 @@ def prefix_filter_containment_pairs(
         F.col("n").alias("n_b"),
         F.col("_rk").alias("rk_b"),
     )
+    # the candidate join is pinned to shuffle-hash with the prefix side
+    # as the build: prefix is a FILTER over the materialized ranked
+    # relation, so the planner sees a selectivity estimate, not a real
+    # size — at x100 that estimate dipped under the broadcast threshold
+    # and the runtime broadcast of a ~GB prefix relation killed the
+    # query (r9). A hinted SHJ needs no stats to be right at any scale.
     cand = (
         prefix.select(
             F.col("doc_id").alias("id_a"),
@@ -262,55 +263,47 @@ def prefix_filter_containment_pairs(
             F.col("n").alias("n_a"),
             F.col("_rk").alias("rk_a"),
         )
+        .hint("shuffle_hash")
         .join(probe, "s")
         .filter(F.col("id_a") != F.col("id_b"))
         # |A∩B| <= |B|, so containment >= t forces den*|B| >= num*|A|
         .filter(den * F.col("n_b") >= num * F.col("n_a"))
-        # any-row positional bound as a flag (integer form of
-        # 1 + min(n_a - rk_a, n_b - rk_b) >= ceil(num*n_a/den);
-        # x >= ceil(q/den) <=> den*x >= q for integer x)
-        .withColumn(
-            "_row_ok",
-            (
-                den
-                * (
-                    1
-                    + F.least(
-                        F.col("n_a") - F.col("rk_a"),
-                        F.col("n_b") - F.col("rk_b"),
-                    )
-                )
-                >= num * F.col("n_a")
-            ).cast("int"),
-        )
-        # pair-level dedup doubles as the tighter positional bound:
-        # overlap <= c + min(n_a - max(rk_a), n_b - max(rk_b))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(
-            F.count("*").alias("_c"),
-            F.max("rk_a").alias("_mra"),
-            F.max("rk_b").alias("_mrb"),
-            F.max("_row_ok").alias("_any_ok"),
-        )
-        .filter(F.col("_any_ok") == 1)
+        # row-level positional filter: integer form of
+        # 1 + min(n_a - rk_a, n_b - rk_b) >= ceil(num*n_a/den)
+        # (x >= ceil(q/den) <=> den*x >= q for integer x)
         .filter(
             den
             * (
-                F.col("_c")
+                1
                 + F.least(
-                    F.col("n_a") - F.col("_mra"), F.col("n_b") - F.col("_mrb")
+                    F.col("n_a") - F.col("rk_a"), F.col("n_b") - F.col("rk_b")
                 )
             )
             >= num * F.col("n_a")
         )
         .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
     )
 
     ta = sh.select(F.col("doc_id").alias("id_a"), "s")
     tb = sh.select(F.col("doc_id").alias("id_b"), "s")
+    # verify joins are PINNED to shuffle-hash with the bounded side as
+    # the build: the candidate relation grows with the corpus (it is the
+    # operator's overfetch — ~3500x the true pair count at sf0.1), so
+    # AQE's near-threshold size estimate is a scale hazard — at x100 the
+    # runtime flip to broadcasting it measurably killed the query ("Not
+    # enough memory to build and broadcast", r9). Sort-merge is no
+    # better here: it sorts the EXPLODED candidate-x-token intermediate
+    # (~sum of n_a over candidates), and the spill READER buffers of 32
+    # concurrent tasks OOM'd at sf0.1 (r9, UnsafeSorterSpillReader).
+    # Shuffle-hash streams that big side untouched and builds per-
+    # partition hash tables only on cand / the token relation — the
+    # memory-lean shape at every scale (the q182 lesson: plan under the
+    # 100 TB assumption, not the test SF's).
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "s"])
+        cand.hint("shuffle_hash")
+        .join(ta, "id_a")
+        .join(tb.hint("shuffle_hash"), ["id_b", "s"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )

@@ -311,9 +311,16 @@ def _n_exchanges(plan: str) -> int:
         # cost is one persisted build + wedge join + pair agg +
         # anti-join + 2 post-cut degree joins. +1 AQE-estimate slack.
         ("q234_link_prediction", 17),
-        # ranked token relation materialized once (r9, feeds prefix + probe
-        # + positional filter); budget 6 -> 4
-        ("q235_containment_pairs", 4),
+        # ranked token relation materialized once (r9, feeds prefix +
+        # probe + positional filter). DELIBERATELY shuffle-heavy: every
+        # join is pinned shuffle-hash because the two relations the
+        # planner wants to broadcast (filtered prefix, candidate pairs)
+        # are corpus-sized with underestimated stats — both runtime
+        # broadcast flips measurably OOM'd at x100, while the pinned SHJ
+        # plan runs 2.4x faster there AND faster at sf0.1 (3.7 s vs
+        # 5-6 s). Exchanges over materialized tables are cheap; fatal
+        # broadcasts are not.
+        ("q235_containment_pairs", 18),
         ("q236_mixture_schedule", 2),   # per-source rank window + 100-row head window
         ("q237_source_novelty", 8),     # spread + (source,gram) distinct + 4 census aggs
         ("q238_filter_agreement", 2),   # ONE 1-row aggregate + 3-row unpivot sort
