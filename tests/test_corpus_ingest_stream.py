@@ -332,8 +332,21 @@ def test_ingest_soak_randomized_kills_then_compaction(spark, tmp_path, snapshot)
     kept = {i for i, r in rows.items() if r["kept"]}
     assert kept == set(fresh_ids)
     assert not rows[85_000_000]["kept"] and rows[85_000_000]["n_old_hits"] > 0
-    for c in copy_ids:  # every copy dropped against already-INGESTED docs
-        assert not rows[c]["kept"] and rows[c]["n_old_hits"] > 0, c
+    for c in copy_ids:
+        # every copy dropped, and the drop traceable to a recorded hit.
+        # USUALLY that's n_old_hits (the copy shard lands after its fresh
+        # shard, so the original is already in the delta) — but a kill/
+        # restart boundary can legally co-batch a copy with its original
+        # (Spark replans offsets across the restart; 1-file batches are a
+        # property of this test's quiet path, not of the source), and
+        # then the SAME-BATCH leader-keeps rule records the drop as
+        # n_new_hits instead. Both classifications satisfy the ingest
+        # contract: the copy is dropped against its identical-text
+        # original either way (r9 diagnosis — a 2-in-3 full-suite flake
+        # when ambient load shifted the kill offsets).
+        r = rows[c]
+        assert not r["kept"], c
+        assert r["n_old_hits"] + r["n_new_hits"] > 0, c
     docs = spark.read.parquet(os.path.join(root, "ingest_delta", "documents"))
     assert docs.select("doc_id").distinct().count() == docs.count() == len(fresh_ids)
     assert read_ingested_documents(spark, root, PREFIX).count() == n_base + len(fresh_ids)
