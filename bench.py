@@ -209,24 +209,29 @@ def main() -> None:
         # distribution vs the last COMMITTED bench, not totals.
         "ratio_vs_prior": ratios_vs_committed(timings),
     }
-    # Robustness against truncated stdout capture (BENCH_r02 lost its tail):
-    # 1. a compact total-only line goes out FIRST,
+    # The driver parses the LAST line of a bounded stdout tail, so the
+    # multi-KB payload must NOT be last (r2-r9 lesson: with the payload
+    # printed last, every BENCH_rN.json recorded "parsed": null because
+    # the tail window started mid-payload). Order:
+    # 1. the full payload line goes out FIRST (humans / full captures),
     # 2. the full payload is also written to BENCH.json in the repo,
-    # 3. the full one-line contract JSON is printed LAST (the driver's line).
-    print(
-        json.dumps(
-            {"metric": "total_query_wall_time", "value": total, "unit": "sec",
-             "sf": payload["sf"], "n_queries": len(timings)}
-        ),
-        flush=True,
-    )
+    # 3. the COMPACT contract JSON is printed LAST — it fits any tail
+    #    window, so the driver's last-line parse always succeeds.
+    print(json.dumps(payload), flush=True)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
     except OSError:
         pass
-    print(json.dumps(payload), flush=True)
+    print(
+        json.dumps(
+            {"metric": "total_query_wall_time", "value": total, "unit": "sec",
+             "sf": payload["sf"], "n_queries": len(timings),
+             "ratio_vs_prior": payload["ratio_vs_prior"]}
+        ),
+        flush=True,
+    )
     spark.stop()
 
 

@@ -235,10 +235,12 @@ def main(argv: list[str] | None = None) -> int:
             render_timeline_png,
         )
 
-        # Mirror the report-selection precedence above: -s and the other
-        # summary-style flags win over -m/-r there, so `-s -m --png` has
-        # already built the job-summary frame — reject it as a usage
-        # error instead of feeding a chartless frame to a Gantt renderer.
+        # Reject --png with the non-chart report flags (-s /
+        # --reduce-bytes / --errors / --wasted / --fleet): those select
+        # summary frames no Gantt/timeline renderer accepts. Combinations
+        # WITHIN the report set (e.g. `-s -m`) never reach here — the
+        # flags share one argparse mutually-exclusive group, so argparse
+        # exits at parse time (asserted by test_cli).
         if any((args.s, args.reduce_bytes, args.errors, args.wasted, args.fleet)):
             print("--png applies to -t, -m, or -r reports only", file=sys.stderr)
             return 2

@@ -12,15 +12,23 @@ rasterizer emits:
   Up / Average / Paeth, RFC 2083 §6);
 * color types 0 (grayscale), 2 (RGB), 3 (palette), 4 (gray+alpha),
   6 (RGBA);
-* 16-bit, interlaced (Adam7), and ancillary-chunk-dependent images raise
-  ``ValueError`` — a deployment with Pillow/libvips registers that codec
-  via ``set_image_codec`` and this module steps aside automatically.
+* 16-bit and interlaced (Adam7) images raise ``ValueError`` — a
+  deployment with Pillow/libvips registers that codec via
+  ``set_image_codec`` and this module steps aside automatically;
+* ancillary chunks are IGNORED (decode proceeds without them) with one
+  exception: ``tRNS`` is REJECTED, because transparency changes pixel
+  semantics — silently dropping it would decode a transparent
+  palette/gray image as fully opaque, diverging from what the Pillow
+  tier returns for the same payload.
 
-Performance note: the sequential filters (Sub/Average/Paeth) are
-unfiltered in a per-byte Python loop — correct and adequate for the
-fallback tier (thumbnails, fixtures, smoke decodes). Decode still happens
-*inside* the Arrow-batched executor stage, so a cluster decodes in
-parallel across payloads even though each payload is pure Python.
+Performance note: None and Up rows unfilter as whole-row numpy ops and
+Sub as a per-channel-lane cumsum mod 256; only Average and Paeth remain
+a per-byte loop — their reconstruction recurrence is nonlinear in the
+already-reconstructed left neighbor (a ``>> 1`` / predictor select), so
+it does not vectorize along the scanline. Correct and adequate for the
+fallback tier (thumbnails, fixtures, smoke decodes); decode still
+happens *inside* the Arrow-batched executor stage, so a cluster decodes
+in parallel across payloads even where each payload is pure Python.
 """
 
 from __future__ import annotations
@@ -68,6 +76,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             plte = data
         elif tag == b"IDAT":
             idat.append(data)
+        elif tag == b"tRNS":
+            # transparency changes pixel semantics; ignoring it would
+            # decode transparent pixels as opaque — reject instead (the
+            # step-aside-for-a-real-codec contract, module docstring)
+            raise ValueError("tRNS transparency not supported")
         elif tag == b"IEND":
             break
         pos += 12 + length
@@ -86,38 +99,59 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("zero-dimension image")
 
-    raw = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # Inflate with a hard cap at the declared geometry: this codec is the
+    # default decode floor for UNTRUSTED corpus payloads, and a ~KB
+    # crafted zlib bomb would otherwise expand ~1000x in executor memory
+    # before the length check could reject it.
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(b"".join(idat), expected + 1)
+        overrun = len(raw) > expected or bool(
+            d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1)
+        )
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from None
+    if overrun:
+        raise ValueError("IDAT inflates past the declared dimensions")
+    if len(raw) != expected:
         raise ValueError("IDAT length does not match dimensions")
 
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.empty((h, stride), dtype=np.uint8)
-    prev = bytearray(stride)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        off = y * (stride + 1)
-        f = raw[off]
-        cur = bytearray(raw[off + 1 : off + 1 + stride])
+        f = int(rows[y, 0])
+        cur = rows[y, 1:]
         if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for i in range(channels, stride):
-                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                cur[i] = (cur[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = cur[i - channels] if i >= channels else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                left = cur[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
-                cur[i] = (cur[i] + _paeth(left, prev[i], ul)) & 0xFF
+            out[y] = cur
+        elif f == 1:  # Sub: x[i] = d[i] + x[i-ch] — per-lane cumsum mod 256
+            out[y] = (
+                (np.cumsum(cur.reshape(-1, channels).astype(np.int64), axis=0) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up: uint8 addition wraps mod 256
+            out[y] = cur + prev
+        elif f in (3, 4):  # Average / Paeth: sequential in the
+            # reconstructed left neighbor and nonlinear (>>1 / predictor
+            # select) — per-byte by necessity (module docstring)
+            c2 = bytearray(cur.tobytes())
+            pv = prev.tobytes()
+            if f == 3:
+                for i in range(stride):
+                    left = c2[i - channels] if i >= channels else 0
+                    c2[i] = (c2[i] + ((left + pv[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    left = c2[i - channels] if i >= channels else 0
+                    ul = pv[i - channels] if i >= channels else 0
+                    c2[i] = (c2[i] + _paeth(left, pv[i], ul)) & 0xFF
+            out[y] = np.frombuffer(bytes(c2), dtype=np.uint8)
         else:
             raise ValueError(f"unknown scanline filter {f}")
-        out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
-        prev = cur
+        prev = out[y]
 
     if ctype == 3:
         if plte is None or len(plte) % 3:

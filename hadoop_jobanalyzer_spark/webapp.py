@@ -142,8 +142,11 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, str]:
     """Minimal ``multipart/form-data`` parser (groovy.cgi:104-121 path):
     each part's ``Content-Disposition: form-data; name=...`` becomes a
     text parameter. Stdlib-only (the ``cgi`` module left the stdlib in
-    3.13); files and nested multiparts are decoded as utf-8 text since
-    every CGI parameter here (url/log/chart/width/height/scale) is text.
+    3.13). Every CGI parameter here (url/log/chart/width/height/scale)
+    is text, so parts declaring a non-``text/*`` content-type (a gzipped
+    log, an image) raise ``ValueError`` — answered as 400 by the handler
+    — instead of being silently utf-8-mangled (r9 advice). Parts with no
+    declared type default to ``text/plain`` per RFC 7578 and pass.
     """
     import email.parser
     import email.policy
@@ -157,6 +160,11 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, str]:
         name = part.get_param("name", header="content-disposition")
         if not name:
             continue
+        if part.get_content_maintype() != "text":
+            raise ValueError(
+                f"multipart part {name!r} has non-text content-type "
+                f"{part.get_content_type()!r}; all parameters are text"
+            )
         payload = part.get_payload(decode=True) or b""
         params[name] = payload.decode("utf-8", errors="replace")
     return params
@@ -217,7 +225,11 @@ def _make_handler(
                 )
             elif ctype == "multipart/form-data":
                 # the CGI's gridauth-compat upload path (groovy.cgi:104-121)
-                params.update(_parse_multipart(raw, ctype_full))
+                try:
+                    params.update(_parse_multipart(raw, ctype_full))
+                except ValueError as exc:
+                    self.send_error(400, str(exc))
+                    return
             else:
                 # raw body = the log itself (curl --data-binary convenience)
                 params.setdefault("log", raw.decode("utf-8", errors="replace"))

@@ -138,6 +138,42 @@ def test_corrupt_and_unsupported_inputs_raise_valueerror():
             decode_png(payload)
 
 
+def _gray_png(idat_body: bytes, w: int = 2, h: int = 2, extra=()) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    mid = b"".join(extra)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + mid
+        + _chunk(b"IDAT", idat_body)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_trns_rejected_not_silently_opaque():
+    # a transparent gray PNG must raise (step-aside contract), not decode
+    # as opaque pixels the Pillow tier would report as transparent
+    raw = b"".join(b"\x00" + bytes([y, y + 1]) for y in range(2))
+    payload = _gray_png(zlib.compress(raw), extra=[_chunk(b"tRNS", b"\x00\x01")])
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_png(payload)
+    # other ancillary chunks are ignored, not rejected
+    ok = _gray_png(zlib.compress(raw), extra=[_chunk(b"pHYs", b"\x00" * 9)])
+    assert decode_png(ok).shape == (2, 2)
+
+
+def test_idat_bomb_rejected_at_declared_geometry():
+    # declared 2x2 gray, but the ~1 KB IDAT inflates to 1 MiB: the capped
+    # decompressobj must reject without materializing the expansion
+    bomb = zlib.compress(b"\x00" * (1 << 20), 9)
+    assert len(bomb) < 2048
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_png(_gray_png(bomb))
+    # corrupt deflate raises ValueError (contract), never a raw zlib.error
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        decode_png(_gray_png(b"\x00not-a-deflate-stream"))
+
+
 def test_resize_nearest_geometry_and_determinism():
     arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
     out = decode_png(resize_nearest(encode_png(arr), 4, 2))

@@ -151,6 +151,33 @@ def test_multipart_post_serves_png(server, fixture_log1):
         _assert_png(resp, 120, 90)
 
 
+def test_multipart_binary_part_rejected_400(server, fixture_log1):
+    # a gzipped log part must answer 400 (r9 advice), not be silently
+    # utf-8-mangled into an unparseable "log" parameter
+    import gzip
+
+    boundary = "hjaBoundary1234567890"
+    gz = gzip.compress(Path(fixture_log1).read_bytes())
+    body = (
+        (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="log"; filename="job.log.gz"\r\n'
+            f"Content-Type: application/gzip\r\n\r\n"
+        ).encode()
+        + gz
+        + f"\r\n--{boundary}--\r\n".encode()
+    )
+    req = urllib.request.Request(
+        f"{server}/job_history",
+        data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+    assert "non-text" in ei.value.reason
+
+
 def test_url_staged_copy_is_cleaned_up(server, fixture_log1, tmp_path):
     # the staged url= copy must be unlinked after the render (ADVICE r8:
     # one leaked temp file per request otherwise)
