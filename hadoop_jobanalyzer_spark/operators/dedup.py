@@ -173,15 +173,22 @@ def near_dup_pairs(
     # plus two more corpus-wide size-subtree recomputes for n_a/n_b): the
     # shingle subtree now runs once per join side as a narrow pass, the pair
     # shuffle carries pair volume only, and n_a/n_b fall out of the same
-    # arrays for free.
+    # arrays for free. Both set-pull joins are pinned shuffle-hash with
+    # the PAIR side as the build: the candidate relation scales with the
+    # corpus and rides a fanout-blind explode-lineage estimate, so an
+    # unhinted plan can broadcast it — the q235 x100 abort class (r10
+    # audit, flagged via q109). The corpus-wide doc_sets stream is only
+    # probed, never built or broadcast.
     doc_sets = df.select(
         F.col(id_col), shingles(tokens(text_col), ngram).alias("_shs")
     )
     return (
-        cands.join(
+        cands.hint("shuffle_hash")
+        .join(
             doc_sets.select(F.col(id_col).alias("id_a"), F.col("_shs").alias("_sa")),
             "id_a",
         )
+        .hint("shuffle_hash")
         .join(
             doc_sets.select(F.col(id_col).alias("id_b"), F.col("_shs").alias("_sb")),
             "id_b",
@@ -302,8 +309,11 @@ def minhash_est_vs_exact(
         (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(n_hashes)
     )
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        # pinned shuffle-hash with the narrow signature tables as builds:
+        # both sides are corpus-scaled and the materialized signatures
+        # carry a copied fanout-blind estimate (q235 class, r10 audit)
+        pairs.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -445,23 +455,39 @@ def lsh_candidate_pairs_incremental(
     # bucket-size cap reads all_bands twice; the probe join reads
     # new_bands again) — persist the narrow (id, band, bh) rows so the
     # signature explode/md5/min-agg subtree runs ONCE per side, not once
-    # per branch (the q66-class recompute fix)
+    # per branch (the q66-class recompute fix).
+    #
+    # The store is pre-filtered to buckets the NEW batch touches (a
+    # batch-scaled broadcast semi-join — the ingest-contract bound, same
+    # as incremental CC's touched set): untouched buckets can produce no
+    # pair, so the bucket-size cap and the probe join then run over
+    # O(touched) rows instead of O(corpus) — and the cap's bucket-size
+    # aggregate (corpus-scaled before r10) can no longer be picked as a
+    # runtime broadcast off its fanout-blind explode-lineage estimate.
+    # The remaining cap/probe joins are pinned shuffle-hash (both sides
+    # touched-scaled; the q235 doctrine — pin, don't estimate). One full
+    # store SCAN per batch remains — inherent until the signature store
+    # is bucketed by (band, bh) on disk.
     new_bands = banded(new_sigs, "new").transform(materialize)
+    touched = new_bands.select("band", "bh").distinct()
     all_bands = (
         banded(stored_sigs.na.drop(), "old")
         .unionByName(new_bands)
+        .join(F.broadcast(touched), ["band", "bh"], "left_semi")
         .transform(materialize)
     )
     if max_bucket is not None:
         sized = all_bands.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
         all_bands = all_bands.join(
-            sized.filter(F.col("_bsz") <= max_bucket).select("band", "bh"),
+            sized.filter(F.col("_bsz") <= max_bucket)
+            .select("band", "bh")
+            .hint("shuffle_hash"),
             ["band", "bh"],
             "left_semi",
         )
     j = new_bands.select(
         F.col(id_col).alias("_nid"), "band", "bh"
-    ).join(all_bands, ["band", "bh"])
+    ).hint("shuffle_hash").join(all_bands, ["band", "bh"])
     pairs = (
         j.filter(F.col("_nid") != F.col(id_col))
         .select(
@@ -506,6 +532,10 @@ def duplicated_span_fraction(
     (``len - span + 1``), never a second span materialization. A
     degenerate mega-duplicated span concentrates its occurrence list on
     one reducer — the same skew exposure as any groupBy, handled by AQE.
+    The sizes-x-hits join is pinned shuffle-hash: hits is one row per
+    document with duplicates (corpus-scaled) riding the explode lineage,
+    which the size-only estimator under-counts with no fanout term — the
+    q235 runtime-broadcast abort class (r10 audit).
     Output: (id, n_spans, n_dup, dup_frac) for docs with >= 1 window.
     """
     w = tokens(text_col)
@@ -527,7 +557,7 @@ def duplicated_span_fraction(
         .agg(F.count("*").alias("n_dup"))
     )
     return (
-        sizes.join(hits, id_col, "left")
+        sizes.join(hits.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             "n_spans",
@@ -561,10 +591,15 @@ def boilerplate_ngram_fraction(
 
     Plan shape: shingles explode once (generator-only select — an
     expression carried next to a generator re-evaluates per output row);
-    document frequency is a two-phase partial aggregation; the boilerplate
-    set (df >= min_df) is broadcast — by Zipf it is tiny relative to the
-    shingle universe at any corpus size because high-df n-grams are rare.
-    Sizes ride a separate one-row-per-doc projection.
+    document frequency is a two-phase partial aggregation. The
+    boilerplate set (df >= min_df) is SMALL relative to the shingle
+    universe (Zipf), but it still grows with the corpus — a constant
+    fraction of the vocabulary crosses any fixed df floor as documents
+    accumulate — so its probe join and the per-doc hits join are pinned
+    shuffle-hash rather than broadcast: both builds ride the explode
+    lineage whose size estimate carries no fanout term (the q235
+    runtime-broadcast abort class, r10 audit). Sizes ride a separate
+    one-row-per-doc projection.
 
     Returns (id, n_ngrams, n_boiler, boiler_frac) for every document with
     at least one n-gram.
@@ -583,12 +618,12 @@ def boilerplate_ngram_fraction(
         .select("_s")
     )
     hits = (
-        exploded.join(F.broadcast(boiler), "_s")
+        exploded.join(boiler.hint("shuffle_hash"), "_s")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_boiler"))
     )
     return (
-        sizes.join(hits, id_col, "left")
+        sizes.join(hits.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             "n_ngrams",

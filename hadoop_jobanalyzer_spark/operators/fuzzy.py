@@ -67,7 +67,11 @@ def blocked_levenshtein_pairs(
         F.col("_blk"), F.col(id_col).alias("id_b"), F.col("_pfx").alias("_pfx_b")
     )
     return (
-        a.join(b, "_blk")
+        # pinned shuffle-hash: both self-join sides are the corpus-scaled
+        # (capped, still linear-densifying) block table whose materialized
+        # copied estimate is not a real size — the q235 runtime-broadcast
+        # abort class (r10 audit)
+        a.join(b.hint("shuffle_hash"), "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
         # levenshtein's optional threshold arg short-circuits rows whose
         # distance exceeds max_dist (returns -1) instead of filling the

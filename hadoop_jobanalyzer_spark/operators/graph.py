@@ -215,13 +215,21 @@ def triangle_stats(
     bit for bit.
 
     Shuffles: distinct canonize, degree agg, orientation join, adjacency
-    agg, two adjacency joins. All equi-joins, deliberately unhinted: AQE
-    broadcasts the degree/adjacency sides while they fit and degrades to
-    shuffle joins at cluster scale — never a cartesian. The edge list,
-    degree table, and oriented list each feed 2+ branches, so each is
-    lazily materialize-d for the operator's scope (ContextCleaner
-    releases the blocks when the result frame is dropped). The three scalars are 1-row
-    aggregates combined by broadcast join — no driver-side action.
+    agg, two adjacency joins. All equi-joins, all PINNED shuffle-hash
+    with the degree/adjacency side as the build (r10; they were
+    deliberately unhinted through r9): the degree and adjacency
+    relations are corpus-scaled (one row per vertex), and their
+    materialized frames carry COPIED plan estimates, not real sizes —
+    the estimate class whose runtime broadcast abort killed q235 at x100
+    (r9). A hinted SHJ needs no stats to be right at any scale, and it
+    drops the sort-merge sorts the unhinted plan ran at test SF. The
+    edge list, degree table, oriented list, and adjacency table each
+    feed 2+ branches, so each is lazily materialize-d for the operator's
+    scope (ContextCleaner releases the blocks when the result frame is
+    dropped; adj materialized since r10 — it feeds both probe joins,
+    which previously re-ran its aggregate through full lineage). The
+    three scalars are 1-row aggregates combined by broadcast join — no
+    driver-side action.
     """
     if canonical:
         # caller guarantees distinct src < dst rows (e.g. a bucketed edge
@@ -257,8 +265,8 @@ def triangle_stats(
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     oriented = (
-        e.join(da, "a")
-        .join(db, "b")
+        e.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
         .select(
             F.when(
                 (F.col("da") < F.col("db"))
@@ -271,14 +279,22 @@ def triangle_stats(
         .select("e.s", "e.t")
         .transform(materialize)
     )
-    adj = oriented.groupBy("s").agg(F.array_sort(F.collect_list("t")).alias("nb"))
+    adj = (
+        oriented.groupBy("s")
+        .agg(F.array_sort(F.collect_list("t")).alias("nb"))
+        .transform(materialize)
+    )
     tri_row = (
         oriented.join(
-            adj.select(F.col("s").alias("_as"), F.col("nb").alias("nb_s")),
+            adj.select(F.col("s").alias("_as"), F.col("nb").alias("nb_s")).hint(
+                "shuffle_hash"
+            ),
             F.col("s") == F.col("_as"),
         )
         .join(
-            adj.select(F.col("s").alias("_at"), F.col("nb").alias("nb_t")),
+            adj.select(F.col("s").alias("_at"), F.col("nb").alias("nb_t")).hint(
+                "shuffle_hash"
+            ),
             F.col("t") == F.col("_at"),
         )
         .select(F.size(F.array_intersect("nb_s", "nb_t")).alias("c"))

@@ -174,9 +174,15 @@ def tfidf_cosine_pairs(
         / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
         4,
     )
+    # norm joins pinned shuffle-hash with the narrow per-doc norm table
+    # as the build: both sides are corpus-scaled and ride fanout-blind
+    # explode-lineage estimates, so an unhinted plan can broadcast either
+    # — the q235 x100 abort class (r10 audit).
+    na_t = norms.select(F.col("_id").alias("id_a"), F.col("n2").alias("na"))
+    nb_t = norms.select(F.col("_id").alias("id_b"), F.col("n2").alias("nb"))
     return (
-        num.join(norms.select(F.col("_id").alias("id_a"), F.col("n2").alias("na")), "id_a")
-        .join(norms.select(F.col("_id").alias("id_b"), F.col("n2").alias("nb")), "id_b")
+        num.join(na_t.hint("shuffle_hash"), "id_a")
+        .join(nb_t.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", "num", "na", "nb", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")

@@ -52,12 +52,19 @@ def prefix_filter_jaccard_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
 
-    # global order: (df asc, s asc); prefix = first n - ceil(t*n) + 1
+    # global order: (df asc, s asc); prefix = first n - ceil(t*n) + 1.
+    # Both annotation joins are pinned shuffle-hash with the AGGREGATE as
+    # the build: dfreq (vocabulary-scaled) and sizes (doc-scaled) are
+    # estimates over corpus lineage, so an unhinted plan can statically
+    # broadcast them — the q235 x100 abort class (r9/r10 audit). SHJ
+    # streams the token relation and builds per-partition tables on the
+    # narrow aggregate only; the sizes join reuses the window's doc_id
+    # partitioning, so the pin adds no Exchange.
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     ordered = (
-        sh.join(dfreq, "s")
+        sh.join(dfreq.hint("shuffle_hash"), "s")
         .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .join(sizes.hint("shuffle_hash"), "doc_id")
     )
     # ceil(num*n/den) = (num*n + den - 1) div den
     prefix_len = F.col("n") - F.floor((num * F.col("n") + den - 1) / den) + 1
@@ -85,8 +92,15 @@ def prefix_filter_jaccard_pairs(
         F.col("n").alias("n_b"),
         F.col("_rk").alias("rk_b"),
     )
+    # the candidate self-join is pinned shuffle-hash: both sides are the
+    # materialized prefix relation, and a LogicalRDD COPIES its original
+    # plan's size estimate (r10 finding) — at sf0.001 the planner
+    # statically broadcast one full prefix side off that estimate, the
+    # exact shape whose runtime broadcast aborted q235 at x100. SHJ
+    # builds per-partition tables on the s-hashed prefix instead.
     cand = (
-        pa.join(pb, "s")
+        pa.hint("shuffle_hash")
+        .join(pb, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter: J >= t forces den*min(|a|,|b|) >= num*max(|a|,|b|)
         .filter(
@@ -146,12 +160,17 @@ def prefix_filter_jaccard_pairs(
     # shared tokens only (the (id_b, s) equi-join touches matching
     # tokens, never full shingle arrays — measured 2x faster than an
     # in-row array_intersect verify, which drags every candidate's full
-    # string array through the join)
+    # string array through the join). Both verify joins are pinned
+    # shuffle-hash exactly like the containment variant below: cand is
+    # the operator's corpus-scaled overfetch riding a filter estimate
+    # (runtime-broadcast abort at x100, r9), and sort-merge sorts the
+    # exploded candidate-x-token intermediate (spill-reader OOM class).
     ta = sh.select(F.col("doc_id").alias("id_a"), "s")
     tb = sh.select(F.col("doc_id").alias("id_b"), "s")
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "s"])
+        cand.hint("shuffle_hash")
+        .join(ta, "id_a")
+        .join(tb.hint("shuffle_hash"), ["id_b", "s"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )

@@ -188,6 +188,10 @@ def knn_lsh_multiprobe(
     recovers most of that recall for (n_planes+1)/2^n_planes of the corpus
     scanned. The probe set is n_planes+1 rows — broadcast to an equi-join
     on bucket id, so the corpus is still scanned once and shuffled never.
+    The vector pull-back join is pinned shuffle-hash with the candidate
+    id list as the build: candidates are a FIXED FRACTION of the corpus
+    ((n_planes+1)/2^n_planes), riding a filter estimate — at scale an
+    unhinted broadcast of that list is the q235 abort class (r10 audit).
     """
     buckets = lsh_buckets(df, id_col, vec_col, n_planes, dim)
     qb = buckets.filter(F.col(id_col) == query_id).select(F.col("bucket").alias("_qb"))
@@ -198,6 +202,7 @@ def knn_lsh_multiprobe(
     candidates = (
         buckets.join(F.broadcast(probes), F.col("bucket") == F.col("_pb"))
         .select(id_col)
+        .hint("shuffle_hash")
         .join(df, id_col)
     )
     return knn_brute_force(candidates, id_col, vec_col, query_id, k, round_to)

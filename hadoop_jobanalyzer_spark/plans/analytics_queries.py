@@ -1153,8 +1153,13 @@ def q110_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion — no libm). Low scores = boilerplate-heavy/common-token
     docs; high = rare-token (or noisy) docs; both tails get reviewed.
 
-    One explode for counts, one explode joined against the Zipf-bounded
-    term table, integer per-doc sums, one final division.
+    One explode for counts, one explode joined against the term table,
+    integer per-doc sums, one final division. The term join is pinned
+    shuffle-hash with term_bits as the build: unhinted, the planner
+    chose the EXPLODED TOKEN STREAM as the broadcast build off its
+    fanout-blind size estimate (r10 audit) — the worst possible q235-
+    class pick — and the vocabulary side, while much smaller, still
+    grows without bound (Heaps), so neither side may ride a broadcast.
     Output: (doc_id, n_tokens, avg_surprisal_bits)."""
     from hadoop_jobanalyzer_spark.functions.text import tokens
 
@@ -1171,7 +1176,7 @@ def q110_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     term_bits = counts.crossJoin(F.broadcast(total)).select("t", bits.alias("bits"))
     return (
-        toks.join(term_bits, "t")
+        toks.join(term_bits.hint("shuffle_hash"), "t")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),

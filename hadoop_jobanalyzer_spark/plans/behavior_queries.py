@@ -420,8 +420,11 @@ def q147_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bm.select(
         F.col("event_type").alias("type_b"), "word", F.col("bits").alias("bb")
     )
+    # pinned shuffle-hash: the bitmap relation is types x WORDS — word
+    # vocabulary grows with the corpus, and the materialized frame's
+    # copied estimate is fanout-blind (q235 class, r10 audit)
     pairs = (
-        a.join(b, "word")
+        a.join(b.hint("shuffle_hash"), "word")
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.sum(F.expr("bit_count(ba & bb)")).alias("n_common"))

@@ -53,8 +53,12 @@ def q194_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    # pinned shuffle-hash: the (source, token) count relation is
+    # vocabulary-scaled and rides the explode's fanout-blind estimate
+    # (q235 class, r10 audit); the equi-key is tok, the src inequality
+    # stays a post-join condition
     common = (
-        ca.join(cb, (ca["tok"] == cb["tok_b"]) & (ca["src_a"] < cb["src_b"]))
+        ca.join(cb.hint("shuffle_hash"), (ca["tok"] == cb["tok_b"]) & (ca["src_a"] < cb["src_b"]))
         .join(F.broadcast(ta), "src_a")
         .join(F.broadcast(tb), "src_b")
         .groupBy("src_a", "src_b", "n_a", "n_b")

@@ -208,7 +208,9 @@ def q232_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cs").cast("decimal(19,0)").alias("s_tot"),
     )
     aff = (
-        sw.join(wstats, "tok")
+        # wstats is vocabulary-scaled with a fanout-blind copied estimate
+        # — pinned shuffle-hash (q235 class, r10 audit)
+        sw.join(wstats.hint("shuffle_hash"), "tok")
         .crossJoin(F.broadcast(totals))
         .select(
             "source",

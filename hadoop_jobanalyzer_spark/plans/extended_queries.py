@@ -1243,10 +1243,17 @@ def q79_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["l_orderkey", "l_partkey"])
         .transform(materialize)
     )
+    # all three corpus-scaled joins pinned shuffle-hash (q235 class, r10
+    # audit): the self-join rides the materialized table's copied
+    # estimate (an unhinted plan broadcast one whole side at small SF,
+    # silently defeating the exchange-free co-partitioned layout), and
+    # the per-part count tables are part-scaled aggregates. The pins are
+    # exchange-free here: both self-join sides keep the l_orderkey
+    # partitioning, and the pc joins ride the pair aggregate's hashing.
     pairs = (
         li.alias("a")
         .join(
-            li.alias("b"),
+            li.alias("b").hint("shuffle_hash"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
@@ -1259,8 +1266,8 @@ def q79_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
     total = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
     return (
-        pairs.join(pc.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a")
-        .join(pc.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
+        pairs.join(pc.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")).hint("shuffle_hash"), "part_a")
+        .join(pc.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")).hint("shuffle_hash"), "part_b")
         .join(F.broadcast(total))
         .select(
             "part_a",
@@ -1574,9 +1581,11 @@ def q88_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     predict. Score is the PMI ratio ((c_xy * N_uni) * N_uni) /
     ((N_bi * c_x) * c_y) — log-free (rank-equivalent, and ln's libm
     rounding is engine-specific), left-associated double math so both
-    engines round identically. Unigram counts join back to bigrams twice;
-    the vocabulary is Zipf-small, so both joins broadcast. Totals are a
-    1-row broadcast."""
+    engines round identically. Unigram counts join back to bigrams twice
+    — pinned shuffle-hash: the vocabulary is Zipf-SMALL but not bounded
+    (Heaps — it grows with the corpus), and both builds ride the
+    explode's fanout-blind estimate (q235 class, r10 audit). Totals are
+    a 1-row broadcast."""
     docs = load_tables(spark, sf_dir)["documents"]
     words = docs.select(tokens("text").alias("w"))
     uni = (
@@ -1604,8 +1613,8 @@ def q88_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ux = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
     uy = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
     scored = (
-        bi.join(F.broadcast(ux), "w1")
-        .join(F.broadcast(uy), "w2")
+        bi.join(ux.hint("shuffle_hash"), "w1")
+        .join(uy.hint("shuffle_hash"), "w2")
         .join(F.broadcast(totals))
         .select(
             "w1",

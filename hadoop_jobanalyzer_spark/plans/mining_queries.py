@@ -1281,7 +1281,12 @@ def q169_dedup_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").alias("n_truth"))
-    n_hits = cand.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("n_hits"))
+    # pinned shuffle-hash: both pair sets are corpus-scaled materialized
+    # frames whose copied estimates are fanout-blind (q235 class, r10)
+    n_hits = (
+        cand.join(truth.hint("shuffle_hash"), ["id_a", "id_b"])
+        .agg(F.count("*").alias("n_hits"))
+    )
     return (
         n_cand.crossJoin(F.broadcast(n_truth))
         .crossJoin(F.broadcast(n_hits))
@@ -1461,8 +1466,11 @@ def q172_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = st.groupBy("source").agg(F.count("*").alias("n_vocab"))
     a = st.select(F.col("source").alias("source_a"), "tok")
     b = st.select(F.col("source").alias("source_b"), "tok")
+    # pinned shuffle-hash: the (source, token) relation is vocabulary-
+    # scaled (Heaps — grows without bound) and rides the explode's
+    # fanout-blind estimate (q235 class, r10 audit)
     common = (
-        a.join(b, "tok")
+        a.join(b.hint("shuffle_hash"), "tok")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_common"))

@@ -927,7 +927,10 @@ def q228_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("v"), F.sum("ct").alias("n")
     )
     scored = (
-        cnt.join(tok_tot, "token")
+        # tok_tot is vocabulary-scaled over the materialized count table's
+        # fanout-blind copied estimate — pinned shuffle-hash (q235 class,
+        # r10 audit); lang_tot stays an explicit bounded-domain broadcast
+        cnt.join(tok_tot.hint("shuffle_hash"), "token")
         .join(F.broadcast(lang_tot), "lang")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -1034,7 +1037,9 @@ def q229_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketed_global_rank consumes its input three ways (in-bucket
     # window, bucket counts, total) — persist the doc-grain flag table
     flagged = (
-        base.join(gsz, "grp")
+        # gsz is one row per fingerprint group (corpus-scaled) over the
+        # doc scan's estimate — pinned shuffle-hash (q235 class, r10)
+        base.join(gsz.hint("shuffle_hash"), "grp")
         .select(
             "doc_id", "div_ppm", (F.col("gsz") > 1).cast("long").alias("is_dup")
         )

@@ -358,9 +358,12 @@ def q241_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm2 = F.aggregate(
         "qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x
     ).alias("norm2")
+    # pinned shuffle-hash: both sides are corpus-scaled (the planner
+    # chose the full materialized vector table as the broadcast build
+    # off its copied estimate — q235 class, r10 audit)
     counts = q.groupBy("qv").agg(F.count("*").alias("n_same"))
     return (
-        q.join(counts, "qv")
+        q.join(counts.hint("shuffle_hash"), "qv")
         .select("label", norm2, (F.col("n_same") > 1).cast("long").alias("is_dup"))
         .groupBy("label")
         .agg(

@@ -426,10 +426,13 @@ def q124_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(materialize)
     )
+    # the global chunk-hash count is corpus-scaled and rides the chunk
+    # explode's fanout-blind estimate — pin shuffle-hash so it can never
+    # be picked as a runtime broadcast (q235 class, r10 audit)
     counts = chunks.groupBy("h").agg(F.count("*").alias("n_h"))
     dup = F.col("n_h") > 1
     return (
-        chunks.join(counts, "h")
+        chunks.join(counts.hint("shuffle_hash"), "h")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -1029,9 +1032,14 @@ def q135_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("_df") <= _LEAK_MAX_DF)
     a = fpx.select(F.col("fp"), F.col("doc_id").alias("da"), F.col("split").alias("_sa"))
     b = fpx.select(F.col("fp"), F.col("doc_id").alias("db"), F.col("split").alias("_sb"))
+    # both joins pinned shuffle-hash: keep (fingerprint-vocab-scaled) and
+    # the fpx sides (corpus-scaled) all ride fanout-blind explode/RDD
+    # estimates — the q235 runtime-broadcast abort class (r10 audit). The
+    # three legs share the fp hash partitioning, so the pins add no
+    # Exchange beyond the one each leg needs anyway.
     pairs = (
-        a.join(keep.select("fp"), "fp")
-        .join(b, "fp")
+        a.join(keep.select("fp").hint("shuffle_hash"), "fp")
+        .join(b.hint("shuffle_hash"), "fp")
         .filter((F.col("da") < F.col("db")) & (F.col("_sa") != F.col("_sb")))
         .select(
             "fp",

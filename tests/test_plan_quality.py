@@ -162,8 +162,13 @@ def _n_exchanges(plan: str) -> int:
         # capped block table materialized once (Scan ExistingRDD child);
         # the remaining plan is the broadcast self-join + range sort —
         # a regression that re-duplicates the block-size agg fails here
-        ("q50_fuzzy_prefix_pairs", 2),
-        ("q60_knn_multiprobe", 0),  # broadcast probes + TakeOrdered: no shuffle
+        # +1 r10: the block self-join is pinned shuffle-hash (the
+        # materialized table rides a copied estimate — q235 class)
+        ("q50_fuzzy_prefix_pairs", 3),
+        # r10: probes stay broadcast (n_planes+1 rows), but the vector
+        # pull-back is pinned shuffle-hash — candidates are a fixed
+        # FRACTION of the corpus, never broadcastable at scale
+        ("q60_knn_multiprobe", 4),
         ("q62_repetition_signals", 4),  # spread + 2-level agg + sort
         ("q63_contamination", 7),  # 2 branches + distinct + agg + size join + sort
         ("q64_token_entropy", 4),
@@ -174,11 +179,13 @@ def _n_exchanges(plan: str) -> int:
         ("q78_weighted_sample", 2),  # 1-row total + final sort
         ("q79_copurchase_lift", 9),  # distinct + order-key self-join + 3 aggs
         ("q80_bm25_search", 1),  # ONLY the 1-row stats agg — scan stays codegen
-        ("q81_boilerplate_fraction", 4),  # df agg + hits agg + sizes join + sort
+        # r10: boiler + hits joins pinned shuffle-hash (the boilerplate
+        # set grows with the corpus; both rode fanout-blind estimates)
+        ("q81_boilerplate_fraction", 6),
         ("q90_sq8_error_histogram", 4),  # dim stats + 1-row collect + histogram + sort
         ("q91_kmeans_step", 3),   # centroid collect + (cell,dim) agg + final
         ("q92_nation_revenue_share", 2),  # nation agg + 25-row window
-        ("q94_duplicated_spans", 3),  # span-hash agg + doc agg + sizes join
+        ("q94_duplicated_spans", 4),  # +1 r10: hits join pinned shuffle-hash
         ("q95_tfidf_cosine_pairs", 7),  # tf/term cached + norms + pairs + 2 joins
         ("q96_event_value_outliers", 2),  # per-type moments + final sort
         ("q97_vocab_coverage_curve", 3),  # term count + bounded top-k + cutoffs
@@ -188,11 +195,19 @@ def _n_exchanges(plan: str) -> int:
         ("q102_orders_profile", 2),    # one aggregate + in-row unpivot
         ("q118_hll_registers", 2),     # register max agg + final sort
         ("q119_kmv_distinct", 3),      # distinct + group-limit window + sort
-        ("q120_copurchase_triangles", 13),  # census branches (each equi-join)
+        # r10: 13 -> 6 — adjacency table materialized once (it feeds
+        # both probe joins) and all degree/adjacency joins pinned
+        # shuffle-hash (corpus-scaled builds; the q235 doctrine)
+        ("q120_copurchase_triangles", 6),
         ("q121_phrase_search", 1),     # in-row verify: ONLY the final sort
         ("q122_market_share", 3),      # fact agg + per-year window + sort
-        ("q123_setsim_prefix_join", 4),  # df/size aggs + prefix join + verify (prefix table materialized once — r8)
-        ("q124_cdc_chunk_dedup", 4),   # chunk-hash agg + join back + source agg
+        # r10: 4 -> 9 — every join pinned shuffle-hash, mirroring q235:
+        # the candidate self-join statically BROADCAST one full prefix
+        # side off the LogicalRDD's copied fanout-blind estimate, and
+        # the verify/dfreq/sizes builds rode the same class. Exchanges
+        # over materialized tables are cheap; fatal broadcasts are not.
+        ("q123_setsim_prefix_join", 9),
+        ("q124_cdc_chunk_dedup", 5),   # +1 r10: count join pinned shuffle-hash
         ("q125_degree_distribution", 5),  # self-join + distinct + deg + histogram
         ("q126_pq_code_histogram", 2),  # centroid collect + M*K histogram agg
         ("q128_mad_outliers", 2),      # two rank windows share one shuffle + agg
@@ -206,7 +221,7 @@ def _n_exchanges(plan: str) -> int:
         ("q144_small_quantity_revenue", 2),  # per-part agg + partkey join
         ("q145_sole_late_supplier", 5),  # orderkey join + 2 rollups + supp join
         ("q146_audience_bitmaps", 2),  # bit_or partial agg + final sort
-        ("q147_bitmap_audience_overlap", 5),  # cached bitmap + pair join + sizes
+        ("q147_bitmap_audience_overlap", 6),  # +1 r10: word pair join pinned SHJ
         ("q148_funnel_pattern_matches", 2),  # one CEP window + count agg
         ("q149_time_weighted_value", 2),   # one interval window + user agg
         ("q150_ks_length_drift", 7),   # counts/vals/srcs aggs + 2 cum windows
@@ -230,10 +245,12 @@ def _n_exchanges(plan: str) -> int:
         ("q168_ann_recall_audit", 4),      # 2 methods x (count + hit count)
         # composes the full q22 + q23 pipelines (intrinsic: the audit
         # compares two independent methods) + the tiny hit join
-        ("q169_dedup_candidate_audit", 22),
+        # r10: 22 -> 5 — both pair sets materialize (ExistingRDD
+        # children) and the hit join is pinned shuffle-hash
+        ("q169_dedup_candidate_audit", 5),
         ("q170_band_revenue", 2),          # band agg + final sort (part bcast)
         ("q171_returned_item_customers", 1),  # orderkey join + TakeOrdered
-        ("q172_source_vocab_jaccard", 8),  # distinct + token join + sizes joins
+        ("q172_source_vocab_jaccard", 10),  # +2 r10: token self-join pinned SHJ
         ("q173_cohort_ltv_curves", 7),   # firsts + cells 2-phase distinct + cum
         ("q174_temporal_lookup_join", 2),  # SCD2 window + user-key range join
         ("q175_brand_discount_qty_corr", 2),  # one moment agg + sort (part bcast)
@@ -255,7 +272,7 @@ def _n_exchanges(plan: str) -> int:
         ("q191_important_parts", 4),  # part agg + 1-row total + threshold + sort
         ("q192_dominant_suppliers", 4),  # (part,supp) agg reused by window + agg
         ("q193_late_priority_split", 2),  # orderkey join + quarter CASE agg
-        ("q194_source_tv_distance", 14),  # token counts both sides + pair agg
+        ("q194_source_tv_distance", 16),  # +2 r10: token self-join pinned SHJ
         ("q195_token_fertility", 2),  # one lang agg + sort, zero joins
         ("q196_mixing_apportionment", 2),  # source agg + #sources-row windows
         # 2 LPA vote rounds over persisted edges; +1 slack: the vote join
@@ -290,7 +307,7 @@ def _n_exchanges(plan: str) -> int:
         ("q220_negative_samples", 3),  # anchor TakeOrdered + per-anchor window
         ("q221_truncation_planner", 2),  # in-row grid explode; one agg + sort
         # composes the full q34 LSH+verify pipeline (intrinsic) + 10-row window
-        ("q222_dedup_threshold_sweep", 10),
+        ("q222_dedup_threshold_sweep", 12),  # +2 r10: verify joins pinned SHJ
         ("q223_watermark_planner", 2),  # one type window + tiny bucket windows
         ("q224_join_strategy_advisor", 7),  # 7 independent 1-row table folds
         ("q225_write_size_planner", 2),  # one source agg + sort
@@ -298,10 +315,12 @@ def _n_exchanges(plan: str) -> int:
         ("q227_hopping_windows", 2),  # in-row 2-hop explode; one cell agg + sort
         # persisted (lang,token) count table; the formatted plan reprints the
         # cached child's exchanges at each of its four scans
-        ("q228_distinctive_terms", 13),
+        # r10: 13 -> 7 — tok_tot join pinned shuffle-hash (vocab-scaled
+        # build); the cached count table no longer reprints per scan
+        ("q228_distinctive_terms", 7),
         # persisted doc-grain flag table consumed 3x by bucketed_global_rank
         # (same reprint effect; executed cost is one build + tiny windows)
-        ("q229_quality_dup_calibration", 18),
+        ("q229_quality_dup_calibration", 7),  # r10: 18 -> 7 (gsz pinned SHJ)
         # rounds materialize via localCheckpoint (ExistingRDD children);
         # the visible plan is the final assign + cell agg + sort
         ("q233_kmeans_iterated", 3),
@@ -326,7 +345,7 @@ def _n_exchanges(plan: str) -> int:
         ("q238_filter_agreement", 2),   # ONE 1-row aggregate + 3-row unpivot sort
         ("q239_growth_accounting", 8),  # distinct + ONE user window + single census agg
         ("q240_order_reconciliation", 6),  # order-keyed lineitem agg + join + census
-        ("q241_embedding_audit", 6),    # quantize + array-keyed count + label census
+        ("q241_embedding_audit", 4),    # r10 tightened: count join pinned SHJ
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
