@@ -363,6 +363,40 @@ def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges})\n{plan}"
 
 
+# The queries whose fatal-class flags were pinned/restructured in r10 —
+# the regression canaries for the estimate-built-broadcast audit. The
+# full 241-query audit lives in tools/plan_audit.py (round-close gate);
+# this test keeps the riskiest plans honest inside the suite.
+ESTBHJ_CANARIES = [
+    "q123_setsim_prefix_join",   # candidate self-join statically broadcast pre-pin
+    "q120_copurchase_triangles", # degree/adjacency joins
+    "q110_doc_surprisal",        # planner picked the EXPLODED token stream as build
+    "q94_duplicated_spans",      # per-doc hits over span-explode lineage
+    "q95_tfidf_cosine_pairs",    # norm joins over posting explode
+    "q74_incremental_dedup",     # store cap/probe joins
+    "q66_minhash_estimate",      # signature joins over materialized sigs
+]
+
+
+@pytest.mark.parametrize("name", ESTBHJ_CANARIES)
+def test_no_fatal_estimate_built_broadcast(spark, sf_dir, name):
+    """No BroadcastExchange build may ride a fanout-blind estimate over
+    Generate/ExistingRDD lineage (the q235 x100 abort class) — see
+    tools/plan_audit.py for the classifier and PLAN_AUDIT.md for the
+    fleet-wide dispositions."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import DISPOSITIONS, estimate_built_broadcasts
+
+    spark.catalog.clearCache()
+    fn, _ = QUERIES[name]
+    fatal, _, _ = estimate_built_broadcasts(
+        _plan(fn(spark, sf_dir)), DISPOSITIONS.get(name)
+    )
+    assert not fatal, f"{name}: fatal estimate-built broadcast(s): {fatal}"
+
+
 def test_q179_pushes_every_predicate(spark, sf_dir):
     """The Q6 shape is the pushdown benchmark: date range, discount band,
     and quantity cap must all reach the parquet scan."""

@@ -29,7 +29,18 @@ def main() -> int:
     from hadoop_jobanalyzer_spark.session import get_spark
     from tests.oracle_utils import compare, duck_connect
 
-    spark = get_spark()
+    # local-mode executors share the driver JVM, and get_spark() sets no
+    # driver.memory — Spark's 1g default carried the sf0.01 gate for nine
+    # rounds but OOM'd the sf0.1 graph family mid-sweep (r10: q197 died
+    # after five accumulated measurements, clean in a fresh session).
+    # Mirror bench.py's env contract.
+    import os
+
+    spark = get_spark(
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g")
+        }
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
 
@@ -39,9 +50,25 @@ def main() -> int:
     names = [
         n for n in sorted(registry.QUERIES) if not prefixes or n.startswith(prefixes)
     ]
+    def release_between_queries() -> None:
+        """Cache/GC hygiene between measurements (the scale10 discipline):
+        prior queries' localCheckpoint blocks release only when their
+        frames are GC'd — left to chance, the accumulation OOM'd the
+        sf0.1 graph family (r10)."""
+        import gc
+
+        from hadoop_jobanalyzer_spark.plans.pipeline_queries import release_corpus_dedup
+        from hadoop_jobanalyzer_spark.plans.sketch_queries import release_copurchase_edges
+
+        release_corpus_dedup(spark)
+        release_copurchase_edges(spark)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     failed: list[str] = []
     t_all = time.time()
     for name in names:
+        release_between_queries()
         fn, _ = registry.QUERIES[name]
         sql = oracles.get(name)
         t0 = time.time()

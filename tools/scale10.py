@@ -125,7 +125,12 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    # x10 needs 24g (GC-locker block evictions at 8g — SCALE.md); the
+    # x100 sweep's cumulative regime wants more headroom still (r10:
+    # a mid-sweep shuffle-write OOM at 24g that never reproduced solo)
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEM", "40g" if args.factor >= 100 else "24g"
+    )
     import bench  # session config identical to the bench harness (heap aside)
 
     spark = bench.build_session()
@@ -158,11 +163,27 @@ def main() -> int:
 
         release_corpus_dedup(spark)
         release_copurchase_edges(spark)
+        # Prior measurements' localCheckpoint blocks release only when the
+        # ContextCleaner sees their frames GC'd — at x100, letting them
+        # linger stacked enough storage pressure to OOM a later query's
+        # shuffle write (r10: q197 died mid-sweep twice, GC-locker
+        # warning first, but ran CLEAN solo at 210 s best-of-2). Force
+        # the release between measurements: drop Python refs, then ask
+        # the JVM to collect so the cleaner queue drains NOW.
+        import gc
 
-    def best_of(fn, sf_dir: str) -> float:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    def best_of(fn, sf_dir: str, name: str = "?") -> float:
         release_session_caches()
         ts = []
-        for _ in range(max(args.runs, 1)):
+        for i in range(max(args.runs, 1)):
+            # progress to stderr BEFORE each run: when a measurement
+            # kills the JVM (x100 OOM), the log must say which query did
+            # it (r10 lesson — two crashed sweeps were unattributable)
+            print(f"[scale10] {name} run {i + 1}/{args.runs} @ {sf_dir}",
+                  file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - t0)
@@ -186,8 +207,8 @@ def main() -> int:
     bad = []
     for name in names:
         fn = qs[name]
-        t_base = best_of(fn, args.src)
-        t_scaled = best_of(fn, args.out)
+        t_base = best_of(fn, args.src, name)
+        t_scaled = best_of(fn, args.out, name)
         slope = t_scaled / t_base if t_base > 0 else float("inf")
         print(json.dumps({
             "query": name,
