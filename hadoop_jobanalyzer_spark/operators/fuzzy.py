@@ -66,12 +66,22 @@ def blocked_levenshtein_pairs(
     b = keyed.select(
         F.col("_blk"), F.col(id_col).alias("id_b"), F.col("_pfx").alias("_pfx_b")
     )
+    if max_block is not None:
+        # CAPPED, the build side is TRULY bounded by construction:
+        # <= |block-key domain| x max_block rows at any corpus scale
+        # (over-cap blocks drop whole before the join), so the broadcast
+        # is asserted explicitly — dispositioned in tools/plan_audit.py.
+        # The r10 shuffle-hash pin tried here first measured 3.9x slower
+        # at sf0.1 for zero scale benefit; bound-backed broadcasts stay.
+        b = F.broadcast(b)
+    else:
+        # UNCAPPED, per-block cardinality densifies linearly with the
+        # corpus and the materialized table's copied estimate is not a
+        # real size — the q235 runtime-broadcast abort class (r10 audit):
+        # pin shuffle-hash.
+        b = b.hint("shuffle_hash")
     return (
-        # pinned shuffle-hash: both self-join sides are the corpus-scaled
-        # (capped, still linear-densifying) block table whose materialized
-        # copied estimate is not a real size — the q235 runtime-broadcast
-        # abort class (r10 audit)
-        a.join(b.hint("shuffle_hash"), "_blk")
+        a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
         # levenshtein's optional threshold arg short-circuits rows whose
         # distance exceeds max_dist (returns -1) instead of filling the

@@ -16,14 +16,24 @@ micro-batch overwrites exactly its own partitions and never duplicates.
 The stream never appends to the bucketed snapshot tables directly —
 `saveAsTable(mode="append")` is NOT idempotent under micro-batch replay.
 
-Two replay subtleties this module gets right (both pinned by
+Three replay subtleties this module gets right (all pinned by
 tests/test_corpus_ingest_stream.py):
 
 - **A replayed batch must not dedup against its own half-written
   output.** The delta read inside the batch function prunes
-  ``_batch_id >= current`` (partition-column filter, so pruning happens
-  at file listing), otherwise a crash-then-replay of batch N would see
-  N's own docs in the delta and drop the whole batch as self-duplicates.
+  ``_batch_id >= current`` at the PATH level (the partition directories
+  are never listed into the read), otherwise a crash-then-replay of
+  batch N would see N's own docs in the delta and drop the whole batch
+  as self-duplicates.
+- **A replayed batch must not let its predecessor's torn files poison
+  the delta read.** An abrupt kill mid-write leaves corrupt parquet
+  under the killed batch's own partition; a whole-directory read then
+  throws during schema inference, and treating that as "no delta yet"
+  (the pre-r10 behavior) silently deduped the replay against the base
+  only — duplicates of delta docs sailed through. Path-level pruning
+  excludes exactly the torn partitions (they always belong to batch ids
+  >= the replaying batch), and any residual read error now FAILS the
+  micro-batch — replay-safe — instead of corrupting decisions.
 - **Compaction is idempotent, not transactional.** It appends
   delta-minus-base (a doc_id anti-join, bucket-co-located on both sides)
   into the base tables, refreshes the manifest, then clears the delta.
@@ -57,27 +67,49 @@ def _delta_path(root: str, kind: str) -> str:
     return os.path.join(root, "ingest_delta", kind)
 
 
-def _read_delta(spark: SparkSession, root: str, kind: str) -> DataFrame | None:
+def _read_delta(
+    spark: SparkSession, root: str, kind: str, before_batch: int | None = None
+) -> DataFrame | None:
     """Delta frame for ``kind`` (with its ``_batch_id`` partition column),
-    or None when no batch has landed yet.
+    or None when no qualifying batch partition has landed yet.
+
+    ``before_batch`` selects partitions with ``_batch_id < before_batch``
+    AT THE PATH LEVEL, not as a post-read filter. That distinction is the
+    r10 kill-soak fix: an abruptly killed batch N leaves TORN parquet
+    under its own ``_batch_id=N`` directory, and a whole-directory read
+    on replay then throws while inferring schema from the corrupt
+    footers — before r10 that exception was swallowed as "no delta yet",
+    so the replayed batch silently deduped against the BASE ONLY and
+    KEPT duplicates of earlier-delta docs (observed: one copy shard
+    retained, zero recorded hits, ~1-in-2 soak runs). Torn files can
+    only exist in partitions of batches that never completed
+    ``foreachBatch`` — ids >= the replaying batch — so path-pruning them
+    is exact, and the replay's own dynamic overwrite rewrites them.
 
     The listing is explicitly refreshed first: path reads share the
     session FileStatusCache, and a listing cached during an interrupted
-    write (abrupt stream kill) can outlive the write that later completes
-    the partition — observed once in the kill-soak as batch N+1 reading a
-    delta that was missing batch N's committed ``_batch_id=N`` directory
-    (state on disk was complete; only the cached listing was stale).
-    Every micro-batch must read its predecessors' partitions exactly, so
-    pay the fresh directory list here; the same refresh is what a
-    multi-writer shared-filesystem deployment needs anyway."""
+    write can outlive the write that later completes the partition
+    (observed in r9 as batch N+1 missing batch N's committed directory;
+    state on disk was complete, only the cached listing was stale).
+
+    Read errors now PROPAGATE: with torn-partition pruning in place, a
+    failure here means committed data is unreadable (or IO is flaking),
+    and failing the micro-batch is replay-safe while a silently wrong
+    dedup decision is permanent corpus corruption."""
     path = _delta_path(root, kind)
     if not os.path.isdir(path):
         return None
-    try:
-        spark.catalog.refreshByPath(path)
-        return spark.read.parquet(path)
-    except Exception:  # dir exists but holds no parquet yet
+    parts = []
+    for d in os.listdir(path):
+        if not d.startswith("_batch_id="):
+            continue
+        if before_batch is not None and int(d.split("=", 1)[1]) >= before_batch:
+            continue
+        parts.append(os.path.join(path, d))
+    if not parts:
         return None
+    spark.catalog.refreshByPath(path)
+    return spark.read.option("basePath", path).parquet(*sorted(parts))
 
 
 def make_ingest_batch(
@@ -117,7 +149,9 @@ def make_ingest_batch(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         base_sigs = spark.table(f"{prefix}_minhash_sigs")
-        delta_sigs = _read_delta(spark, root, "minhash_sigs")
+        # before_batch prunes self/torn partitions at the path level (see
+        # _read_delta); the residual filter is defense-in-depth only
+        delta_sigs = _read_delta(spark, root, "minhash_sigs", before_batch=batch_id)
         stored = base_sigs
         if delta_sigs is not None:
             stored = stored.unionByName(

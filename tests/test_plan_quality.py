@@ -162,9 +162,10 @@ def _n_exchanges(plan: str) -> int:
         # capped block table materialized once (Scan ExistingRDD child);
         # the remaining plan is the broadcast self-join + range sort —
         # a regression that re-duplicates the block-size agg fails here
-        # +1 r10: the block self-join is pinned shuffle-hash (the
-        # materialized table rides a copied estimate — q235 class)
-        ("q50_fuzzy_prefix_pairs", 3),
+        # capped block table materialized once; broadcast self-join is
+        # bound-backed (<= 30 blocks x 500 rows — dispositioned r10; the
+        # shuffle-hash pin tried first measured 3.9x slower at sf0.1)
+        ("q50_fuzzy_prefix_pairs", 2),
         # r10: probes stay broadcast (n_planes+1 rows), but the vector
         # pull-back is pinned shuffle-hash — candidates are a fixed
         # FRACTION of the corpus, never broadcastable at scale

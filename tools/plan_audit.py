@@ -95,6 +95,22 @@ _AGG_NODES = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
 # of counted fatal. Keep reasons concrete: what bounds the build, and why
 # a pin is wrong or impossible there.
 DISPOSITIONS: dict[str, list[tuple[str, str]]] = {
+    "q50_fuzzy_prefix_pairs": [
+        (
+            "Project>Scan ExistingRDD",
+            "the CAPPED block table: <= |lang x length-band domain (30)| "
+            "x max_block (500) rows at any corpus scale — over-cap blocks "
+            "drop whole before the self-join, so the broadcast bound is "
+            "structural, not an estimate (the r10 shuffle-hash pin "
+            "measured 3.9x slower at sf0.1 for zero scale benefit); the "
+            "uncapped variant pins shuffle-hash in code",
+        ),
+        (
+            "Project>Filter>Scan ExistingRDD",
+            "same capped block table (plan variant with a residual "
+            "not-null filter over the materialized scan)",
+        ),
+    ],
     "q233_kmeans_iterated": [
         (
             "Scan ExistingRDD",
