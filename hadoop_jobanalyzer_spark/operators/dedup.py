@@ -29,7 +29,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.functions.text import shingles, tokens
-from hadoop_jobanalyzer_spark.util import materialize, pair_structs as _pair_structs
+from hadoop_jobanalyzer_spark.util import (
+    materialize,
+    materialize_eager,
+    pair_structs as _pair_structs,
+)
 from hadoop_jobanalyzer_spark.util import spread
 
 # Universal-hash family over md5-derived 32-bit shingle hashes:
@@ -410,15 +414,66 @@ def simhash_near_dup_pairs(
     )
 
 
+# Max distinct (band, bh) keys a batch may touch before the incremental
+# path stops collecting them for scan pushdown. The touched set is already
+# broadcast (same driver-size class), so the cap guards the isin literal
+# list, not a new cost class; past it the broadcast semi-join alone filters
+# the store (correct either way — the pushdown is a pruning accelerant).
+TOUCHED_PUSHDOWN_CAP = 100_000
+
+
+def band_key(band: Column | str, bh: Column | str) -> Column:
+    """The single-column bucket key ``"<band>:<bh>"`` a persisted band
+    store is bucketed and sorted by. One column (not the (band, bh) pair)
+    because Spark prunes bucket files only for predicates on a SINGLE
+    bucket column, and the same string is what the incremental join pushes
+    down as an ``isin`` filter (`lsh_candidate_pairs_incremental`)."""
+    return F.concat_ws(":", F.col(band) if isinstance(band, str) else band,
+                       F.col(bh) if isinstance(bh, str) else bh)
+
+
+def banded_signatures(
+    sigs: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Explode a wide MinHash signature table (mh0..mhN-1) into the banded
+    store layout: one row per (doc, band) with the band hash ``bh`` and the
+    persisted bucket key ``bkey`` (`band_key`).
+
+    This is the ON-DISK shape of the incremental-dedup signature store:
+    persisting bands (instead of re-exploding the wide table every batch)
+    removes the per-batch corpus-wide Generate + concat work, and writing
+    it bucketed+sorted by ``bkey`` lets a batch's touched-bucket filter
+    prune bucket files and row groups at the scan — the store read becomes
+    O(touched buckets), not O(corpus) (`plans/snapshot.py` publishes it,
+    `streaming/corpus_ingest.py` consumes it per micro-batch).
+    """
+    rows = n_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        sigs.na.drop()
+        .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+        .select(id_col, "bb.band", "bb.bh", band_key("bb.band", "bb.bh").alias("bkey"))
+    )
+
+
 def lsh_candidate_pairs_incremental(
     new_df: DataFrame,
     id_col: str,
     text_col: str,
-    stored_sigs: DataFrame,
+    stored_sigs: DataFrame | None,
     n_hashes: int = 8,
     bands: int = 4,
     max_bucket: int | None = 1000,
     ngram: int = 3,
+    stored_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental ingest dedup: candidates for a NEW batch against an
     existing corpus whose MinHash signatures are already persisted.
@@ -430,10 +485,24 @@ def lsh_candidate_pairs_incremental(
     sustainable at ingest time: per batch, cost is O(batch) signature work
     plus a bucket-key join against the store.
 
+    ``stored_bands`` (preferred at scale) supplies the store PRE-BANDED in
+    the `banded_signatures` layout; ``stored_sigs`` is then ignored and may
+    be None. Two O(corpus) per-batch costs disappear: the store-side
+    explode/concat recompute, and — when the frame carries the persisted
+    ``bkey`` column — the full store scan itself: the batch's touched
+    bucket keys (batch-scaled by the ingest contract, capped at
+    ``TOUCHED_PUSHDOWN_CAP``) are pushed down as a ``bkey`` isin filter,
+    which prunes bucket files (single bucket column) and row groups
+    (bkey-sorted buckets) before any row reaches the join. The broadcast
+    touched semi-join stays in place behind it, so the pruned and unpruned
+    paths compute identical candidates.
+
     Returns (candidate_pairs, new_sigs); append ``new_sigs`` to the store
     after processing so the next batch sees this one.
     Output pairs: id_a < id_b, n_shared_bands.
     """
+    if stored_sigs is None and stored_bands is None:
+        raise ValueError("one of stored_sigs / stored_bands is required")
     rows = n_hashes // bands
     new_sigs = minhash_signatures(new_df, id_col, text_col, n_hashes, ngram).na.drop()
 
@@ -465,17 +534,53 @@ def lsh_candidate_pairs_incremental(
     # aggregate (corpus-scaled before r10) can no longer be picked as a
     # runtime broadcast off its fanout-blind explode-lineage estimate.
     # The remaining cap/probe joins are pinned shuffle-hash (both sides
-    # touched-scaled; the q235 doctrine — pin, don't estimate). One full
-    # store SCAN per batch remains — inherent until the signature store
-    # is bucketed by (band, bh) on disk.
+    # touched-scaled; the q235 doctrine — pin, don't estimate). With a
+    # wide ``stored_sigs`` store one full SCAN + explode per batch
+    # remains; the ``stored_bands`` path (bkey-bucketed store + touched
+    # isin pushdown) removes even that — see docstring.
     new_bands = banded(new_sigs, "new").transform(materialize)
     touched = new_bands.select("band", "bh").distinct()
+    pruned_scan = False
+    if stored_bands is not None:
+        old_bands = stored_bands
+        if "bkey" in old_bands.columns:
+            keys = [
+                r["k"]
+                for r in touched.select(band_key("band", "bh").alias("k"))
+                .limit(TOUCHED_PUSHDOWN_CAP + 1)
+                .collect()
+            ]
+            if len(keys) <= TOUCHED_PUSHDOWN_CAP:
+                old_bands = old_bands.filter(F.col("bkey").isin(keys))
+                pruned_scan = True
+        old_bands = old_bands.select(
+            F.col(id_col), "band", "bh", F.lit("old").alias("_src")
+        )
+    else:
+        old_bands = banded(stored_sigs.na.drop(), "old")
     all_bands = (
-        banded(stored_sigs.na.drop(), "old")
+        old_bands
         .unionByName(new_bands)
         .join(F.broadcast(touched), ["band", "bh"], "left_semi")
-        .transform(materialize)
     )
+    if pruned_scan:
+        # bucket-FILE pruning on the bkey isin only happens on a bucketed
+        # scan, and DisableUnnecessaryBucketedScan turns that off here
+        # (the downstream joins key on (band, bh), so bkey bucketing is
+        # "uninteresting" to the planner — measured: Bucketed: false,
+        # no SelectedBucketsCount). Pin the scan bucketed and evaluate
+        # EAGERLY inside the conf window (sinks.py's guard pattern;
+        # lazy materialize would execute after the conf is restored).
+        sess = new_df.sparkSession
+        conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prior = sess.conf.get(conf_key)
+        sess.conf.set(conf_key, "false")
+        try:
+            all_bands = all_bands.transform(materialize_eager)
+        finally:
+            sess.conf.set(conf_key, prior)
+    else:
+        all_bands = all_bands.transform(materialize)
     if max_bucket is not None:
         sized = all_bands.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
         all_bands = all_bands.join(

@@ -22,6 +22,15 @@ run) read them co-located with zero build cost:
   INGEST-TIME dedup O(batch) — a new batch computes signatures for
   itself only and band-joins against this table
   (``incremental_dedup_candidates``), never re-shingling the corpus
+- ``{prefix}_minhash_bands`` — the SAME signatures pre-exploded into the
+  banded store layout (`operators/dedup.banded_signatures`), bucketed
+  AND sorted by the single ``bkey`` column: the incremental band join
+  reads this instead of re-exploding the wide table every batch, and
+  the batch's touched-bucket isin pushdown prunes bucket files and row
+  groups — the per-batch store read is O(touched buckets), not
+  O(corpus). The wide table stays the doc-grain source of truth (it is
+  what appends/compaction key by doc_id); the bands table is its
+  derived join-optimized projection, appended in lockstep
 - ``{prefix}_embeddings`` — the doc-aligned embedding table, bucketed by
   ``vec_id`` with the SAME count as the doc-grain tables: ``vec_id``
   shares the ``doc_id`` domain, and bucket assignment hashes the VALUE,
@@ -63,8 +72,12 @@ def publish_corpus_snapshot(
     exactly once (the point of the exercise); at 100 TB this is the
     once-per-snapshot batch job every downstream pipeline amortizes.
     """
-    from hadoop_jobanalyzer_spark.operators.dedup import minhash_signatures
+    from hadoop_jobanalyzer_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures,
+    )
     from hadoop_jobanalyzer_spark.plans.pipeline_queries import (
+        _BANDS,
         _N_HASHES,
         write_dedup_clusters_bucketed,
         write_documents_bucketed,
@@ -81,6 +94,10 @@ def publish_corpus_snapshot(
         f"{prefix}_dedup_clusters": dict(bucket_by="doc_id", n_buckets=n_buckets),
         f"{prefix}_copurchase_edges": dict(bucket_by="src", n_buckets=n_buckets),
         f"{prefix}_minhash_sigs": dict(bucket_by="doc_id", n_buckets=n_buckets),
+        f"{prefix}_minhash_bands": dict(
+            bucket_by="bkey", n_buckets=n_buckets,
+            n_hashes=_N_HASHES, bands=_BANDS,
+        ),
         f"{prefix}_embeddings": dict(bucket_by="vec_id", n_buckets=n_buckets),
     }
     write_documents_bucketed(
@@ -106,6 +123,20 @@ def publish_corpus_snapshot(
         n_buckets,
         sort_cols=["doc_id"],
         path=os.path.join(root, "minhash_sigs"),
+    )
+    # the bands table derives from the just-written sigs TABLE (not the
+    # lazy signature plan) so the corpus-wide shingle/minhash subtree runs
+    # once, at the sigs write, and the band explode reads its output
+    write_bucketed(
+        banded_signatures(
+            spark.table(f"{prefix}_minhash_sigs"), "doc_id",
+            n_hashes=_N_HASHES, bands=_BANDS,
+        ),
+        f"{prefix}_minhash_bands",
+        ["bkey"],
+        n_buckets,
+        sort_cols=["bkey"],
+        path=os.path.join(root, "minhash_bands"),
     )
     write_bucketed(
         loaded["embeddings"],
@@ -150,10 +181,19 @@ def incremental_dedup_candidates(
     )
     from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES
 
-    stored = spark.table(f"{prefix}_minhash_sigs")
+    # prefer the pre-banded bkey-bucketed store (touched-bucket pushdown
+    # prunes the scan); fall back to the wide table for snapshots published
+    # before the bands table existed
+    stored_bands = (
+        spark.table(f"{prefix}_minhash_bands")
+        if spark.catalog.tableExists(f"{prefix}_minhash_bands")
+        else None
+    )
+    stored = None if stored_bands is not None else spark.table(f"{prefix}_minhash_sigs")
     return lsh_candidate_pairs_incremental(
         new_docs, "doc_id", "text", stored,
         n_hashes=_N_HASHES, bands=_BANDS, max_bucket=max_bucket, ngram=3,
+        stored_bands=stored_bands,
     )
 
 
@@ -222,11 +262,22 @@ def refresh_dedup_clusters_incremental(
         stats["rows"] = labels.count()
         return stats
 
-    sigs = spark.table(f"{prefix}_minhash_sigs")
-    stored_sigs = sigs.join(missing.select("doc_id"), "doc_id", "left_anti")
+    # exclude the missing docs from the store on BOTH layouts (they are
+    # the new batch; old x old is out of contract). The anti-join is
+    # batch-scaled on the right, and the bands path's bkey pushdown
+    # filter passes through it to the bucket-pruned scan.
+    if spark.catalog.tableExists(f"{prefix}_minhash_bands"):
+        stored_sigs, stored_bands = None, spark.table(
+            f"{prefix}_minhash_bands"
+        ).join(missing.select("doc_id"), "doc_id", "left_anti")
+    else:
+        stored_sigs, stored_bands = spark.table(f"{prefix}_minhash_sigs").join(
+            missing.select("doc_id"), "doc_id", "left_anti"
+        ), None
     cands, _ = lsh_candidate_pairs_incremental(
         missing, "doc_id", "text", stored_sigs,
         n_hashes=_N_HASHES, bands=_BANDS, max_bucket=max_bucket, ngram=3,
+        stored_bands=stored_bands,
     )
     cands = materialize_eager(cands.select("id_a", "id_b"))
     stats["candidates"] = cands.count()
@@ -323,12 +374,25 @@ def append_batch_to_snapshot(
     """
     with open(os.path.join(root, MANIFEST_NAME)) as fh:
         manifest = json.load(fh)
+    from hadoop_jobanalyzer_spark.operators.dedup import banded_signatures
     from hadoop_jobanalyzer_spark.sources.bucketed import write_bucketed
 
-    for name, df in (
+    targets = [
         (f"{prefix}_documents", new_docs),
         (f"{prefix}_minhash_sigs", new_sigs),
-    ):
+    ]
+    bands_name = f"{prefix}_minhash_bands"
+    if bands_name in manifest["tables"]:
+        # the bands projection appends in lockstep with the wide table
+        # (its banding config rides in the manifest entry)
+        spec = manifest["tables"][bands_name]
+        targets.append(
+            (bands_name, banded_signatures(
+                new_sigs, "doc_id",
+                n_hashes=spec["n_hashes"], bands=spec["bands"],
+            ))
+        )
+    for name, df in targets:
         spec = manifest["tables"][name]
         write_bucketed(
             df.select(spark.table(name).columns),

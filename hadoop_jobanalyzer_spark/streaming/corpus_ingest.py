@@ -43,7 +43,12 @@ tests/test_corpus_ingest_stream.py):
 
 Scale notes (100 TB regime): per batch, cost is O(batch) signature work
 plus a band-key join against the signature store — never a corpus
-re-shingle (`operators/dedup.lsh_candidate_pairs_incremental`). Band
+re-shingle (`operators/dedup.lsh_candidate_pairs_incremental`). When the
+snapshot publishes the pre-banded ``{prefix}_minhash_bands`` table
+(bkey-bucketed + sorted), the store side of that join is read through
+the batch's touched-bucket pushdown filter — bucket files and row
+groups that no batch document can collide with are never read, so the
+per-batch store READ is O(touched buckets) too, not a full scan. Band
 buckets are capped (``max_bucket``), so a pathological boilerplate band
 cannot quadratically explode a batch. Delta files accumulate one
 directory per micro-batch; compaction is the no-small-files backstop and
@@ -142,26 +147,44 @@ def make_ingest_batch(
     full publish is the corrector, per the snapshot layer's contract).
     """
     from hadoop_jobanalyzer_spark.operators.dedup import (
+        banded_signatures,
         lsh_candidate_pairs_incremental,
     )
     from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        base_sigs = spark.table(f"{prefix}_minhash_sigs")
         # before_batch prunes self/torn partitions at the path level (see
         # _read_delta); the residual filter is defense-in-depth only
         delta_sigs = _read_delta(spark, root, "minhash_sigs", before_batch=batch_id)
-        stored = base_sigs
         if delta_sigs is not None:
-            stored = stored.unionByName(
-                delta_sigs.filter(F.col("_batch_id") < batch_id)
-                .select(base_sigs.columns)
-            )
+            delta_sigs = delta_sigs.filter(F.col("_batch_id") < batch_id)
+
+        stored_sigs = stored_bands = None
+        if spark.catalog.tableExists(f"{prefix}_minhash_bands"):
+            # pre-banded bkey-bucketed store: the touched-bucket pushdown
+            # prunes the base scan; the (delta-scaled) delta sigs are
+            # banded here — the filter pushes through the union to the
+            # base side, and the delta side is small by the compaction
+            # cadence contract
+            stored_bands = spark.table(f"{prefix}_minhash_bands")
+            if delta_sigs is not None:
+                stored_bands = stored_bands.unionByName(
+                    banded_signatures(
+                        delta_sigs, "doc_id", n_hashes=_N_HASHES, bands=_BANDS
+                    )
+                )
+        else:
+            stored_sigs = spark.table(f"{prefix}_minhash_sigs")
+            if delta_sigs is not None:
+                stored_sigs = stored_sigs.unionByName(
+                    delta_sigs.select(stored_sigs.columns)
+                )
 
         pairs, new_sigs = lsh_candidate_pairs_incremental(
-            batch_df, "doc_id", "text", stored,
+            batch_df, "doc_id", "text", stored_sigs,
             n_hashes=_N_HASHES, bands=_BANDS, max_bucket=max_bucket, ngram=3,
+            stored_bands=stored_bands,
         )
         new_ids = batch_df.select("doc_id")
         flagged = (

@@ -39,8 +39,15 @@ def test_publish_writes_manifest_and_tables(spark, snapshot):
     assert os.path.exists(os.path.join(root, MANIFEST_NAME))
     assert set(manifest["tables"]) == {
         "t7_documents", "t7_dedup_clusters", "t7_copurchase_edges",
-        "t7_minhash_sigs", "t7_embeddings",
+        "t7_minhash_sigs", "t7_minhash_bands", "t7_embeddings",
     }
+    # the banded store is the sigs table exploded: bands rows per doc
+    # (minus docs with null signatures), and its manifest entry records
+    # the banding config appends must reproduce
+    bands_spec = manifest["tables"]["t7_minhash_bands"]
+    assert bands_spec["bucket_by"] == "bkey"
+    n_sig = spark.table("t7_minhash_sigs").na.drop().count()
+    assert bands_spec["rows"] == n_sig * bands_spec["bands"]
     # doc-grain tables share the bucket spec (the co-location contract)
     docs_spec = manifest["tables"]["t7_documents"]
     cl_spec = manifest["tables"]["t7_dedup_clusters"]
@@ -56,7 +63,7 @@ def test_read_snapshot_serves_consumers(spark, snapshot):
     t = read_corpus_snapshot(spark, root, prefix="t7")
     assert set(t) == {
         "documents", "dedup_clusters", "copurchase_edges", "minhash_sigs",
-        "embeddings",
+        "minhash_bands", "embeddings",
     }
 
     # doc<->embedding join is co-located despite the differing key names:
@@ -140,6 +147,48 @@ def test_incremental_ingest_flow(spark, snapshot):
     for r in base:
         key = (r["doc_id"], r["doc_id"] + offset)
         assert got.get(key) == _BANDS, f"exact copy {key} not fully banded: {got.get(key)}"
+
+    # the pre-banded bkey store path (what incremental_dedup_candidates
+    # just used) must compute exactly the wide-store path's candidates
+    from hadoop_jobanalyzer_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+    )
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _N_HASHES
+
+    wide_pairs, _ = lsh_candidate_pairs_incremental(
+        batch, "doc_id", "text", spark.table("t7_minhash_sigs"),
+        n_hashes=_N_HASHES, bands=_BANDS,
+    )
+    assert sorted(map(tuple, wide_pairs.collect())) == sorted(
+        (k[0], k[1], v) for k, v in got.items()
+    )
+
+    # and the touched-bucket pushdown actually prunes the store scan
+    # under the operator's pinned regime (autoBucketedScan off for the
+    # eager store read — the planner otherwise drops the bucketed scan
+    # for this shape and bucket-file pruning with it): an isin on the
+    # single bucket column selects a strict subset of bucket files and
+    # reaches the parquet reader as a pushed filter
+    sample_keys = [
+        r["bkey"] for r in spark.table("t7_minhash_bands").limit(2).collect()
+    ]
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        scan_plan = (
+            spark.table("t7_minhash_bands")
+            .filter(F.col("bkey").isin(sample_keys))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set(conf_key, prior)
+    assert "SelectedBucketsCount" in scan_plan, scan_plan
+    n_sel = int(
+        scan_plan.split("SelectedBucketsCount: ")[1].split(" out of")[0]
+    )
+    assert n_sel < manifest["tables"]["t7_minhash_bands"]["n_buckets"]
+    assert "bkey" in scan_plan.split("PushedFilters: ")[1].split("]")[0]
 
     m2 = append_batch_to_snapshot(spark, root, batch, new_sigs, prefix="t7")
     assert m2["tables"]["t7_documents"]["rows"] == n_docs + 20
@@ -459,6 +508,14 @@ def test_full_lakehouse_loop(spark, tmp_path):
         assert t["documents"].count() == n_docs + 2
         assert t["documents"].filter("doc_id = 92000000").count() == 1
         assert t["minhash_sigs"].count() == n_docs + 2
+        # the banded projection stayed in lockstep through ingest fold-in,
+        # copy-compaction, and vacuum
+        from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS
+
+        assert (
+            t["minhash_bands"].count()
+            == t["minhash_sigs"].na.drop().count() * _BANDS
+        )
     finally:
         for t in spark.catalog.listTables():
             if t.name.startswith("lh_"):
