@@ -57,17 +57,34 @@ def connected_components(
     labels = universe.select(F.col(id_col), F.col(id_col).alias("component"))
     labels = labels.transform(materialize_eager)
 
+    # Every join in the round is pinned shuffle-hash: edges and labels
+    # are both corpus-scaled, and both are materialized frames whose
+    # LogicalRDD COPIES the original plan's size estimate (r10 finding)
+    # — an unhinted round let the planner statically broadcast the edge
+    # table on one round and the full label-update subplan on another
+    # (seen at sf0.001 by the interior-plan audit; the q235 x100 abort
+    # class). SHJ builds per-partition tables on the narrow build side
+    # and needs no stats to be right at any scale.
     for _ in range(max_iter):
         # 1 shuffle: min label over direct neighbors
         neigh = (
-            sym.join(labels.select(F.col(id_col).alias("_b"), "component"), "_b")
+            sym.join(
+                labels.select(F.col(id_col).alias("_b"), "component").hint(
+                    "shuffle_hash"
+                ),
+                "_b",
+            )
             .groupBy("_a")
             .agg(F.min("component").alias("_nmin"))
         )
         # the pre-round label rides along as _old so convergence needs no
         # extra join against the previous table
         stepped = (
-            labels.join(neigh.withColumnRenamed("_a", id_col), id_col, "left")
+            labels.join(
+                neigh.withColumnRenamed("_a", id_col).hint("shuffle_hash"),
+                id_col,
+                "left",
+            )
             .select(
                 F.col(id_col),
                 F.least(F.col("component"), F.coalesce("_nmin", "component")).alias(
@@ -83,7 +100,7 @@ def connected_components(
             .join(
                 stepped.select(
                     F.col(id_col).alias("_lid"), F.col("component").alias("_lcomp")
-                ),
+                ).hint("shuffle_hash"),
                 F.col("x.component") == F.col("_lid"),
             )
             .select(
@@ -357,16 +374,24 @@ def pagerank_fixed(
     base = int(0.15 * scale)  # floor(0.15 * 2^20) = 157286
 
     ranks = deg.select("v", F.lit(scale).cast("long").alias("r"))
+    # every loop join is pinned shuffle-hash: ranks/deg/contrib/sums are
+    # all corpus-scaled (one row per node) and ride size estimates COPIED
+    # from the materialized edge frame, compounding across the unrolled
+    # rounds — an estimate that dips under the broadcast threshold at
+    # some scale is the q235 x100 abort class (a runtime broadcast of a
+    # per-node table). SHJ needs no stats, reuses sym's _a-hash layout
+    # (only the contrib side exchanges), and drops the per-round sorts
+    # the unhinted plan ran at test SF.
     for _ in range(iters):
-        contrib = ranks.join(deg, "v").select(
+        contrib = ranks.join(deg.hint("shuffle_hash"), "v").select(
             "v", F.floor(F.col("r") / F.col("d")).cast("long").alias("_c")
         )
         sums = (
-            sym.join(contrib, F.col("_a") == F.col("v"))
+            sym.join(contrib.hint("shuffle_hash"), F.col("_a") == F.col("v"))
             .groupBy(F.col("_b").alias("v"))
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = deg.join(sums, "v", "left").select(
+        ranks = deg.join(sums.hint("shuffle_hash"), "v", "left").select(
             "v",
             (
                 F.lit(base)
@@ -415,9 +440,14 @@ def label_propagation(
     labels = sym.select(F.col("_a").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
+    # the vote join is pinned shuffle-hash: labels is corpus-scaled (one
+    # row per node) over the materialized edge frame's copied estimate —
+    # pin, don't trust a near-threshold estimate (the q235 doctrine; see
+    # pagerank_fixed above). sym's _a-hash layout is reused, so only the
+    # label side exchanges per round.
     for _ in range(rounds):
         votes = (
-            sym.join(labels, F.col("_a") == F.col("v"))
+            sym.join(labels.hint("shuffle_hash"), F.col("_a") == F.col("v"))
             .groupBy(F.col("_b").alias("v"), "label")
             .agg(F.count("*").alias("_n"))
         )

@@ -251,12 +251,20 @@ def prefix_filter_containment_pairs(
 
     # the ranked token relation feeds the prefix side, the full-token
     # probe side (which needs rk_b for the positional filter), and is
-    # the one df-join + window pass — materialize it once
+    # the one df-join + window pass — materialize it once. Both
+    # annotation joins are pinned shuffle-hash with the aggregate as the
+    # build, same as the Jaccard variant: dfreq (vocabulary-scaled) and
+    # sizes (doc-scaled) are estimates over corpus lineage, so an
+    # unhinted plan can statically broadcast them — the q235 x100 abort
+    # class. These joins execute INSIDE this materialization, so only
+    # the interior-plan audit (tools/plan_audit.py, r10) can see them —
+    # which is exactly how this unpinned pair was caught after the
+    # top-level audit came back clean.
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     ordered = (
-        sh.join(dfreq, "s")
+        sh.join(dfreq.hint("shuffle_hash"), "s")
         .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .join(sizes.hint("shuffle_hash"), "doc_id")
         .select("doc_id", "s", "n", "_rk")
         .transform(materialize)
     )

@@ -49,7 +49,7 @@ from hadoop_jobanalyzer_spark.operators.similarity import (
 )
 from hadoop_jobanalyzer_spark.functions.vectors import hyperplanes
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
-from hadoop_jobanalyzer_spark.util import spread
+from hadoop_jobanalyzer_spark.util import capture_plan, spread
 
 _WORDS = "string_split(text, ' ')"
 
@@ -198,7 +198,9 @@ def corpus_dedup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
         pairs = near_dup_pairs(
             docs, "doc_id", "text",
             n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
-        ).persist()
+        )
+        capture_plan(pairs)  # persist hides the build plan from consumers
+        pairs = pairs.persist()
         cc = connected_components(
             pairs.select("id_a", "id_b"), src="id_a", dst="id_b",
             nodes=docs.select(F.col("doc_id").alias("id")), id_col="id",

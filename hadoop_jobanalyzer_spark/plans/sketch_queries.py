@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
-from hadoop_jobanalyzer_spark.util import materialize
+from hadoop_jobanalyzer_spark.util import capture_plan, materialize
 
 # portable 60-bit md5 hash, SQL form (the Spark form is
 # operators.sketches.portable_hash60)
@@ -118,7 +118,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized edge table a graph workload would maintain."""
     per = _EDGE_CACHE.setdefault(spark, {})
     if sf_dir not in per:
-        per[sf_dir] = _build_copurchase_edges(spark, sf_dir).persist()
+        built = _build_copurchase_edges(spark, sf_dir)
+        capture_plan(built)  # persist hides the build plan from consumers
+        per[sf_dir] = built.persist()
     return per[sf_dir]
 
 

@@ -6,6 +6,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Interior-plan capture for the fleet plan audit. A checkpointed frame
+# prints as `Scan ExistingRDD` (and a persisted one as InMemoryTableScan)
+# in every downstream explain, so joins INTERIOR to a materialization are
+# invisible to an `.explain()` on a query's final frame — the r10 audit's
+# documented blind spot. tools/plan_audit.py (and the plan-quality
+# canaries) set PLAN_CAPTURE to a list while constructing a query; every
+# frame the engine materializes or session-caches then appends its
+# formatted physical plan here for the same fatal-broadcast/cartesian
+# classification the top-level plan gets. None (the default) costs one
+# `is not None` check per materialize call.
+PLAN_CAPTURE: list[str] | None = None
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """``df.explain("formatted")`` as a string (no stdout redirection)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def capture_plan(df: DataFrame) -> None:
+    """Record ``df``'s physical plan if an audit capture is active."""
+    if PLAN_CAPTURE is not None:
+        PLAN_CAPTURE.append(formatted_plan(df))
+
+
 def pair_structs(ids: Column) -> Column:
     """All (id_a < id_b) pairs from a sorted id array — in-bucket candidate
     generation for LSH/inverted-index dedup. O(|bucket|^2) by design; callers
@@ -99,6 +125,7 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     plan, so downstream shuffle budgets (tests/test_plan_quality.py) are
     unaffected.
     """
+    capture_plan(df)  # the plan a checkpoint would otherwise hide for good
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         # skip the wrap when the caller already persisted the frame: the

@@ -374,28 +374,49 @@ ESTBHJ_CANARIES = [
     "q110_doc_surprisal",        # planner picked the EXPLODED token stream as build
     "q94_duplicated_spans",      # per-doc hits over span-explode lineage
     "q95_tfidf_cosine_pairs",    # norm joins over posting explode
-    "q74_incremental_dedup",     # store cap/probe joins
+    "q74_incremental_dedup",     # store cap/probe joins (interior: touched bcast)
     "q66_minhash_estimate",      # signature joins over materialized sigs
+    # interior-capture canaries (r10 blind-spot closure): their fatal
+    # sites lived INSIDE a materialize()/persist and were invisible to a
+    # top-level explain until util.PLAN_CAPTURE
+    "q235_containment_pairs",    # unpinned dfreq/sizes joins inside the ranked build
+    "q204_dedup_token_savings",  # CC-round edge/label broadcasts (corpus_dedup cache)
+    "q233_kmeans_iterated",      # k x d centroid aggregate (dispositioned)
 ]
 
 
 @pytest.mark.parametrize("name", ESTBHJ_CANARIES)
 def test_no_fatal_estimate_built_broadcast(spark, sf_dir, name):
     """No BroadcastExchange build may ride a fanout-blind estimate over
-    Generate/ExistingRDD lineage (the q235 x100 abort class) — see
-    tools/plan_audit.py for the classifier and PLAN_AUDIT.md for the
+    Generate/ExistingRDD lineage (the q235 x100 abort class) — neither in
+    the query's top-level plan nor in any plan materialized or
+    session-cached while constructing it (util.PLAN_CAPTURE; joins
+    interior to a checkpoint execute during materialization and print as
+    `Scan ExistingRDD` downstream, so only the capture can audit them).
+    See tools/plan_audit.py for the classifier and PLAN_AUDIT.md for the
     fleet-wide dispositions."""
     import sys
 
     sys.path.insert(0, ".")
-    from tools.plan_audit import DISPOSITIONS, estimate_built_broadcasts
+    import hadoop_jobanalyzer_spark.util as util
+    from tools.plan_audit import (
+        DISPOSITIONS,
+        audit_interior_plans,
+        estimate_built_broadcasts,
+    )
 
     spark.catalog.clearCache()
     fn, _ = QUERIES[name]
-    fatal, _, _ = estimate_built_broadcasts(
-        _plan(fn(spark, sf_dir)), DISPOSITIONS.get(name)
-    )
+    util.PLAN_CAPTURE = interior = []
+    try:
+        df = fn(spark, sf_dir)
+    finally:
+        util.PLAN_CAPTURE = None
+    fatal, _, _ = estimate_built_broadcasts(_plan(df), DISPOSITIONS.get(name))
     assert not fatal, f"{name}: fatal estimate-built broadcast(s): {fatal}"
+    i_fatal, _, _, i_cart = audit_interior_plans(interior, DISPOSITIONS.get(name))
+    assert not i_fatal, f"{name}: fatal interior site(s): {i_fatal}"
+    assert i_cart == 0, f"{name}: cartesian product in an interior plan"
 
 
 def test_q179_pushes_every_predicate(spark, sf_dir):

@@ -118,7 +118,26 @@ DISPOSITIONS: dict[str, list[tuple[str, str]]] = {
             "the Lloyd assignment is a cross join where broadcast is the "
             "only non-cartesian strategy, and k bounds the build at any "
             "corpus scale",
-        )
+        ),
+        (
+            "HashAggregate>Exchange>HashAggregate>Generate>Project",
+            "the Lloyd centroid-recompute aggregate keyed by (cell, dim): "
+            "cell is the assignment id (< k=8 by contract) and dim the "
+            "fixed embedding dimensionality, so the build is k x d rows "
+            "at any corpus scale — bounded in truth, like the centroid "
+            "cross-join above (interior to the per-round materialize)",
+        ),
+    ],
+    "q74_incremental_dedup": [
+        (
+            "HashAggregate>Exchange>HashAggregate>Project>Scan ExistingRDD",
+            "the NEW batch's touched-bucket set (distinct (band, bh) over "
+            "the materialized new-batch bands) — batch-scaled by the "
+            "ingest contract, broadcast deliberately (F.broadcast in "
+            "dedup.lsh_candidate_pairs_incremental) to semi-join the "
+            "store without shuffling it; the corpus-scaled cap/probe "
+            "joins around it are pinned shuffle-hash",
+        ),
     ],
 }
 
@@ -252,9 +271,30 @@ def estimate_built_broadcasts(
     return fatal, okayed, linear
 
 
+def audit_interior_plans(
+    plans: list[str], dispositions: list[tuple[str, str]] | None = None
+) -> tuple[list[str], list[str], int, int]:
+    """Classify the plans captured from util.materialize()/session-cache
+    sites while a query was constructed (util.PLAN_CAPTURE): joins
+    INTERIOR to a checkpoint execute during materialization, print as
+    `Scan ExistingRDD` leaves downstream, and are invisible to an
+    explain of the query's final frame — the r10 audit's documented
+    blind spot, closed here. Returns (fatal_sites, dispositioned_sites,
+    n_linear, n_cartesian) aggregated over all interior plans."""
+    fatal, okayed, linear, cart = [], [], 0, 0
+    for k, p in enumerate(plans):
+        f, o, n_lin = estimate_built_broadcasts(p, dispositions)
+        fatal += [f"[interior {k}] {s}" for s in f]
+        okayed += [f"[interior {k}] {s}" for s in o]
+        linear += n_lin
+        cart += len(re.findall(r"CartesianProduct", p))
+    return fatal, okayed, linear, cart
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
+    import hadoop_jobanalyzer_spark.util as _util
     from hadoop_jobanalyzer_spark.plans.registry import QUERIES
     from hadoop_jobanalyzer_spark.session import get_spark
 
@@ -274,20 +314,32 @@ def main() -> int:
         "has no fanout term — the q235 x100 abort class; must be 0 or",
         "pinned), EstLin (benign linear-tracking estimate builds over raw",
         "parquet — safe as a class, dispositioned in the hand-written",
-        "section below).",
+        "section below), Int (interior plans captured from",
+        "materialize()/session-cache sites during query construction —",
+        "these execute inside a checkpoint and print as `Scan ExistingRDD`",
+        "downstream, so only this capture can audit them; cache builds",
+        "attribute to their first consumer in sorted order), IntEstBHJ",
+        "(fatal-class sites inside those interior plans; must be 0 or",
+        "dispositioned; interior cartesians fold into the Cartesian",
+        "column).",
         "",
-        "| query | Exchanges | BHJ | SMJ | BNLJ | PushedScans | Cartesian | EstBHJ | EstLin |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | Exchanges | BHJ | SMJ | BNLJ | PushedScans | Cartesian | EstBHJ | EstLin | Int | IntEstBHJ |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     t0 = time.time()
-    totals = {"CartesianProduct": 0, "EstBHJ": 0, "EstLin": 0}
+    totals = {"CartesianProduct": 0, "EstBHJ": 0, "EstLin": 0, "IntEstBHJ": 0}
     est_sites: dict[str, list[str]] = {}
     for name in sorted(QUERIES):
         fn, _ = QUERIES[name]
         spark.catalog.clearCache()
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            fn(spark, sf_dir).explain("formatted")
+        _util.PLAN_CAPTURE = interior = []
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+        finally:
+            _util.PLAN_CAPTURE = None
         p = buf.getvalue()
         n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
         bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M))
@@ -296,16 +348,23 @@ def main() -> int:
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", p))
         cart = len(re.findall(r"CartesianProduct", p))
         est, okayed, n_lin = estimate_built_broadcasts(p, DISPOSITIONS.get(name))
+        i_est, i_okayed, i_lin, i_cart = audit_interior_plans(
+            interior, DISPOSITIONS.get(name)
+        )
+        cart += i_cart
         totals["CartesianProduct"] += cart
         totals["EstBHJ"] += len(est)
-        totals["EstLin"] += n_lin
-        if est or okayed:
-            est_sites[name] = est + okayed
+        totals["EstLin"] += n_lin + i_lin
+        totals["IntEstBHJ"] += len(i_est)
+        if est or okayed or i_est or i_okayed:
+            est_sites[name] = est + okayed + i_est + i_okayed
         lines.append(
-            f"| {name} | {n_ex} | {bhj} | {smj} | {bnlj} | {pushed} | {cart} | {len(est)} | {n_lin} |"
+            f"| {name} | {n_ex} | {bhj} | {smj} | {bnlj} | {pushed} | {cart} "
+            f"| {len(est)} | {n_lin} | {len(interior)} | {len(i_est)} |"
         )
         print(
-            f"{name}: ex={n_ex} bhj={bhj} smj={smj} bnlj={bnlj} est={len(est)} lin={n_lin}",
+            f"{name}: ex={n_ex} bhj={bhj} smj={smj} bnlj={bnlj} est={len(est)} "
+            f"lin={n_lin} int={len(interior)} int_est={len(i_est)}",
             flush=True,
         )
     # keep the artifact deterministic (no wall time) so round_close's
@@ -316,6 +375,8 @@ def main() -> int:
         f"{len(QUERIES)} queries audited; "
         f"cartesian products: {totals['CartesianProduct']} (expected 0); "
         f"fatal estimate-built broadcasts: {totals['EstBHJ']} (expected 0); "
+        f"fatal interior (checkpoint-hidden) sites: {totals['IntEstBHJ']} "
+        f"(expected 0); "
         f"linear-class estimate builds: {totals['EstLin']} (class-dispositioned below).",
         "",
     ]
