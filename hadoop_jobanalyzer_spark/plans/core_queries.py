@@ -758,7 +758,18 @@ def q38_price_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_jobanalyzer_spark.operators.joins import range_join
 
     t = load_tables(spark, sf_dir)
-    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo long, hi long")
+    # A 6-row constant table: build it as a SQL VALUES LocalRelation (pure
+    # JVM LocalTableScan) rather than createDataFrame(list), whose
+    # Python-RDD scan (applySchemaToPythonRDD) forces a Python worker
+    # spawn to serve 6 literal rows — measured 7-13 s per bench pass on a
+    # slow-fork host vs ~0 for the local relation (guide §4: no JVM<->
+    # Python boundary for work built-ins can do).
+    bands = spark.sql(
+        "SELECT band, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi "
+        "FROM (VALUES "
+        + ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+        + ") AS bands(band, lo, hi)"
+    )
     return (
         range_join(
             t["orders"].select("o_orderkey", "o_totalprice"),
