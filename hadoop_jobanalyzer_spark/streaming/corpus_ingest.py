@@ -45,10 +45,13 @@ Scale notes (100 TB regime): per batch, cost is O(batch) signature work
 plus a band-key join against the signature store — never a corpus
 re-shingle (`operators/dedup.lsh_candidate_pairs_incremental`). When the
 snapshot publishes the pre-banded ``{prefix}_minhash_bands`` table
-(bkey-bucketed + sorted), the store side of that join is read through
-the batch's touched-bucket pushdown filter — bucket files and row
-groups that no batch document can collide with are never read, so the
-per-batch store READ is O(touched buckets) too, not a full scan. Band
+(bkey-bucketed + sorted) AND the store is large enough for pruning to
+pay (``BANDS_MIN_STORE_ROWS`` — measured: the pruned read carries ~2x
+per-batch fixed overhead that a small store's wide scan never costs),
+the store side of that join is read through the batch's touched-bucket
+pushdown filter — bucket files and row groups that no batch document
+can collide with are never read, so the per-batch store READ is
+O(touched buckets) too, not a full scan. Band
 buckets are capped (``max_bucket``), so a pathological boilerplate band
 cannot quadratically explode a batch. Delta files accumulate one
 directory per micro-batch; compaction is the no-small-files backstop and
@@ -117,6 +120,44 @@ def _read_delta(
     return spark.read.option("basePath", path).parquet(*sorted(parts))
 
 
+# The pruned bands read only PAYS above this store size. Measured
+# (tools/ingest_probe.py --layout both, r10, stores of 5e2..5e5 docs —
+# a 1000x range): the wide scan+explode stays ~flat and sub-second at
+# every locally buildable store, while the bands read carries ~2x
+# per-batch FIXED overhead (touched-key collect + bucketed multi-file
+# listing + at toy scale nothing to row-group-prune). The wide path's
+# O(store) term only clears that overhead once the banded store has
+# row groups to skip — order 1e7+ band rows (the 100 TB regime it was
+# built for). Below the threshold a batch reads the wide table; the
+# bands table keeps APPENDING in lockstep either way (append is
+# batch-scaled), so the pruned path activates seamlessly — and
+# reversibly — as the store grows past the threshold.
+BANDS_MIN_STORE_ROWS = 10_000_000
+
+
+def _bands_read_pays(root: str, bands_table: str) -> bool:
+    """True when the published bands store is large enough that the
+    touched-bucket pruned read beats the wide scan+explode (threshold
+    env-overridable: HJA_BANDS_MIN_STORE_ROWS; set 0 to force the
+    pruned path, e.g. in tests)."""
+    import json
+
+    from hadoop_jobanalyzer_spark.plans.snapshot import MANIFEST_NAME
+
+    threshold = int(
+        os.environ.get("HJA_BANDS_MIN_STORE_ROWS", str(BANDS_MIN_STORE_ROWS))
+    )
+    if threshold <= 0:
+        return True
+    manifest_path = os.path.join(root, MANIFEST_NAME)
+    try:
+        with open(manifest_path) as fh:
+            rows = json.load(fh)["tables"][bands_table]["rows"]
+    except (OSError, KeyError, ValueError):
+        return False  # unknown size: take the measured-fast wide path
+    return rows >= threshold
+
+
 def make_ingest_batch(
     root: str,
     prefix: str = "corpus",
@@ -161,7 +202,9 @@ def make_ingest_batch(
             delta_sigs = delta_sigs.filter(F.col("_batch_id") < batch_id)
 
         stored_sigs = stored_bands = None
-        if spark.catalog.tableExists(f"{prefix}_minhash_bands"):
+        if spark.catalog.tableExists(f"{prefix}_minhash_bands") and _bands_read_pays(
+            root, f"{prefix}_minhash_bands"
+        ):
             # pre-banded bkey-bucketed store: the touched-bucket pushdown
             # prunes the base scan; the (delta-scaled) delta sigs are
             # banded here — the filter pushes through the union to the

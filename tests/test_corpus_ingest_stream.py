@@ -551,3 +551,44 @@ def test_compact_refresh_clusters_labels_kept_near_dups(
 
     # nothing left to fold; a second refresh-compact is a clean no-op
     assert compact_ingest_delta(spark, root, prefix=PREFIX, refresh_clusters=True) is None
+
+
+def test_bands_read_gate_is_store_size_driven(tmp_path, monkeypatch):
+    """The pruned bands read path only engages above BANDS_MIN_STORE_ROWS
+    (measured r10: at toy store sizes its fixed per-batch overhead is ~2x
+    the wide scan it replaces — tools/ingest_probe.py --layout both); the
+    threshold is env-overridable and unknown store sizes take the
+    measured-fast wide path."""
+    from hadoop_jobanalyzer_spark.streaming.corpus_ingest import (
+        BANDS_MIN_STORE_ROWS,
+        _bands_read_pays,
+    )
+
+    root = str(tmp_path)
+    monkeypatch.delenv("HJA_BANDS_MIN_STORE_ROWS", raising=False)
+
+    # no manifest on disk: size unknown -> wide path
+    assert not _bands_read_pays(root, "t_minhash_bands")
+
+    def manifest(rows):
+        with open(os.path.join(root, "_MANIFEST.json"), "w") as fh:
+            json.dump({"tables": {"t_minhash_bands": {"rows": rows}}}, fh)
+
+    manifest(BANDS_MIN_STORE_ROWS - 1)
+    assert not _bands_read_pays(root, "t_minhash_bands")
+    manifest(BANDS_MIN_STORE_ROWS)
+    assert _bands_read_pays(root, "t_minhash_bands")
+
+    # manifest lists only other tables: unknown -> wide path
+    with open(os.path.join(root, "_MANIFEST.json"), "w") as fh:
+        json.dump({"tables": {"t_documents": {"rows": 10}}}, fh)
+    assert not _bands_read_pays(root, "t_minhash_bands")
+
+    # env override: 0 forces the pruned path (the probe's bands layout)
+    monkeypatch.setenv("HJA_BANDS_MIN_STORE_ROWS", "0")
+    assert _bands_read_pays(root, "t_minhash_bands")
+    monkeypatch.setenv("HJA_BANDS_MIN_STORE_ROWS", "5")
+    manifest(4)
+    assert not _bands_read_pays(root, "t_minhash_bands")
+    manifest(5)
+    assert _bands_read_pays(root, "t_minhash_bands")

@@ -100,6 +100,13 @@ def main() -> int:
             print(f"# skipping {src} (not built)", flush=True)
             continue
         for layout in layouts:
+            # the ingest gate would route toy-sized stores to the wide
+            # read path (corpus_ingest.BANDS_MIN_STORE_ROWS); this probe
+            # measures the bands READ path itself, so force it on
+            if layout == "bands":
+                os.environ["HJA_BANDS_MIN_STORE_ROWS"] = "0"
+            else:
+                os.environ.pop("HJA_BANDS_MIN_STORE_ROWS", None)
             prefix = f"probe{i}{layout[0]}"
             work = tempfile.mkdtemp(prefix=f"ingest_probe_{i}_{layout}_")
             root = os.path.join(work, "snap")
