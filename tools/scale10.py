@@ -110,9 +110,13 @@ def build_scaled(spark, src: str, out: str, factor: int) -> None:
 # 13.8M -> 1.38G wedges at x100, wall AT ~100 x t_base — the linear
 # floor), and the r10 exchange reduction cut its t_base ~1.5x, which
 # mechanically RAISES the slope ratio of the unchanged wedge work: the
-# honest x10 expectation is ~10x wedges + overhead, so 12 leaves no
-# measurement headroom. 18 still trips on anything super-linear.
-PER_QUERY_MAX_SLOPE = {"q120_copurchase_triangles": 18.0}
+# honest x10 expectation is ~10x wedges + overhead. On top of that the
+# slope divides two noisy walls — measured r10, same code 90 min apart
+# on a steal-heavy host: 58.8/4.58=12.8 vs 68.8/3.40=20.3, with the
+# 3-4 s t_base contributing most of the spread. 30 absorbs that ratio
+# noise and still trips hard on the failure it guards against (a census
+# gone quadratic measures ~100).
+PER_QUERY_MAX_SLOPE = {"q120_copurchase_triangles": 30.0}
 
 
 def main() -> int:
