@@ -49,10 +49,28 @@ def connected_components(
     # dedup when clustering near-dup pairs.
     sym = sym.transform(materialize_eager)
 
+    # The iteration only ever moves labels along edges, so it runs over
+    # edge ENDPOINTS only: an isolated node keeps its own id forever and
+    # can neither influence nor be influenced by any other label. With a
+    # corpus-sized ``nodes`` universe and a sparse edge set (the dedup
+    # clustering regime: near-dup pairs touch a small fraction of docs)
+    # this turns the three per-round joins from corpus-scaled into
+    # endpoint-scaled; the isolated nodes are appended as self-labeled
+    # rows after the loop. The semi-join keeps the legacy semantics
+    # exactly — an endpoint outside ``nodes`` never received a label row
+    # and never relayed connectivity (the vote join reads ``labels``),
+    # so the loop universe is endpoints ∩ nodes. Both id-set joins pin
+    # shuffle-hash with the endpoint side as build: endpoints are
+    # corpus-scaled in general and ride the materialized edge frame's
+    # copied estimate (the q235 broadcast-abort class).
+    endpoints = sym.select(F.col("_a").alias(id_col)).distinct()
+    isolated = None
     if nodes is None:
-        universe = sym.select(F.col("_a").alias(id_col)).distinct()
+        universe = endpoints
     else:
-        universe = nodes.select(F.col(id_col)).distinct()
+        all_nodes = nodes.select(F.col(id_col)).distinct()
+        universe = all_nodes.join(endpoints.hint("shuffle_hash"), id_col, "left_semi")
+        isolated = all_nodes.join(endpoints.hint("shuffle_hash"), id_col, "left_anti")
 
     labels = universe.select(F.col(id_col), F.col(id_col).alias("component"))
     labels = labels.transform(materialize_eager)
@@ -116,6 +134,10 @@ def connected_components(
         labels = jumped.select(id_col, "component")
         if changed == 0:
             break
+    if isolated is not None:
+        labels = labels.unionByName(
+            isolated.select(F.col(id_col), F.col(id_col).alias("component"))
+        )
     return labels
 
 
@@ -437,15 +459,25 @@ def label_propagation(
     # rounds, but released on GC instead of leaking one cache per call
     sym = sym.repartition("_a").transform(materialize)
 
-    labels = sym.select(F.col("_a").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
-    )
+    if rounds <= 0:
+        return sym.select(F.col("_a").alias("v")).distinct().select(
+            "v", F.col("v").alias("label")
+        )
+    # Round 1 collapses algebraically: the initial labeling is
+    # label(v) = v, and ``sym`` is a DISTINCT symmetric edge list, so
+    # every (node, neighbor-label) vote group holds exactly one row —
+    # all counts are 1 and the (count desc, label asc) argmax is simply
+    # the MINIMUM neighbor id. One narrow single-column aggregation
+    # replaces the initial-label distinct, the vote join, and the two
+    # grouping exchanges of a generic round (§2.4 — remove shuffles the
+    # algebra already answers).
+    labels = sym.groupBy(F.col("_b").alias("v")).agg(F.min("_a").alias("label"))
     # the vote join is pinned shuffle-hash: labels is corpus-scaled (one
     # row per node) over the materialized edge frame's copied estimate —
     # pin, don't trust a near-threshold estimate (the q235 doctrine; see
     # pagerank_fixed above). sym's _a-hash layout is reused, so only the
     # label side exchanges per round.
-    for _ in range(rounds):
+    for _ in range(rounds - 1):
         votes = (
             sym.join(labels.hint("shuffle_hash"), F.col("_a") == F.col("v"))
             .groupBy(F.col("_b").alias("v"), "label")

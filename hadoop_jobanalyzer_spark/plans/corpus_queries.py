@@ -933,18 +933,24 @@ def q215_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated, "doc_id", "text",
         n_hashes=_N_HASHES, bands=_BANDS, ngram=3, threshold=0.2,
     ).select("id_a", "id_b")
-    cc = connected_components(
-        pairs, src="id_a", dst="id_b",
-        nodes=gated.select(F.col("doc_id").alias("id")), id_col="id",
-    )
-    keepers = (
-        gated.join(cc, gated["doc_id"] == cc["id"])
-        .filter(F.col("id") == F.col("component"))
-        .select(
-            "doc_id",
-            "source",
-            F.size(F.split("text", " ")).cast("long").alias("toks"),
-        )
+    # CC over edge ENDPOINTS only (no corpus-sized `nodes` universe): a
+    # doc outside every near-dup pair is trivially its own component
+    # leader, so the keeper set is exactly gated ∖ losers where losers
+    # are the endpoint-scaled rows with id != component. The corpus-wide
+    # gated × labels equi-join becomes an anti-join against that small
+    # loser table (probe side projected to the three output columns
+    # first — §2.3). Pinned shuffle-hash: losers is corpus-scaled in
+    # general and rides a materialized-loop estimate (q235 class).
+    cc = connected_components(pairs, src="id_a", dst="id_b", id_col="id")
+    losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    keepers = gated.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    ).join(
+        losers.hint("shuffle_hash"),
+        F.col("doc_id") == F.col("id"),
+        "left_anti",
     )
     per_src = keepers.groupBy("source").agg(F.sum("toks").alias("n_tokens"))
     tot = Window.partitionBy()

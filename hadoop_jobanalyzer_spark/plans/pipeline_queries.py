@@ -49,7 +49,7 @@ from hadoop_jobanalyzer_spark.operators.similarity import (
 )
 from hadoop_jobanalyzer_spark.functions.vectors import hyperplanes
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
-from hadoop_jobanalyzer_spark.util import capture_plan, spread
+from hadoop_jobanalyzer_spark.util import capture_plan, materialize, spread
 
 _WORDS = "string_split(text, ' ')"
 
@@ -205,6 +205,12 @@ def corpus_dedup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
             pairs.select("id_a", "id_b"), src="id_a", dst="id_b",
             nodes=docs.select(F.col("doc_id").alias("id")), id_col="id",
         )
+        # CC now loops over edge endpoints only and appends the isolated
+        # docs via an anti-join; materialize the assembled labeling so
+        # the five consumers read blocks (as they did when the loop's
+        # last checkpoint WAS the full labeling) instead of re-running
+        # the corpus-side anti-join each.
+        cc = cc.transform(materialize)
         per[sf_dir] = (pairs, cc)
     return per[sf_dir]
 
