@@ -148,13 +148,20 @@ def main() -> None:
     # order (varies round to round) absorbs the one-time build and shows
     # up as a false "mover" in ratio_vs_prior (r4-r6 lesson: q34/q120
     # flagged three rounds running on cache-ordering artifacts alone).
+    # The excluded one-time cost is MEASURED and reported in the payload
+    # (cache_build_sec) so the steady-state framing hides nothing.
     from hadoop_jobanalyzer_spark.plans.pipeline_queries import corpus_dedup
     from hadoop_jobanalyzer_spark.plans.sketch_queries import _copurchase_edges
 
+    cache_build_sec: dict[str, float] = {}
+    t0 = time.perf_counter()
     pairs, labels = corpus_dedup(spark, SF_DIR)
     pairs.write.format("noop").mode("overwrite").save()
     labels.write.format("noop").mode("overwrite").save()
+    cache_build_sec["corpus_dedup"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
     _copurchase_edges(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    cache_build_sec["copurchase_edges"] = round(time.perf_counter() - t0, 4)
 
     # Interleaved passes: run the whole suite RUNS times and take the
     # per-query median ACROSS passes, instead of RUNS back-to-back runs
@@ -200,6 +207,8 @@ def main() -> None:
         "unit": "sec",
         "runs": RUNS,
         "agg": "median",
+        "cpus": int(CPUS),
+        "cache_build_sec": cache_build_sec,
         "queries": timings,
         "spread": spread,
         "sf": sf_from_dir(SF_DIR),
@@ -209,25 +218,38 @@ def main() -> None:
         # distribution vs the last COMMITTED bench, not totals.
         "ratio_vs_prior": ratios_vs_committed(timings),
     }
-    # The driver parses the LAST line of a bounded stdout tail, so the
-    # multi-KB payload must NOT be last (r2-r9 lesson: with the payload
-    # printed last, every BENCH_rN.json recorded "parsed": null because
-    # the tail window started mid-payload). Order:
+    # The driver parses the LAST line of a bounded 2000-char stdout tail,
+    # so the multi-KB payload must NOT be last (r2-r9 lesson: with the
+    # payload printed last, every BENCH_rN.json recorded "parsed": null
+    # because the tail window started mid-payload). The full per-query
+    # dict can NEVER ride that channel again: 241 names serialize to
+    # ~7.2 KB even at centisecond precision (r01, the one parse that DID
+    # carry queries, had only 59). Order:
     # 1. the full payload line goes out FIRST (humans / full captures),
-    # 2. the full payload is also written to BENCH.json in the repo,
+    # 2. the full payload is written to BENCH_LAST.json always, and to
+    #    the committed-anchor file BENCH.json only when
+    #    SPARK_GRAFT_WRITE_BENCH=1 — so a driver or low-core run can't
+    #    silently clobber the ratio anchor (r10: the driver's local[8]
+    #    run got committed as the anchor),
     # 3. the COMPACT contract JSON is printed LAST — it fits any tail
     #    window, so the driver's last-line parse always succeeds.
     print(json.dumps(payload), flush=True)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as fh:
-            json.dump(payload, fh, indent=1)
-            fh.write("\n")
-    except OSError:
-        pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_names = ["BENCH_LAST.json"]
+    if os.environ.get("SPARK_GRAFT_WRITE_BENCH") == "1":
+        out_names.append("BENCH.json")
+    for out_name in out_names:
+        try:
+            with open(os.path.join(here, out_name), "w") as fh:
+                json.dump(payload, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass
     print(
         json.dumps(
             {"metric": "total_query_wall_time", "value": total, "unit": "sec",
              "sf": payload["sf"], "n_queries": len(timings),
+             "cpus": payload["cpus"], "cache_build_sec": cache_build_sec,
              "ratio_vs_prior": payload["ratio_vs_prior"]}
         ),
         flush=True,

@@ -183,7 +183,11 @@ def incremental_dedup_candidates(
 
     # prefer the pre-banded bkey-bucketed store (touched-bucket pushdown
     # prunes the scan); fall back to the wide table for snapshots published
-    # before the bands table existed
+    # before the bands table existed. Unlike the per-micro-batch ingest
+    # path (corpus_ingest._bands_read_pays), this is a ONE-SHOT call with
+    # no manifest in scope: the bands read's small-store fixed overhead
+    # (~2x of a sub-second scan, r10 measurement) is paid once, not per
+    # batch, so the layout preference is not size-gated here.
     stored_bands = (
         spark.table(f"{prefix}_minhash_bands")
         if spark.catalog.tableExists(f"{prefix}_minhash_bands")
@@ -265,7 +269,10 @@ def refresh_dedup_clusters_incremental(
     # exclude the missing docs from the store on BOTH layouts (they are
     # the new batch; old x old is out of contract). The anti-join is
     # batch-scaled on the right, and the bands path's bkey pushdown
-    # filter passes through it to the bucket-pruned scan.
+    # filter passes through it to the bucket-pruned scan. One-shot
+    # refresh, so the bands layout is preferred unconditionally — the
+    # small-store fixed overhead the per-batch ingest gate
+    # (corpus_ingest._bands_read_pays) avoids is paid once here.
     if spark.catalog.tableExists(f"{prefix}_minhash_bands"):
         stored_sigs, stored_bands = None, spark.table(
             f"{prefix}_minhash_bands"

@@ -152,9 +152,20 @@ def _bands_read_pays(root: str, bands_table: str) -> bool:
     manifest_path = os.path.join(root, MANIFEST_NAME)
     try:
         with open(manifest_path) as fh:
-            rows = json.load(fh)["tables"][bands_table]["rows"]
-    except (OSError, KeyError, ValueError):
-        return False  # unknown size: take the measured-fast wide path
+            rows = int(json.load(fh)["tables"][bands_table]["rows"])
+    except (OSError, KeyError, ValueError, TypeError):
+        # Unknown size: take the measured-fast wide path — but say so.
+        # At the store sizes this gate was built for, a manifest glitch
+        # silently degrading every micro-batch to a full wide store scan
+        # would look like an unexplained throughput collapse.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bands table %s exists but its size could not be read from %s; "
+            "falling back to the wide signature-store scan for this batch",
+            bands_table, manifest_path,
+        )
+        return False
     return rows >= threshold
 
 

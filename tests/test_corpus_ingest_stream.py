@@ -592,3 +592,63 @@ def test_bands_read_gate_is_store_size_driven(tmp_path, monkeypatch):
     assert not _bands_read_pays(root, "t_minhash_bands")
     manifest(5)
     assert _bands_read_pays(root, "t_minhash_bands")
+
+    # a corrupt (non-numeric) rows value degrades to the wide path rather
+    # than failing the micro-batch
+    manifest("not-a-number")
+    assert not _bands_read_pays(root, "t_minhash_bands")
+    manifest(None)
+    assert not _bands_read_pays(root, "t_minhash_bands")
+
+
+def test_ingest_pruned_bands_branch_matches_wide(
+    spark, tmp_path, snapshot, monkeypatch
+):
+    """End-to-end coverage of make_ingest_batch's PRUNED stored_bands
+    branch (bkey isin pushdown over the banded store), which the
+    BANDS_MIN_STORE_ROWS gate keeps off at toy store sizes: force it with
+    HJA_BANDS_MIN_STORE_ROWS=0 and assert the keep/drop decisions are
+    row-for-row identical to the wide-path run of the SAME arrivals."""
+    from hadoop_jobanalyzer_spark.operators.dedup import banded_signatures
+    from hadoop_jobanalyzer_spark.plans.pipeline_queries import _BANDS, _N_HASHES
+    from hadoop_jobanalyzer_spark.sources.bucketed import write_bucketed
+
+    root = snapshot
+    write_bucketed(
+        banded_signatures(
+            spark.table(f"{PREFIX}_minhash_sigs"), "doc_id",
+            n_hashes=_N_HASHES, bands=_BANDS,
+        ),
+        f"{PREFIX}_minhash_bands", ["bkey"], 4, sort_cols=["bkey"],
+        path=os.path.join(root, "minhash_bands"),
+    )
+    try:
+        base = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .orderBy("doc_id").limit(3).collect()
+        )
+        fresh_text = " ".join(f"bandsfresh{j}" for j in range(12))
+        batch = _doc_rows(
+            spark,
+            {r["doc_id"] + 40_000_000: r["text"] for r in base}  # old dups
+            | {50_000_000: fresh_text,      # fresh -> kept (leader)
+               50_000_001: fresh_text},     # new x new copy -> dropped
+        )
+
+        def run(sub, threshold):
+            sub_root = str(tmp_path / sub)
+            os.makedirs(sub_root)
+            monkeypatch.setenv("HJA_BANDS_MIN_STORE_ROWS", threshold)
+            make_ingest_batch(sub_root, PREFIX)(batch, 0)
+            return (
+                _decisions(spark, sub_root)
+                .drop("_batch_id").orderBy("doc_id").collect()
+            )
+
+        pruned = run("pruned", "0")            # forces the bands+pushdown path
+        wide = run("wide", "1000000000000")    # forces the wide-store path
+        assert pruned == wide
+        kept = {r["doc_id"] for r in pruned if r["kept"]}
+        assert kept == {50_000_000}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}_minhash_bands")

@@ -113,10 +113,11 @@ def build_scaled(spark, src: str, out: str, factor: int) -> None:
 # honest x10 expectation is ~10x wedges + overhead. On top of that the
 # slope divides two noisy walls — measured r10, same code 90 min apart
 # on a steal-heavy host: 58.8/4.58=12.8 vs 68.8/3.40=20.3, with the
-# 3-4 s t_base contributing most of the spread. 30 absorbs that ratio
-# noise and still trips hard on the failure it guards against (a census
-# gone quadratic measures ~100).
-PER_QUERY_MAX_SLOPE = {"q120_copurchase_triangles": 30.0}
+# 3-4 s t_base contributing most of the spread. Queries listed here get
+# one EXTRA best-of run on the base side (the noisy denominator), which
+# is why the bound is 24 rather than the 30 the r10 two-run spread
+# forced — still far below the ~100 a census gone quadratic measures.
+PER_QUERY_MAX_SLOPE = {"q120_copurchase_triangles": 24.0}
 
 
 def main() -> int:
@@ -189,14 +190,15 @@ def main() -> int:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
-    def best_of(fn, sf_dir: str, name: str = "?") -> float:
+    def best_of(fn, sf_dir: str, name: str = "?", runs: int | None = None) -> float:
         release_session_caches()
         ts = []
-        for i in range(max(args.runs, 1)):
+        runs = runs if runs is not None else args.runs
+        for i in range(max(runs, 1)):
             # progress to stderr BEFORE each run: when a measurement
             # kills the JVM (x100 OOM), the log must say which query did
             # it (r10 lesson — two crashed sweeps were unattributable)
-            print(f"[scale10] {name} run {i + 1}/{args.runs} @ {sf_dir}",
+            print(f"[scale10] {name} run {i + 1}/{runs} @ {sf_dir}",
                   file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -221,7 +223,10 @@ def main() -> int:
     bad = []
     for name in names:
         fn = qs[name]
-        t_base = best_of(fn, args.src, name)
+        # slope-bounded queries take an extra base run: the small t_base
+        # denominator dominates the ratio noise (r10 measurement)
+        base_runs = args.runs + (1 if name in PER_QUERY_MAX_SLOPE else 0)
+        t_base = best_of(fn, args.src, name, runs=base_runs)
         t_scaled = best_of(fn, args.out, name)
         slope = t_scaled / t_base if t_base > 0 else float("inf")
         print(json.dumps({
