@@ -36,7 +36,10 @@ def connected_components(
     ``edges`` is undirected (one direction per pair is enough — it is
     symmetrized here). ``nodes`` optionally supplies the full node universe
     (single-column ``id_col``) so isolated nodes get their own singleton
-    component; otherwise the universe is the set of edge endpoints.
+    component; otherwise the universe is the set of edge endpoints. When
+    given, ``nodes`` must contain every edge endpoint (the documented
+    "full universe" contract — every in-repo caller passes the population
+    its edges were mined from).
 
     Returns a DataFrame (``id_col``, ``component``).
     """
@@ -55,22 +58,18 @@ def connected_components(
     # corpus-sized ``nodes`` universe and a sparse edge set (the dedup
     # clustering regime: near-dup pairs touch a small fraction of docs)
     # this turns the three per-round joins from corpus-scaled into
-    # endpoint-scaled; the isolated nodes are appended as self-labeled
-    # rows after the loop. The semi-join keeps the legacy semantics
-    # exactly — an endpoint outside ``nodes`` never received a label row
-    # and never relayed connectivity (the vote join reads ``labels``),
-    # so the loop universe is endpoints ∩ nodes. Both id-set joins pin
-    # shuffle-hash with the endpoint side as build: endpoints are
-    # corpus-scaled in general and ride the materialized edge frame's
-    # copied estimate (the q235 broadcast-abort class).
+    # endpoint-scaled; the isolated nodes (nodes ∖ endpoints — the
+    # anti-join below) are appended as self-labeled rows after the loop.
+    # The anti-join pins shuffle-hash with the endpoint side as build:
+    # endpoints are corpus-scaled in general and ride the materialized
+    # edge frame's copied estimate (the q235 broadcast-abort class).
     endpoints = sym.select(F.col("_a").alias(id_col)).distinct()
+    universe = endpoints
     isolated = None
-    if nodes is None:
-        universe = endpoints
-    else:
-        all_nodes = nodes.select(F.col(id_col)).distinct()
-        universe = all_nodes.join(endpoints.hint("shuffle_hash"), id_col, "left_semi")
-        isolated = all_nodes.join(endpoints.hint("shuffle_hash"), id_col, "left_anti")
+    if nodes is not None:
+        isolated = nodes.select(F.col(id_col)).distinct().join(
+            endpoints.hint("shuffle_hash"), id_col, "left_anti"
+        )
 
     labels = universe.select(F.col(id_col), F.col(id_col).alias("component"))
     labels = labels.transform(materialize_eager)
@@ -83,18 +82,25 @@ def connected_components(
     # (seen at sf0.001 by the interior-plan audit; the q235 x100 abort
     # class). SHJ builds per-partition tables on the narrow build side
     # and needs no stats to be right at any scale.
-    for _ in range(max_iter):
-        # 1 shuffle: min label over direct neighbors
-        neigh = (
-            sym.join(
-                labels.select(F.col(id_col).alias("_b"), "component").hint(
-                    "shuffle_hash"
-                ),
-                "_b",
+    for rnd in range(max_iter):
+        # 1 shuffle: min label over direct neighbors. Round 1 collapses
+        # algebraically — the initial labeling is component(v) = v, so
+        # the min over neighbor LABELS is just the min neighbor id: one
+        # aggregation over the (already _materialized_) edge list, no
+        # label join (§2.4).
+        if rnd == 0:
+            neigh = sym.groupBy("_a").agg(F.min("_b").alias("_nmin"))
+        else:
+            neigh = (
+                sym.join(
+                    labels.select(F.col(id_col).alias("_b"), "component").hint(
+                        "shuffle_hash"
+                    ),
+                    "_b",
+                )
+                .groupBy("_a")
+                .agg(F.min("component").alias("_nmin"))
             )
-            .groupBy("_a")
-            .agg(F.min("component").alias("_nmin"))
-        )
         # the pre-round label rides along as _old so convergence needs no
         # extra join against the previous table
         stepped = (
@@ -404,10 +410,18 @@ def pagerank_fixed(
     # per-node table). SHJ needs no stats, reuses sym's _a-hash layout
     # (only the contrib side exchanges), and drops the per-round sorts
     # the unhinted plan ran at test SF.
-    for _ in range(iters):
-        contrib = ranks.join(deg.hint("shuffle_hash"), "v").select(
-            "v", F.floor(F.col("r") / F.col("d")).cast("long").alias("_c")
-        )
+    for it in range(iters):
+        # Round 1 collapses algebraically: every initial rank is the
+        # constant ``scale``, so contrib = floor(scale / d) is a pure
+        # projection of the degree table — no ranks × deg join (§2.4).
+        if it == 0:
+            contrib = deg.select(
+                "v", F.floor(F.lit(scale) / F.col("d")).cast("long").alias("_c")
+            )
+        else:
+            contrib = ranks.join(deg.hint("shuffle_hash"), "v").select(
+                "v", F.floor(F.col("r") / F.col("d")).cast("long").alias("_c")
+            )
         sums = (
             sym.join(contrib.hint("shuffle_hash"), F.col("_a") == F.col("v"))
             .groupBy(F.col("_b").alias("v"))
