@@ -544,8 +544,21 @@ def common_neighbor_candidates(
     sym = edges.select(src.alias("_a"), dst.alias("_b")).union(
         edges.select(dst.alias("_a"), src.alias("_b"))
     )
+    # deg is probed twice (deg_a/deg_b below); both probes re-aggregate
+    # from the (persisted) edge cache, which measures CHEAPER than a
+    # materialize here — the checkpoint write is a serialized extra job
+    # per invocation, while the re-aggregation pipelines into each probe.
     deg = sym.groupBy(F.col("_a").alias("v")).agg(F.count("*").alias("d"))
     nb = sym.filter(F.col("_a") % shard_mod == shard_rem)
+    # The wedge self-join stays UNHINTED deliberately: nb rides the
+    # PERSISTED edge cache, whose InMemoryRelation stats are measured
+    # bytes, not a fanout-blind guess — a truth-backed estimate (the r10
+    # classifier rule), so the planner broadcasts the shard slice only
+    # while it genuinely fits and flips to a shuffle join as the corpus
+    # grows. Pinning shuffle-hash here measured 2x SLOWER at sf0.1
+    # (3.95 -> 7.64 s: two exchanges of nb plus a separate join stage,
+    # versus a single broadcast stage that pipelines scan -> fanout ->
+    # partial agg).
     pairs = (
         nb.select(F.col("_a").alias("_c"), F.col("_b").alias("id_a"))
         .join(nb.select(F.col("_a").alias("_c"), F.col("_b").alias("id_b")), "_c")
@@ -554,14 +567,25 @@ def common_neighbor_candidates(
         .agg(F.count("*").alias("common_neighbors"))
     )
     known = edges.select(src.alias("id_a"), dst.alias("id_b"))
+    # the existing-edge anti-join is pinned shuffle-hash too (known is the
+    # full corpus-scaled edge list); the pair groupBy above already hash-
+    # partitioned the probe side by (id_a, id_b), so only `known`
+    # exchanges here.
     top = (
-        pairs.join(known, ["id_a", "id_b"], "left_anti")
+        pairs.join(known.hint("shuffle_hash"), ["id_a", "id_b"], "left_anti")
         .orderBy(F.desc("common_neighbors"), "id_a", "id_b")
         .limit(topk)
     )
+    # the top-k relation is <= topk rows BY CONSTRUCTION (a bound the
+    # planner may lose through the join below) — broadcast it explicitly
+    # (truth-backed, the q50/q233 doctrine) so the corpus-scaled degree
+    # table is only probed, never built or shuffled.
+    withdeg = deg.select(F.col("v").alias("id_a"), F.col("d").alias("deg_a")).join(
+        F.broadcast(top), "id_a"
+    )
     return (
-        top.join(deg.select(F.col("v").alias("id_a"), F.col("d").alias("deg_a")), "id_a")
-        .join(deg.select(F.col("v").alias("id_b"), F.col("d").alias("deg_b")), "id_b")
+        deg.select(F.col("v").alias("id_b"), F.col("d").alias("deg_b"))
+        .join(F.broadcast(withdeg), "id_b")
         .select("id_a", "id_b", "common_neighbors", "deg_a", "deg_b")
         .orderBy(F.desc("common_neighbors"), "id_a", "id_b")
     )

@@ -254,6 +254,7 @@ def test_jsonl_arrivals_compose_with_ingest(spark, tmp_path, snapshot):
     assert [r["doc_id"] for r in docs.collect()] == [70_000_001]
 
 
+@pytest.mark.slow
 def test_ingest_soak_randomized_kills_then_compaction(spark, tmp_path, snapshot):
     """Soak for the ingest stream: 12 single-file micro-batches
     (fresh-shard / copy-shard alternating, so every batch's decision

@@ -808,6 +808,7 @@ def test_scd2_enrich_stream_matches_batch_lookup(spark, sf_dir, events_dir):
     assert any(s is not None for (_, s, _) in got)
 
 
+@pytest.mark.slow
 def test_stateful_totals_survive_mid_stream_kill(spark, sf_dir, tmp_path):
     """Chaos restart over ``applyInPandasWithState`` with the DEFAULT
     (HDFS-backed) state store: the query is stopped ABRUPTLY mid-stream —
@@ -894,6 +895,7 @@ def test_stateful_totals_survive_mid_stream_kill(spark, sf_dir, tmp_path):
     assert latest == want
 
 
+@pytest.mark.slow
 def test_stateful_totals_soak_randomized_kills(spark, sf_dir, tmp_path):
     """Soak variant of the mid-stream kill test: ~20 forced micro-batches
     (20 input shards, maxFilesPerTrigger=1) interrupted by THREE abrupt
@@ -985,6 +987,7 @@ def test_stateful_totals_soak_randomized_kills(spark, sf_dir, tmp_path):
     assert latest == want
 
 
+@pytest.mark.slow
 def test_stream_stream_join_survives_mid_stream_kill(spark, sf_dir, tmp_path):
     """Abrupt-kill recovery for the SYMMETRIC-HASH-JOIN state store — a
     different state backend path than the applyInPandasWithState kill

@@ -126,6 +126,7 @@ def test_parse_and_final_attempt_invariants(spark, log_and_expected):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(job_logs())
+@pytest.mark.slow
 def test_timeline_impls_agree_and_conserve_mass(spark, log_and_expected):
     text, expected = log_and_expected
     v = _views(spark, text)
