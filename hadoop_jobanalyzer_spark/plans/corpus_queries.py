@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_jobanalyzer_spark.plans.tables import load_tables
+from hadoop_jobanalyzer_spark.util import materialize
 
 # The repo-wide BPE-ish pre-tokenizer regex (pipeline_queries.q33).
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -943,6 +944,9 @@ def q215_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # general and rides a materialized-loop estimate (q235 class).
     cc = connected_components(pairs, src="id_a", dst="id_b", id_col="id")
     losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    # keepers feeds BOTH the apportionment aggregate and the selection
+    # window; materialize it once so the gated scan + anti-join run once,
+    # not once per consuming branch.
     keepers = gated.select(
         "doc_id",
         "source",
@@ -951,7 +955,7 @@ def q215_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         losers.hint("shuffle_hash"),
         F.col("doc_id") == F.col("id"),
         "left_anti",
-    )
+    ).transform(materialize)
     per_src = keepers.groupBy("source").agg(F.sum("toks").alias("n_tokens"))
     tot = Window.partitionBy()
     rem_rank = Window.partitionBy().orderBy(F.desc("rem"), F.asc("source"))

@@ -37,6 +37,10 @@ STORES = [
     ("/tmp/hja_scale10", "documents.parquet"),
     ("/tmp/hja_scale100", "documents.parquet"),  # built by scale10.py --factor 100
 ]
+# extra --stores dirs append here: a documents-only x1000 dir (10
+# disjoint-vocabulary copies of the x100 documents) reaches the 1e7+
+# banded-row regime BANDS_MIN_STORE_ROWS gates on, which no full scaled
+# dataset under this sandbox's disk/time budget reaches
 
 
 def fresh_docs(spark, schema, start_id: int, n: int, tag: str):
@@ -68,7 +72,14 @@ def main() -> int:
         "the batch's touched-bucket filter prunes the store scan), or "
         "both for the side-by-side",
     )
+    ap.add_argument(
+        "--stores", nargs="*", default=[],
+        help="extra store dirs (each holding documents.parquet) probed "
+        "after the built-in ladder",
+    )
     args = ap.parse_args()
+    for extra in args.stores:
+        STORES.append((extra, "documents.parquet"))
 
     # the x100 store build (500k-doc MinHash) trips the 8g GC-locker
     # stall documented in SCALE.md — same default as tools/scale10.py
