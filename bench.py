@@ -38,7 +38,7 @@ def sf_from_dir(path: str) -> float:
 
 
 def build_session() -> SparkSession:
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("hja-spark-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
@@ -48,8 +48,16 @@ def build_session() -> SparkSession:
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # opt-in AQE initial-partition ceiling for scale runs (see
+    # session.ENGINE_CONF's rationale; not defaulted — a blanket 512
+    # measured +21% at sf0.1)
+    init_parts = os.environ.get("SPARK_GRAFT_INIT_PARTITIONS")
+    if init_parts:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", init_parts
+        )
+    return builder.getOrCreate()
 
 
 def ratios_vs_committed(timings: dict[str, float]) -> dict | None:

@@ -36,6 +36,23 @@ ENGINE_CONF: dict[str, str] = {
     "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
+# Scale-adaptive shuffle sizing, OPT-IN: AQE coalescing only MERGES
+# post-shuffle partitions, never splits them, so shuffle.partitions is a
+# hard ceiling on reduce-side parallelism and a floor on per-task state —
+# a constant tuned for local[N] stops fitting a few data decades up
+# (q131's x100 hash aggregates hit AGGREGATE_OUT_OF_MEMORY at
+# 32 partitions / 40g once earlier runs' checkpoint blocks held storage).
+# Deployments size these via SPARK_GRAFT_SHUFFLE_PARTITIONS /
+# SPARK_GRAFT_INIT_PARTITIONS; the init-partition ceiling is NOT
+# defaulted high because a blanket 512 measured +21% on the sf0.1 bench
+# subset (localCheckpoint pins the pre-coalesce partition count through
+# iterative loops — q197 3x worse).
+_INIT_PARTITIONS = os.environ.get("SPARK_GRAFT_INIT_PARTITIONS")
+if _INIT_PARTITIONS:
+    ENGINE_CONF[
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    ] = _INIT_PARTITIONS
+
 
 def get_spark(
     app_name: str = "hadoop-jobanalyzer-spark",
